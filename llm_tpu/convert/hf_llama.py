@@ -1,0 +1,112 @@
+"""HF transformers -> GGUF converter (llama-family).
+
+Parity target: convert_hf_to_gguf.py's LlamaModel path (QK weight
+permutation for NORM-style RoPE, tensor-name mapping, metadata keys). This
+is an independent implementation against the GGUF spec; it accepts an
+in-memory transformers model (state_dict) so it also works offline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, Keys
+from ..gguf.writer import GGUFWriter
+
+
+def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF rotate-half layout -> GGUF NORM (interleaved-pair) layout."""
+    out_dim = w.shape[0]
+    head_dim = out_dim // n_head
+    return (
+        w.reshape(n_head, 2, head_dim // 2, *w.shape[1:])
+        .swapaxes(1, 2)
+        .reshape(w.shape)
+    )
+
+
+_HF_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
+
+def convert_hf_llama(
+    model,
+    path: str,
+    arch: str = "llama",
+    out_type: GGMLType = GGMLType.F32,
+    vocab: dict | None = None,
+):
+    """Write a transformers *LlamaForCausalLM-style* model to GGUF.
+
+    `vocab`: optional dict with tokenizer metadata (tokens, scores, types,
+    merges, special ids) to embed; tests pass None and read logits only.
+    """
+    hf_cfg = model.config
+    n_head = hf_cfg.num_attention_heads
+    n_kv = getattr(hf_cfg, "num_key_value_heads", n_head)
+    head_dim = getattr(hf_cfg, "head_dim", None) or hf_cfg.hidden_size // n_head
+
+    w = GGUFWriter(path, arch=arch)
+    a = arch
+    w.add_kv(Keys.General.NAME, getattr(hf_cfg, "name_or_path", "hf-model") or "hf-model")
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), int(hf_cfg.max_position_embeddings))
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.hidden_size))
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.num_hidden_layers))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), int(hf_cfg.intermediate_size))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), int(n_head))
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), int(n_kv))
+    w.add_kv(Keys.Attention.KEY_LENGTH.format(arch=a), int(head_dim))
+    w.add_kv(Keys.Attention.VALUE_LENGTH.format(arch=a), int(head_dim))
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), float(hf_cfg.rms_norm_eps))
+    w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(getattr(hf_cfg, "rope_theta", 10000.0)))
+    w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), int(head_dim))
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    def put(name: str, arr: np.ndarray):
+        w.add_tensor(name, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["model.embed_tokens.weight"])
+    put("output_norm.weight", sd["model.norm.weight"])
+    if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", False):
+        put("output.weight", sd["lm_head.weight"])
+
+    permute = arch in ("llama",)  # NORM-rope archs store permuted q/k
+    for il in range(hf_cfg.num_hidden_layers):
+        pre = f"model.layers.{il}."
+        for hf_suffix, gg_suffix in _HF_LAYER_MAP.items():
+            key = pre + hf_suffix
+            if key not in sd:
+                continue
+            arr = sd[key]
+            if permute and hf_suffix == "self_attn.q_proj.weight":
+                arr = permute_qk(arr, n_head)
+            elif permute and hf_suffix == "self_attn.k_proj.weight":
+                arr = permute_qk(arr, n_kv)
+            elif permute and hf_suffix == "self_attn.q_proj.bias":
+                arr = permute_qk(arr, n_head)
+            elif permute and hf_suffix == "self_attn.k_proj.bias":
+                arr = permute_qk(arr, n_kv)
+            put(f"blk.{il}.{gg_suffix}", arr)
+
+    w.write()
+    return path

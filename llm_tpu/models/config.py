@@ -1,0 +1,147 @@
+"""Model hyperparameters, read from GGUF metadata.
+
+Parity target: the reference's per-arch hparams loading
+(/root/reference/src/llama-hparams.h, llama-model.cpp load_hparams) reduced
+to the data actually needed by the decoder graphs. The config is a frozen
+(hashable) dataclass so it can be a static argument to jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from ..gguf.constants import Keys
+from ..ops.rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM, RopeParams
+
+# rope layout per architecture (reference: llama_model_rope_type,
+# src/llama-model.cpp — NORM archs keep GGUF's pre-permuted QK weights)
+_ROPE_MODE = {
+    "llama": ROPE_TYPE_NORM,
+    "llama4": ROPE_TYPE_NORM,
+    "minicpm": ROPE_TYPE_NORM,
+    "granite": ROPE_TYPE_NORM,
+    "deci": ROPE_TYPE_NORM,
+    "qwen2": ROPE_TYPE_NEOX,
+    "qwen2moe": ROPE_TYPE_NEOX,
+    "qwen3": ROPE_TYPE_NEOX,
+    "qwen3moe": ROPE_TYPE_NEOX,
+    "gemma": ROPE_TYPE_NEOX,
+    "gemma2": ROPE_TYPE_NEOX,
+    "gemma3": ROPE_TYPE_NEOX,
+    "phi3": ROPE_TYPE_NEOX,
+    "stablelm": ROPE_TYPE_NEOX,
+    "starcoder2": ROPE_TYPE_NEOX,
+    "olmo2": ROPE_TYPE_NEOX,
+    "mixtral": ROPE_TYPE_NORM,
+}
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    arch: str
+    vocab_size: int
+    n_embd: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int  # key length per head
+    head_dim_v: int  # value length per head
+    n_ff: int
+    rms_eps: float = 1e-5
+    rope: RopeParams = field(default_factory=lambda: RopeParams(n_dims=0))
+    attn_scale: float | None = None  # None -> 1/sqrt(head_dim)
+    tie_embeddings: bool = False
+    norm_kind: str = "rms"  # "rms" | "ln"
+    act: str = "silu"  # "silu" | "gelu" | "relu2"
+    # MoE
+    n_expert: int = 0
+    n_expert_used: int = 0
+    expert_weights_norm: bool = False
+    expert_weights_scale: float = 1.0
+    n_ff_expert: int = 0
+    # attention extras
+    qk_norm: bool = False  # qwen3/gemma3-style per-head RMS norm on q/k
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    swa_window: int = 0
+    swa_pattern: int = 0  # every Nth layer is full-attention (0 = no SWA)
+    embedding_scale: float = 1.0
+    logit_scale: float = 1.0
+    attn_bias: bool = False  # qkv biases present (qwen2)
+    context_length: int = 0
+
+    @property
+    def n_rep(self) -> int:
+        return self.n_heads // self.n_kv_heads
+
+    def layer_is_swa(self, il: int) -> bool:
+        if self.swa_window <= 0 or self.swa_pattern <= 0:
+            return False
+        # iSWA: layers where (il+1) % pattern != 0 use the sliding window
+        return (il + 1) % self.swa_pattern != 0
+
+
+def _ak(reader, template, default=None):
+    return reader.akey(template, default)
+
+
+def config_from_gguf(reader) -> ModelConfig:
+    arch = reader.architecture
+    n_embd = int(_ak(reader, Keys.LLM.EMBEDDING_LENGTH))
+    n_layers = int(_ak(reader, Keys.LLM.BLOCK_COUNT))
+    n_heads = int(_ak(reader, Keys.Attention.HEAD_COUNT))
+    n_kv = int(_ak(reader, Keys.Attention.HEAD_COUNT_KV, n_heads))
+    head_dim = int(_ak(reader, Keys.Attention.KEY_LENGTH, n_embd // n_heads))
+    head_dim_v = int(_ak(reader, Keys.Attention.VALUE_LENGTH, head_dim))
+    n_ff = int(_ak(reader, Keys.LLM.FEED_FORWARD_LENGTH))
+    vocab = _ak(reader, Keys.LLM.VOCAB_SIZE)
+    if vocab is None:
+        toks = reader.get(Keys.Tokenizer.LIST)
+        vocab = len(toks) if toks is not None else 0
+    ctx_len = int(_ak(reader, Keys.LLM.CONTEXT_LENGTH, 0))
+
+    rot = int(_ak(reader, Keys.Rope.DIMENSION_COUNT, head_dim))
+    scaling_type = _ak(reader, Keys.Rope.SCALING_TYPE, "none") or "none"
+    factor = float(_ak(reader, Keys.Rope.SCALING_FACTOR, 1.0) or 1.0)
+    freq_scale = 1.0 / factor if scaling_type in ("linear", "yarn") and factor else 1.0
+    ext_factor = 1.0 if scaling_type == "yarn" else 0.0
+    ext_factor = float(_ak(reader, "{arch}.rope.scaling.extrapolation_factor", ext_factor) or ext_factor)
+    rope = RopeParams(
+        n_dims=rot,
+        mode=_ROPE_MODE.get(arch, ROPE_TYPE_NEOX),
+        freq_base=float(_ak(reader, Keys.Rope.FREQ_BASE, 10000.0)),
+        freq_scale=freq_scale,
+        ext_factor=ext_factor if scaling_type == "yarn" else 0.0,
+        attn_factor=float(_ak(reader, Keys.Rope.SCALING_ATTN_FACTOR, 1.0) or 1.0),
+        beta_fast=float(_ak(reader, Keys.Rope.SCALING_BETA_FAST, 32.0) or 32.0),
+        beta_slow=float(_ak(reader, Keys.Rope.SCALING_BETA_SLOW, 1.0) or 1.0),
+        n_ctx_orig=int(_ak(reader, Keys.Rope.SCALING_ORIG_CTX, ctx_len) or ctx_len),
+    )
+
+    cfg = ModelConfig(
+        arch=arch,
+        vocab_size=int(vocab),
+        n_embd=n_embd,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=n_kv,
+        head_dim=head_dim,
+        head_dim_v=head_dim_v,
+        n_ff=n_ff,
+        rms_eps=float(_ak(reader, Keys.Attention.LAYERNORM_RMS_EPS, 1e-5) or 1e-5),
+        rope=rope,
+        n_expert=int(_ak(reader, Keys.LLM.EXPERT_COUNT, 0) or 0),
+        n_expert_used=int(_ak(reader, Keys.LLM.EXPERT_USED_COUNT, 0) or 0),
+        n_ff_expert=int(_ak(reader, Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, 0) or 0),
+        swa_window=int(_ak(reader, Keys.Attention.SLIDING_WINDOW, 0) or 0),
+        context_length=ctx_len,
+    )
+
+    # per-arch adjustments
+    if arch in ("qwen2", "qwen2moe"):
+        cfg = replace(cfg, attn_bias=True)
+    if arch in ("qwen3", "qwen3moe"):
+        cfg = replace(cfg, qk_norm=True)
+    if arch == "gemma2":
+        cfg = replace(cfg, attn_softcap=50.0, final_softcap=30.0, swa_pattern=2)
+    return cfg

@@ -1,0 +1,84 @@
+"""Build model params (a pytree of QTensors / dense arrays) from a GGUF file.
+
+Parity target: the reference's model loader
+(/root/reference/src/llama-model-loader.cpp: tensor-name -> weight map,
+create_tensor + load_all_data) — here the GGUF mmap views are unpacked
+straight into TPU-friendly QTensor planes (quant/qtensor.py) or dense jnp
+arrays; there is no backend-buffer placement step because XLA owns memory.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFReader
+from ..quant.codecs import dequantize_tensor
+from ..quant.qtensor import qtensor_from_gguf, supported_plane_types
+from .config import ModelConfig, config_from_gguf
+
+_BLK_RE = re.compile(r"^blk\.(\d+)\.(.+?)\.(weight|bias)$")
+
+_PLANE_TYPES = set(supported_plane_types())
+
+
+def _to_dense(reader: GGUFReader, name: str, dtype) -> jnp.ndarray:
+    ti = reader.tensors[name]
+    arr = dequantize_tensor(reader.data(name), ti.ggml_type, ti.shape)
+    return jnp.asarray(arr, dtype=dtype)
+
+
+def _load_matrix(reader: GGUFReader, name: str, dense_dtype, use_planes: bool):
+    """2-D weight: QTensor planes when quantized (and enabled), dense otherwise."""
+    ti = reader.tensors[name]
+    if use_planes and ti.ggml_type in _PLANE_TYPES and len(ti.shape) == 2:
+        return qtensor_from_gguf(reader.data(name), ti.ggml_type, ti.shape)
+    return _to_dense(reader, name, dense_dtype)
+
+
+def load_params(
+    reader: GGUFReader,
+    dense_dtype=jnp.bfloat16,
+    use_planes: bool = True,
+) -> tuple[dict, ModelConfig]:
+    """Returns (params, config). params layout documented in
+    models/transformer.py::forward."""
+    cfg = config_from_gguf(reader)
+
+    layers: list[dict] = [{} for _ in range(cfg.n_layers)]
+    params: dict = {"layers": layers}
+
+    for name, ti in reader.tensors.items():
+        m = _BLK_RE.match(name)
+        if m:
+            il, base, kind = int(m.group(1)), m.group(2), m.group(3)
+            if il >= cfg.n_layers:
+                continue
+            key = base if kind == "weight" else base + "_b"
+            if kind == "bias" or len(ti.shape) == 1:
+                layers[il][key] = _to_dense(reader, name, jnp.float32)
+            elif len(ti.shape) == 3:
+                # expert stacks: dense [n_expert, n_out, K] for the XLA path
+                layers[il][key] = _to_dense(reader, name, dense_dtype)
+            elif base in ("attn_q_norm", "attn_k_norm"):
+                layers[il][key] = _to_dense(reader, name, jnp.float32)
+            else:
+                layers[il][key] = _load_matrix(reader, name, dense_dtype, use_planes)
+            continue
+
+        if name == "token_embd.weight":
+            params["tok_embd"] = _load_matrix(reader, name, dense_dtype, use_planes)
+        elif name == "output.weight":
+            params["output"] = _load_matrix(reader, name, dense_dtype, use_planes)
+        elif name == "output_norm.weight":
+            params["output_norm"] = _to_dense(reader, name, jnp.float32)
+        elif name == "rope_freqs.weight":
+            params["rope_freqs"] = np.asarray(
+                dequantize_tensor(reader.data(name), ti.ggml_type, ti.shape), np.float32
+            ).reshape(-1)
+
+    params.setdefault("output", None)
+    return params, cfg

@@ -1,0 +1,182 @@
+"""The decoder-stack forward graph for llama-family architectures.
+
+Parity target: llm_build_llama (/root/reference/src/llama-model.cpp:4898-5052)
+— per layer: RMSNorm -> QKV (+bias) -> RoPE -> attention over the unified
+cache -> residual -> RMSNorm -> SwiGLU FFN (or MoE) -> residual; final norm
+-> lm_head. Variants (qwen2 bias, qwen3 qk-norm, gemma2 softcaps/SWA) fold
+into ModelConfig flags, mirroring how the reference's 67 builders share
+llm_graph_context helpers (/root/reference/src/llama-graph.cpp).
+
+This is ONE jit-compiled pure function per (T, S) bucket instead of the
+reference's per-ubatch graph rebuild (SURVEY.md §3.1 hot loop (d)): the
+whole model is a single XLA program, weights stay resident, the KV cache is
+donated and updated in place via indexed scatters.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention, build_attn_bias
+from ..ops.norms import layer_norm, rms_norm
+from ..ops.qmatmul import qembed, qmm
+from ..ops.rope import apply_rope, rope_angles
+from .config import ModelConfig
+
+ACTIVATIONS = {
+    "silu": jax.nn.silu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu2": lambda x: jnp.square(jax.nn.relu(x)),
+}
+
+
+def _norm(x, w, cfg: ModelConfig, b=None):
+    if cfg.norm_kind == "rms":
+        return rms_norm(x, w, cfg.rms_eps)
+    return layer_norm(x, w, b, cfg.rms_eps)
+
+
+def _maybe_add(x, b):
+    return x if b is None else x + b.astype(x.dtype)
+
+
+def _ffn(h, layer, cfg: ModelConfig):
+    act = ACTIVATIONS[cfg.act]
+    gate = layer.get("ffn_gate")
+    up = qmm(h, layer["ffn_up"], out_dtype=h.dtype)
+    if gate is not None:
+        g = act(qmm(h, gate))
+        cur = (g * up.astype(jnp.float32)).astype(h.dtype)
+    else:
+        cur = act(up.astype(jnp.float32)).astype(h.dtype)
+    return qmm(cur, layer["ffn_down"], out_dtype=h.dtype)
+
+
+def _moe_ffn(h, layer, cfg: ModelConfig):
+    """Mixture-of-experts FFN (parity: build_moe_ffn,
+    /root/reference/src/llama-graph.h:550). Dense compute over top-k experts
+    gathered per token — the all-to-all EP path lands with the mesh shard."""
+    T = h.shape[0]
+    router_logits = qmm(h, layer["ffn_gate_inp"])  # [T, n_expert]
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(probs, cfg.n_expert_used)  # [T, k]
+    if cfg.expert_weights_norm:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    topw = topw * cfg.expert_weights_scale
+
+    # gather expert weights per (token, k): dense einsum over gathered planes
+    act = ACTIVATIONS[cfg.act]
+
+    def expert_mm(stack, x_tk):
+        # stack: QTensor with rows [n_expert * n_out, K] viewed per expert
+        w = stack  # dense [n_expert, n_out, K] jnp array (loader dequantizes stacks)
+        wk = w[topi]  # [T, k, n_out, K]
+        return jnp.einsum("tk,tekn->ten", x_tk.astype(w.dtype), jnp.swapaxes(wk, -1, -2))
+
+    up = expert_mm(layer["ffn_up_exps"], h)
+    if "ffn_gate_exps" in layer:
+        g = act(expert_mm(layer["ffn_gate_exps"], h).astype(jnp.float32))
+        cur = (g * up.astype(jnp.float32)).astype(h.dtype)
+    else:
+        cur = act(up.astype(jnp.float32)).astype(h.dtype)
+    down = layer["ffn_down_exps"]
+    out = jnp.einsum("ten,tekn->tek", cur.astype(down.dtype), down[topi])
+    out = jnp.sum(out.astype(jnp.float32) * topw[..., None], axis=1)
+    return out.astype(h.dtype)
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    kv_k: list,
+    kv_v: list,
+    tokens: jnp.ndarray,  # [T] int32
+    tok_pos: jnp.ndarray,  # [T] int32
+    tok_seq: jnp.ndarray,  # [T] int32
+    write_idx: jnp.ndarray,  # [T] int32 cache cells to scatter K/V into
+    cell_pos: jnp.ndarray,  # [S] int32
+    cell_seq_bits: jnp.ndarray,  # [S] uint32
+    out_idx: jnp.ndarray,  # [O] int32 rows for which to compute logits
+    dtype=jnp.bfloat16,
+):
+    """One decode/prefill step. Returns (logits [O, vocab] f32, kv_k, kv_v)."""
+    cfg_rope = cfg.rope
+    ff = params.get("rope_freqs")
+
+    x = qembed(params["tok_embd"], tokens, dtype=dtype)
+    if cfg.embedding_scale != 1.0:
+        x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(dtype)
+
+    cos_t, sin_t = rope_angles(tok_pos, cfg_rope, ff)
+    cos_c, sin_c = rope_angles(cell_pos, cfg_rope, ff)
+    bias = build_attn_bias(tok_pos, tok_seq, cell_pos, cell_seq_bits)
+    bias_swa = None
+    if cfg.swa_window > 0:
+        bias_swa = build_attn_bias(
+            tok_pos, tok_seq, cell_pos, cell_seq_bits, swa_window=cfg.swa_window
+        )
+
+    scale = cfg.attn_scale if cfg.attn_scale is not None else cfg.head_dim ** -0.5
+    H, Hkv, Dk, Dv = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.head_dim_v
+    T = tokens.shape[0]
+
+    new_k, new_v = [], []
+    for il, layer in enumerate(params["layers"]):
+        h = _norm(x, layer.get("attn_norm"), cfg)
+
+        q = _maybe_add(qmm(h, layer["attn_q"], out_dtype=dtype), layer.get("attn_q_b"))
+        k = _maybe_add(qmm(h, layer["attn_k"], out_dtype=dtype), layer.get("attn_k_b"))
+        v = _maybe_add(qmm(h, layer["attn_v"], out_dtype=dtype), layer.get("attn_v_b"))
+        q = q.reshape(T, H, Dk)
+        k = k.reshape(T, Hkv, Dk)
+        v = v.reshape(T, Hkv, Dv)
+
+        if cfg.qk_norm:
+            q = rms_norm(q, layer.get("attn_q_norm"), cfg.rms_eps)
+            k = rms_norm(k, layer.get("attn_k_norm"), cfg.rms_eps)
+
+        q = apply_rope(q, cos_t, sin_t, cfg_rope.mode, cfg_rope.n_dims)
+        # K enters the cache UNROPED; rotated on read with cell positions.
+        k_cache = kv_k[il].at[write_idx].set(k.astype(kv_k[il].dtype))
+        v_cache = kv_v[il].at[write_idx].set(v.astype(kv_v[il].dtype))
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+
+        k_all = apply_rope(
+            k_cache.astype(dtype), cos_c, sin_c, cfg_rope.mode, cfg_rope.n_dims
+        )
+        layer_bias = bias_swa if (bias_swa is not None and cfg.layer_is_swa(il)) else bias
+        att = attention(
+            q, k_all, v_cache.astype(dtype), layer_bias, scale,
+            softcap=cfg.attn_softcap,
+        )
+        att = att.reshape(T, H * Dv)
+        x = x + qmm(att, layer["attn_output"], out_dtype=dtype)
+
+        h2 = _norm(x, layer.get("ffn_norm"), cfg)
+        if cfg.n_expert > 0 and "ffn_gate_inp" in layer:
+            ffn_out = _moe_ffn(h2, layer, cfg)
+            if "ffn_up_shexp" in layer:  # shared expert (qwen2moe-style)
+                ffn_out = ffn_out + _ffn(
+                    h2,
+                    {
+                        "ffn_gate": layer.get("ffn_gate_shexp"),
+                        "ffn_up": layer["ffn_up_shexp"],
+                        "ffn_down": layer["ffn_down_shexp"],
+                    },
+                    cfg,
+                )
+        else:
+            ffn_out = _ffn(h2, layer, cfg)
+        x = x + ffn_out
+
+    x = _norm(x, params.get("output_norm"), cfg)
+    hs = jnp.take(x, out_idx, axis=0)
+    out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
+    logits = qmm(hs, out_w)  # f32
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    if cfg.final_softcap > 0.0:
+        logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+    return logits, new_k, new_v

@@ -1,0 +1,278 @@
+"""QTensor: the on-device representation of a block-quantized weight.
+
+This replaces the reference's in-situ block structs (and its `repack.cpp`
+online re-layout, /root/reference/ggml/src/ggml-cpu/repack.cpp) with a
+TPU-first decomposition done once at load:
+
+    W[k, n]  =  qs[k, n] * scales[k//gs, n]  -  mins[k//gs, n]
+
+  * `qs` — small integers (int8; optionally nibble-packed for 4-bit types),
+    laid out [K, N] so the matmul contraction dim is the sublane dim.
+  * `scales` — effective per-group scale (e.g. Q4_K: d * 6-bit sub-scale,
+    already multiplied out from the super-block encoding).
+  * `mins` — effective per-group offset (zero-point) term, or None for
+    symmetric types. The matmul offset contribution factors into a small
+    rank-K/gs correction: x @ W = x @ (qs*S) - groupsum(x) @ M, mirroring
+    the reference's Q8 `bsums` trick (ggml-common.h block_q8_K.bsums).
+
+All bit-unpacking happens here in numpy at load time; device kernels see
+only MXU/VPU-friendly planes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..gguf.constants import GGMLType, QK_K
+from . import codecs
+from .codecs import (
+    KVALUES_IQ4NL,
+    _q3k_scales,
+    _read_f16,
+    _u8,
+    _unpack2,
+    _unpack_k4_scales,
+)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qs", "scales", "mins"],
+    meta_fields=["group_size", "ggml_type"],
+)
+@dataclass
+class QTensor:
+    """Device planes for a quantized matrix, stored row-major like GGUF:
+    rows are output channels, columns the contraction (input) dim.
+
+        W[n, k] = qs[n, k] * scales[n, k//gs] - mins[n, k//gs]
+
+    One layout serves matmul (y = x @ W^T), embedding gather (rows), and the
+    tied lm_head, and needs no load-time transpose of multi-GiB tensors."""
+
+    qs: jax.Array  # int8 [N, K]
+    scales: jax.Array  # f32 [N, K//gs]
+    mins: jax.Array | None  # f32 [N, K//gs] or None
+    group_size: int
+    ggml_type: GGMLType
+
+    @property
+    def in_features(self) -> int:
+        return self.qs.shape[-1]
+
+    @property
+    def out_features(self) -> int:
+        return self.qs.shape[0]
+
+
+def planes_from_raw(raw: np.ndarray, ggml_type: GGMLType, n_per_row: int):
+    """Unpack raw row-major GGUF bytes into (qs int8, scales f32, mins f32|None,
+    group_size), all shaped per-row: qs (rows, n), scales (rows, n//gs)."""
+    t = GGMLType(ggml_type)
+
+    if t == GGMLType.Q8_0:
+        b = _u8(raw, 34)
+        d = _read_f16(b[:, 0:2])
+        q = b[:, 2:].view(np.int8)
+        return q, d, None, 32
+
+    if t == GGMLType.Q4_0:
+        b = _u8(raw, 18)
+        d = _read_f16(b[:, 0:2])
+        qs = b[:, 2:]
+        q = (np.concatenate([qs & 0xF, qs >> 4], axis=-1).astype(np.int8) - 8)
+        return q, d, None, 32
+
+    if t == GGMLType.Q4_1:
+        b = _u8(raw, 20)
+        d = _read_f16(b[:, 0:2])
+        m = _read_f16(b[:, 2:4])
+        qs = b[:, 4:]
+        q = np.concatenate([qs & 0xF, qs >> 4], axis=-1).astype(np.int8)
+        return q, d, -m, 32
+
+    if t == GGMLType.Q5_0:
+        b = _u8(raw, 22)
+        d = _read_f16(b[:, 0:2])
+        qh = np.ascontiguousarray(b[:, 2:6]).view("<u4").reshape(-1).astype(np.uint32)
+        qs = b[:, 6:]
+        j = np.arange(16)
+        xh0 = ((qh[:, None] >> j) << 4) & 0x10
+        xh1 = (qh[:, None] >> (j + 12)) & 0x10
+        q = np.concatenate([(qs & 0x0F) | xh0, (qs >> 4) | xh1], axis=-1).astype(np.int8) - 16
+        return q, d, None, 32
+
+    if t == GGMLType.Q5_1:
+        b = _u8(raw, 24)
+        d = _read_f16(b[:, 0:2])
+        m = _read_f16(b[:, 2:4])
+        qh = np.ascontiguousarray(b[:, 4:8]).view("<u4").reshape(-1).astype(np.uint32)
+        qs = b[:, 8:]
+        j = np.arange(16)
+        xh0 = ((qh[:, None] >> j) << 4) & 0x10
+        xh1 = (qh[:, None] >> (j + 12)) & 0x10
+        q = np.concatenate([(qs & 0x0F) | xh0, (qs >> 4) | xh1], axis=-1).astype(np.int8)
+        return q, d, -m, 32
+
+    if t == GGMLType.Q4_K:
+        b = _u8(raw, 144)
+        B = b.shape[0]
+        d = _read_f16(b[:, 0:2])
+        dmin = _read_f16(b[:, 2:4])
+        ls, lm = _unpack_k4_scales(b[:, 4:16])
+        qs = b[:, 16:].reshape(B, 4, 32)
+        q = np.stack([qs & 0xF, qs >> 4], axis=2).reshape(B, 256).astype(np.int8)
+        scales = d * ls.astype(np.float32)  # (B, 8)
+        mins = dmin * lm.astype(np.float32)
+        return q, scales, mins, 32
+
+    if t == GGMLType.Q5_K:
+        b = _u8(raw, 176)
+        B = b.shape[0]
+        d = _read_f16(b[:, 0:2])
+        dmin = _read_f16(b[:, 2:4])
+        ls, lm = _unpack_k4_scales(b[:, 4:16])
+        qh = b[:, 16:48]
+        qs = b[:, 48:].reshape(B, 4, 32)
+        lo = (qs & 0xF).astype(np.int32)
+        hi = (qs >> 4).astype(np.int32)
+        parts = []
+        for n4 in range(4):
+            parts.append(lo[:, n4] + np.where((qh & (1 << (2 * n4))) > 0, 16, 0))
+            parts.append(hi[:, n4] + np.where((qh & (2 << (2 * n4))) > 0, 16, 0))
+        q = np.stack(parts, axis=1).reshape(B, 256).astype(np.int8)
+        scales = d * ls.astype(np.float32)
+        mins = dmin * lm.astype(np.float32)
+        return q, scales, mins, 32
+
+    if t == GGMLType.Q6_K:
+        b = _u8(raw, 210)
+        B = b.shape[0]
+        ql = b[:, 0:128].reshape(B, 2, 2, 32)
+        qh = b[:, 128:192].reshape(B, 2, 32)
+        sc = b[:, 192:208].view(np.int8).astype(np.float32)
+        d = _read_f16(b[:, 208:210])
+        q1 = ((ql[:, :, 0] & 0xF) | (((qh >> 0) & 3) << 4)).astype(np.int32) - 32
+        q2 = ((ql[:, :, 1] & 0xF) | (((qh >> 2) & 3) << 4)).astype(np.int32) - 32
+        q3 = ((ql[:, :, 0] >> 4) | (((qh >> 4) & 3) << 4)).astype(np.int32) - 32
+        q4 = ((ql[:, :, 1] >> 4) | (((qh >> 6) & 3) << 4)).astype(np.int32) - 32
+        q = np.stack([q1, q2, q3, q4], axis=2).reshape(B, 256).astype(np.int8)
+        scales = d * sc  # (B, 16)
+        return q, scales, None, 16
+
+    if t == GGMLType.Q2_K:
+        b = _u8(raw, 84)
+        scales = b[:, 0:16]
+        q = _unpack2(b[:, 16:80]).astype(np.int8)
+        d = _read_f16(b[:, 80:82])
+        dmin = _read_f16(b[:, 82:84])
+        eff_s = d * (scales & 0xF).astype(np.float32)
+        eff_m = dmin * (scales >> 4).astype(np.float32)
+        return q, eff_s, eff_m, 16
+
+    if t == GGMLType.Q3_K:
+        b = _u8(raw, 110)
+        B = b.shape[0]
+        hm = b[:, 0:32]
+        q2 = _unpack2(b[:, 32:96]).astype(np.int8)
+        sc6 = _q3k_scales(b[:, 96:108])
+        d = _read_f16(b[:, 108:110])
+        hbits = np.stack([(hm >> kk) & 1 for kk in range(8)], axis=1).reshape(B, 256)
+        q = (q2 - np.where(hbits > 0, 0, 4)).astype(np.int8)
+        scales = d * sc6.astype(np.float32)
+        return q, scales, None, 16
+
+    if t == GGMLType.IQ4_NL:
+        b = _u8(raw, 18)
+        d = _read_f16(b[:, 0:2])
+        qs = b[:, 2:]
+        q = np.concatenate(
+            [KVALUES_IQ4NL[qs & 0xF], KVALUES_IQ4NL[qs >> 4]], axis=-1
+        ).astype(np.int8)
+        return q, d, None, 32
+
+    if t == GGMLType.IQ4_XS:
+        b = _u8(raw, 136)
+        B = b.shape[0]
+        d = _read_f16(b[:, 0:2])
+        scales_h = np.ascontiguousarray(b[:, 2:4]).view("<u2").reshape(-1).astype(np.int32)
+        scales_l = b[:, 4:8]
+        qs = b[:, 8:].reshape(B, 8, 16)
+        ls = np.empty((B, 8), np.int32)
+        for ib in range(8):
+            lo = (scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0xF
+            hi = (scales_h >> (2 * ib)) & 3
+            ls[:, ib] = (lo.astype(np.int32) | (hi << 4)) - 32
+        q = np.stack(
+            [KVALUES_IQ4NL[qs & 0xF], KVALUES_IQ4NL[qs >> 4]], axis=2
+        ).reshape(B, 256).astype(np.int8)
+        scales = d * ls.astype(np.float32)
+        return q, scales, None, 32
+
+    raise ValueError(f"no plane unpacker for {t.name}")
+
+
+def _finalize_rows(q, scales, mins, gs, n_rows, n_per_row):
+    """Reshape per-block planes to per-row [rows, n] / [rows, n//gs]."""
+    q = q.reshape(n_rows, n_per_row)
+    n_groups = n_per_row // gs
+    scales = scales.reshape(n_rows, n_groups)
+    if mins is not None:
+        mins = mins.reshape(n_rows, n_groups)
+    return q, scales, mins
+
+
+def qtensor_from_gguf(
+    raw: np.ndarray,
+    ggml_type: GGMLType,
+    ne_shape: tuple[int, ...],
+    device=None,
+    scales_dtype=np.float32,
+) -> QTensor:
+    """Build a QTensor from raw GGUF tensor bytes.
+
+    GGUF weight matrices have ne=(K, N): N rows (output channels) of length
+    K (the contraction dim). Planes keep that row-major layout: [N, K].
+    """
+    t = GGMLType(ggml_type)
+    if len(ne_shape) == 1:
+        ne_shape = (ne_shape[0], 1)
+    if len(ne_shape) > 2:
+        # collapse trailing dims (e.g. per-expert stacks handled by caller)
+        n = 1
+        for d in ne_shape[1:]:
+            n *= d
+        ne_shape = (ne_shape[0], n)
+    K, N = int(ne_shape[0]), int(ne_shape[1])
+    q, scales, mins, gs = planes_from_raw(raw, t, K)
+    q, scales, mins = _finalize_rows(q, scales, mins, gs, N, K)
+    put = partial(jax.device_put, device=device)
+    return QTensor(
+        qs=put(np.ascontiguousarray(q)),
+        scales=put(np.ascontiguousarray(scales.astype(scales_dtype))),
+        mins=put(np.ascontiguousarray(mins.astype(scales_dtype))) if mins is not None else None,
+        group_size=gs,
+        ggml_type=t,
+    )
+
+
+def dequantize_qtensor(qt: QTensor) -> np.ndarray:
+    """Reference dequant of the planes (f32 [N, K]) — for tests."""
+    q = np.asarray(qt.qs, np.float32)
+    s = np.repeat(np.asarray(qt.scales, np.float32), qt.group_size, axis=-1)
+    w = q * s
+    if qt.mins is not None:
+        w = w - np.repeat(np.asarray(qt.mins, np.float32), qt.group_size, axis=-1)
+    return w
+
+
+def supported_plane_types() -> list[GGMLType]:
+    return [
+        GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+        GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+        GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS,
+    ]

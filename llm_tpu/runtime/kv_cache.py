@@ -1,0 +1,155 @@
+"""Unified KV cache: device arrays + host-side cell table.
+
+Parity target: the reference's unified cache
+(/root/reference/src/llama-kv-cache-unified.cpp/h and llama-kv-cells.h):
+sequence-addressed cells with pos / seq-membership metadata, seq_rm / seq_cp
+/ seq_keep / seq_add / seq_div, slot finding, and state serialization.
+
+TPU-first redesign:
+  * cell metadata lives on the host (numpy); the device only sees two small
+    int vectors per step (cell positions + seq bit-sets) from which the
+    attention mask is computed in-jit — there is no defrag graph and no
+    K-shift graph (K is cached unroped; see ops/attention.py).
+  * cells need not be contiguous: the decode step scatters K/V rows via
+    indexed writes (the analogue of ggml_set_rows,
+    llama-kv-cache-unified.h:129-158), so find_slot is just a free-list pop.
+  * seq_add / seq_div (context shift, self-extend group attention,
+    main.cpp:372-400,481-489) are pure metadata edits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_SEQS = 32  # seq bit-set width (uint32)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v"],
+    meta_fields=[],
+)
+@dataclass
+class KVArrays:
+    """Per-layer lists of cache planes: k[il]: [S, Hkv, Dk], v[il]: [S, Hkv, Dv].
+
+    K is stored pre-RoPE; V post-projection. dtype is the cache type
+    (bf16 by default; int8-quantized cache lands with the Pallas path)."""
+
+    k: list[jax.Array]
+    v: list[jax.Array]
+
+    @property
+    def n_cells(self) -> int:
+        return self.k[0].shape[0]
+
+
+def new_kv_arrays(n_layers, n_cells, n_kv_heads, head_dim_k, head_dim_v, dtype=jnp.bfloat16):
+    k = [jnp.zeros((n_cells, n_kv_heads, head_dim_k), dtype) for _ in range(n_layers)]
+    v = [jnp.zeros((n_cells, n_kv_heads, head_dim_v), dtype) for _ in range(n_layers)]
+    return KVArrays(k=k, v=v)
+
+
+class CellTable:
+    """Host-side metadata for each cache cell (analogue of
+    llama_kv_cells_unified, /root/reference/src/llama-kv-cells.h)."""
+
+    def __init__(self, n_cells: int):
+        self.n_cells = n_cells
+        self.pos = np.full(n_cells, -1, np.int32)
+        self.seq_bits = np.zeros(n_cells, np.uint32)
+
+    # -- queries ------------------------------------------------------------
+
+    def used_mask(self) -> np.ndarray:
+        return self.seq_bits != 0
+
+    @property
+    def n_used(self) -> int:
+        return int(np.count_nonzero(self.seq_bits))
+
+    def seq_mask(self, seq_id: int) -> np.ndarray:
+        return (self.seq_bits >> np.uint32(seq_id)) & 1 > 0
+
+    def seq_pos_min(self, seq_id: int) -> int:
+        m = self.seq_mask(seq_id)
+        return int(self.pos[m].min()) if m.any() else -1
+
+    def seq_pos_max(self, seq_id: int) -> int:
+        m = self.seq_mask(seq_id)
+        return int(self.pos[m].max()) if m.any() else -1
+
+    def n_seq_cells(self, seq_id: int) -> int:
+        return int(np.count_nonzero(self.seq_mask(seq_id)))
+
+    # -- allocation ---------------------------------------------------------
+
+    def find_slots(self, n: int) -> np.ndarray | None:
+        """Indices of n free cells, or None if the cache is full."""
+        free = np.flatnonzero(self.seq_bits == 0)
+        if len(free) < n:
+            return None
+        return free[:n].astype(np.int32)
+
+    def occupy(self, idx: np.ndarray, pos: np.ndarray, seq_ids: np.ndarray) -> None:
+        self.pos[idx] = pos
+        self.seq_bits[idx] = np.uint32(1) << seq_ids.astype(np.uint32)
+
+    def release(self, idx: np.ndarray) -> None:
+        self.pos[idx] = -1
+        self.seq_bits[idx] = 0
+
+    # -- sequence ops (llama_memory_i seq_* API, llama-memory.h:66-110) ------
+
+    def _range_mask(self, seq_id: int, p0: int, p1: int) -> np.ndarray:
+        if p0 < 0:
+            p0 = 0
+        if p1 < 0:
+            p1 = np.iinfo(np.int32).max
+        return self.seq_mask(seq_id) & (self.pos >= p0) & (self.pos < p1)
+
+    def seq_rm(self, seq_id: int, p0: int = -1, p1: int = -1) -> None:
+        m = self._range_mask(seq_id, p0, p1)
+        self.seq_bits[m] &= ~np.uint32(1 << seq_id)
+        empty = m & (self.seq_bits == 0)
+        self.pos[empty] = -1
+
+    def seq_cp(self, src: int, dst: int, p0: int = -1, p1: int = -1) -> None:
+        m = self._range_mask(src, p0, p1)
+        self.seq_bits[m] |= np.uint32(1 << dst)
+
+    def seq_keep(self, seq_id: int) -> None:
+        keep = self.seq_mask(seq_id)
+        self.seq_bits[:] = np.where(keep, np.uint32(1 << seq_id), 0)
+        self.pos[~keep] = -1
+
+    def seq_add(self, seq_id: int, p0: int, p1: int, delta: int) -> None:
+        """Shift positions (context-shift). Cells pushed below 0 are removed."""
+        m = self._range_mask(seq_id, p0, p1)
+        self.pos[m] += delta
+        dead = m & (self.pos < 0)
+        self.seq_bits[dead] = 0
+        self.pos[dead] = -1
+
+    def seq_div(self, seq_id: int, p0: int, p1: int, d: int) -> None:
+        """Divide positions (self-extend group attention)."""
+        m = self._range_mask(seq_id, p0, p1)
+        self.pos[m] = self.pos[m] // d
+
+    def clear(self) -> None:
+        self.pos[:] = -1
+        self.seq_bits[:] = 0
+
+    # -- state io -----------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        return {"pos": self.pos.copy(), "seq_bits": self.seq_bits.copy()}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.pos[:] = d["pos"]
+        self.seq_bits[:] = d["seq_bits"]
