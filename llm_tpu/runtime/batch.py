@@ -1,0 +1,99 @@
+"""Batch structures and splitting.
+
+Parity target: llama_batch / llama_ubatch and the batch splitter
+(/root/reference/src/llama-batch.cpp/h): user batches are validated,
+positions auto-filled from the cache, and split into ubatches of at most
+n_ubatch tokens. Tokens may carry multiple sequence ids (coupled seqs)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Batch:
+    """A user-visible batch of tokens to decode (llama_batch analogue)."""
+
+    tokens: list[int] = field(default_factory=list)
+    pos: list[int | None] = field(default_factory=list)
+    seq_ids: list[list[int]] = field(default_factory=list)
+    logits: list[bool] = field(default_factory=list)
+
+    def add(self, token: int, pos: int | None = None, seq_ids=(0,), logits=False):
+        self.tokens.append(int(token))
+        self.pos.append(pos)
+        self.seq_ids.append(list(seq_ids))
+        self.logits.append(bool(logits))
+
+    def __len__(self):
+        return len(self.tokens)
+
+    @staticmethod
+    def one(token: int, pos: int | None = None, seq_id: int = 0) -> "Batch":
+        b = Batch()
+        b.add(token, pos, (seq_id,), logits=True)
+        return b
+
+    @staticmethod
+    def text(tokens, seq_id: int = 0, logits_last_only: bool = True,
+             pos_start: int | None = None) -> "Batch":
+        b = Batch()
+        n = len(tokens)
+        for i, t in enumerate(tokens):
+            pos = None if pos_start is None else pos_start + i
+            b.add(t, pos, (seq_id,), logits=(not logits_last_only) or i == n - 1)
+        return b
+
+
+@dataclass
+class UBatch:
+    tokens: np.ndarray  # [T] int32
+    pos: np.ndarray  # [T] int32
+    seq_primary: np.ndarray  # [T] int32 (first seq id, used for masking)
+    seq_sets: list[list[int]]  # full seq-id sets per token (cell membership)
+    out_mask: np.ndarray  # [T] bool
+    orig_index: np.ndarray  # [T] index into the parent Batch
+
+
+def sanitize(batch: Batch, cells) -> Batch:
+    """Fill missing positions from the cache (pos = seq_pos_max + 1 onwards),
+    mirroring llama_batch_allocr's auto pos/seq completion."""
+    next_pos: dict[int, int] = {}
+    out = Batch()
+    for i, tok in enumerate(batch.tokens):
+        seqs = batch.seq_ids[i] if i < len(batch.seq_ids) and batch.seq_ids[i] else [0]
+        pos = batch.pos[i] if i < len(batch.pos) else None
+        if pos is None:
+            s0 = seqs[0]
+            if s0 not in next_pos:
+                next_pos[s0] = cells.seq_pos_max(s0) + 1
+            pos = next_pos[s0]
+            next_pos[s0] = pos + 1
+        else:
+            next_pos[seqs[0]] = pos + 1
+        out.add(tok, pos, seqs, batch.logits[i] if i < len(batch.logits) else False)
+    return out
+
+
+def split_simple(batch: Batch, n_ubatch: int) -> list[UBatch]:
+    """Contiguous splitting into ubatches (llama-batch.h split_simple)."""
+    ubatches = []
+    n = len(batch)
+    for start in range(0, n, n_ubatch):
+        end = min(start + n_ubatch, n)
+        idx = np.arange(start, end)
+        ubatches.append(
+            UBatch(
+                tokens=np.asarray(batch.tokens[start:end], np.int32),
+                pos=np.asarray([p for p in batch.pos[start:end]], np.int32),
+                seq_primary=np.asarray(
+                    [s[0] for s in batch.seq_ids[start:end]], np.int32
+                ),
+                seq_sets=[list(s) for s in batch.seq_ids[start:end]],
+                out_mask=np.asarray(batch.logits[start:end], bool),
+                orig_index=idx,
+            )
+        )
+    return ubatches

@@ -1,0 +1,215 @@
+"""Context: the execution engine.
+
+Parity target: llama_context (/root/reference/src/llama-context.cpp) —
+decode(batch) with ubatch splitting, KV slot allocation, logits output
+mapping, perf counters, state save/load — rebuilt around ONE jit-compiled
+step per (n_tokens, n_outputs) bucket instead of a per-ubatch graph rebuild
++ backend scheduler (SURVEY.md §3.1). The KV cache arrays are donated to
+the step, so XLA updates them in place on device.
+
+Return codes follow llama_decode (llama.h): 0 ok, 1 no KV slot, -1 invalid.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.loader import load_params
+from ..models.transformer import forward
+from .batch import Batch, sanitize, split_simple
+from .kv_cache import MAX_SEQS, CellTable, new_kv_arrays
+
+TOKEN_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int, buckets=TOKEN_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
+@dataclass
+class PerfCounters:
+    """llama_perf_context analogue (llama.h:1440-1447)."""
+
+    t_load_ms: float = 0.0
+    t_prefill_ms: float = 0.0
+    t_decode_ms: float = 0.0
+    n_prefill: int = 0
+    n_decode: int = 0
+
+    def summary(self) -> str:
+        pp = self.n_prefill / self.t_prefill_ms * 1e3 if self.t_prefill_ms else 0.0
+        tg = self.n_decode / self.t_decode_ms * 1e3 if self.t_decode_ms else 0.0
+        return (
+            f"load {self.t_load_ms:.0f} ms | "
+            f"prefill {self.n_prefill} tok @ {pp:.2f} t/s | "
+            f"decode {self.n_decode} tok @ {tg:.2f} t/s"
+        )
+
+
+class Context:
+    def __init__(
+        self,
+        reader,
+        n_cells: int = 4096,
+        n_ubatch: int = 512,
+        dtype=jnp.bfloat16,
+        kv_dtype=None,
+        use_planes: bool = True,
+        params_cfg=None,
+    ):
+        t0 = time.perf_counter()
+        self.reader = reader
+        if params_cfg is not None:
+            self.params, self.cfg = params_cfg
+        else:
+            self.params, self.cfg = load_params(reader, dense_dtype=dtype, use_planes=use_planes)
+        self.dtype = dtype
+        self.kv_dtype = kv_dtype or dtype
+        self.n_ubatch = n_ubatch
+        # +1 trash cell: padding tokens scatter their K/V there; it is never
+        # attended because its seq bit-set stays 0.
+        self.n_cells = n_cells
+        self.cells = CellTable(n_cells)
+        self.kv = new_kv_arrays(
+            self.cfg.n_layers, n_cells + 1, self.cfg.n_kv_heads,
+            self.cfg.head_dim, self.cfg.head_dim_v, self.kv_dtype,
+        )
+        self._steps: dict = {}
+        self._logits: dict[int, np.ndarray] = {}  # batch index -> logits row
+        self.perf = PerfCounters()
+        self.perf.t_load_ms = (time.perf_counter() - t0) * 1e3
+
+    # -- jit step cache -------------------------------------------------------
+
+    def _get_step(self, T: int, O: int):
+        key = (T, O)
+        if key in self._steps:
+            return self._steps[key]
+        cfg, dtype = self.cfg, self.dtype
+
+        def _step(params, kv_k, kv_v, tokens, pos, seq, widx, cpos, cbits, oidx):
+            return forward(
+                params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos, cbits,
+                oidx, dtype=dtype,
+            )
+
+        fn = jax.jit(_step, donate_argnums=(1, 2))
+        self._steps[key] = fn
+        return fn
+
+    # -- decode ---------------------------------------------------------------
+
+    def decode(self, batch: Batch) -> int:
+        if len(batch) == 0:
+            return -1
+        for seqs in batch.seq_ids:
+            for s in seqs or (0,):
+                if not (0 <= s < MAX_SEQS):
+                    return -1
+        batch = sanitize(batch, self.cells)
+        self._logits.clear()
+
+        for ub in split_simple(batch, self.n_ubatch):
+            n = len(ub.tokens)
+            slots = self.cells.find_slots(n)
+            if slots is None:
+                return 1  # no KV slot (recoverable, llama.h decode doc)
+            t0 = time.perf_counter()
+
+            T = _bucket(n)
+            out_rows = np.flatnonzero(ub.out_mask)
+            O = _bucket(max(1, len(out_rows)))
+
+            tokens = np.zeros(T, np.int32)
+            pos = np.zeros(T, np.int32)
+            seq = np.zeros(T, np.int32)
+            widx = np.full(T, self.n_cells, np.int32)  # pad -> trash cell
+            tokens[:n] = ub.tokens
+            pos[:n] = ub.pos
+            seq[:n] = ub.seq_primary
+            widx[:n] = slots
+            oidx = np.zeros(O, np.int32)
+            oidx[: len(out_rows)] = out_rows
+
+            # occupy cells BEFORE the step so intra-ubatch attention sees them
+            bits = np.zeros(n, np.uint32)
+            for i, ss in enumerate(ub.seq_sets):
+                for s in ss:
+                    bits[i] |= np.uint32(1) << np.uint32(s)
+            self.cells.pos[slots] = ub.pos
+            self.cells.seq_bits[slots] = bits
+
+            cpos = np.zeros(self.n_cells + 1, np.int32)
+            cpos[: self.n_cells] = self.cells.pos
+            cbits = np.zeros(self.n_cells + 1, np.uint32)
+            cbits[: self.n_cells] = self.cells.seq_bits
+
+            step = self._get_step(T, O)
+            try:
+                logits, new_k, new_v = step(
+                    self.params, self.kv.k, self.kv.v,
+                    jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
+                    jnp.asarray(widx), jnp.asarray(cpos), jnp.asarray(cbits),
+                    jnp.asarray(oidx),
+                )
+            except Exception:
+                # roll back cell occupation for this ubatch (decode() failure
+                # rollback, llama-context.cpp:1015-1035)
+                self.cells.release(slots)
+                raise
+            self.kv.k, self.kv.v = new_k, new_v
+
+            logits_np = np.asarray(logits[: len(out_rows)])
+            for row, bi in zip(logits_np, ub.orig_index[out_rows]):
+                self._logits[int(bi)] = row
+
+            dt = (time.perf_counter() - t0) * 1e3
+            if n > 1:
+                self.perf.t_prefill_ms += dt
+                self.perf.n_prefill += n
+            else:
+                self.perf.t_decode_ms += dt
+                self.perf.n_decode += 1
+        return 0
+
+    # -- outputs ---------------------------------------------------------------
+
+    def get_logits(self, i: int = -1) -> np.ndarray:
+        """Logits for batch token index i (llama_get_logits_ith semantics)."""
+        if i == -1:
+            i = max(self._logits.keys())
+        return self._logits[i]
+
+    def all_logits(self) -> dict[int, np.ndarray]:
+        return dict(self._logits)
+
+    # -- memory (seq) API (llama_memory_* passthrough) --------------------------
+
+    def seq_rm(self, seq_id, p0=-1, p1=-1):
+        self.cells.seq_rm(seq_id, p0, p1)
+
+    def seq_cp(self, src, dst, p0=-1, p1=-1):
+        self.cells.seq_cp(src, dst, p0, p1)
+
+    def seq_keep(self, seq_id):
+        self.cells.seq_keep(seq_id)
+
+    def seq_add(self, seq_id, p0, p1, delta):
+        self.cells.seq_add(seq_id, p0, p1, delta)
+
+    def seq_div(self, seq_id, p0, p1, d):
+        self.cells.seq_div(seq_id, p0, p1, d)
+
+    def seq_pos_max(self, seq_id):
+        return self.cells.seq_pos_max(seq_id)
+
+    def clear(self):
+        self.cells.clear()
