@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: fused dequantize × matmul.
+
+This is the MXU replacement for the reference's fused quantized matmul
+kernels (CUDA MMQ /root/reference/ggml/src/ggml-cuda/mmq.cuh, CPU vec_dot
+/root/reference/ggml/src/ggml-cpu/quants.c). Weights stream HBM->VMEM as
+small integers and are dequantized in-register against per-group scales,
+so HBM traffic is ~1 byte/weight (int8 planes) or ~0.5 (nibble-packed),
+never the bf16-materialized weight.
+
+Layouts (produced by quant/qtensor.py at load):
+  * "i8":  qs int8 [N, K]
+  * "p4":  qs uint8 [N, K//2]; within each K-tile of size TK, byte t packs
+           element k = t (low nibble) and k = t + TK//2 (high nibble), so
+           unpacking is a sublane-aligned concat, never an interleave.
+
+The group zero-point term (Q4_K mins etc.) is NOT in the kernel: it
+factors into groupsum(x) @ mins — a rank-K/32 correction matmul handled
+by XLA (mirrors the reference's Q8 bsums trick).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# K-tile must match the nibble-pairing stride used at pack time.
+PACK_TK = 512
+
+
+def _qmm_kernel_i8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, zp: int, cdtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...].astype(jnp.float32)  # (TN, TK)
+    if zp:
+        q = q - float(zp)
+    tn, tk = q.shape
+    s = s_ref[...].astype(jnp.float32)  # (TN, TK//gs)
+    w = (q.reshape(tn, tk // gs, gs) * s[:, :, None]).reshape(tn, tk)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...].astype(cdtype),
+        w.astype(cdtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+def _qmm_kernel_p4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, zp: int, cdtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = q_ref[...]  # (TN, TK//2) uint8 -> int32 ops
+    pi = packed.astype(jnp.int32)
+    lo = (pi & 0xF).astype(jnp.float32)
+    hi = (pi >> 4).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=1)  # (TN, TK); halves are k-contiguous
+    if zp:
+        q = q - float(zp)
+    tn, tk = q.shape
+    s = s_ref[...].astype(jnp.float32)
+    w = (q.reshape(tn, tk // gs, gs) * s[:, :, None]).reshape(tn, tk)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...].astype(cdtype),
+        w.astype(cdtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gs", "zp", "layout", "tile_n", "tile_k", "interpret", "compute_dtype"),
+)
+def qmm_pallas(
+    x: jnp.ndarray,  # [B, K] (bf16/f32)
+    qs: jnp.ndarray,  # [N, K] int8 or [N, K//2] uint8 (p4)
+    scales: jnp.ndarray,  # [N, K//gs]
+    gs: int = 32,
+    zp: int = 0,
+    layout: str = "i8",
+    tile_n: int = 256,
+    tile_k: int = PACK_TK,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """y[b, n] = sum_k x[b,k] * (q[n,k] - zp) * scales[n, k//gs]  (f32)."""
+    B, K = x.shape
+    N = qs.shape[0]
+    tile_n = min(tile_n, N)
+    tile_k = min(tile_k, K)
+    assert K % tile_k == 0 and N % tile_n == 0, (N, K, tile_n, tile_k)
+    assert tile_k % gs == 0
+
+    grid = (N // tile_n, K // tile_k)
+    kernel = _qmm_kernel_p4 if layout == "p4" else _qmm_kernel_i8
+    cdtype = jnp.dtype(compute_dtype)
+    kfac = 2 if layout == "p4" else 1
+
+    return pl.pallas_call(
+        functools.partial(kernel, gs=gs, zp=zp, cdtype=cdtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, tile_k // kfac), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, tile_k // gs), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, tile_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=qs.size * qs.dtype.itemsize + scales.size * 4 + B * K * 2 + B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qs, scales)
+
+
+def pack_p4(qs_i8, zp: int, tile_k: int = PACK_TK):
+    """Pack int8 4-bit values [N, K] into the p4 nibble layout [N, K//2].
+
+    Within each K-tile, byte t holds k=t (low) and k=t+tile_k//2 (high),
+    both offset by zp so storage is unsigned 0..15.
+    """
+    import numpy as np
+
+    q = np.asarray(qs_i8, np.int16) + zp
+    assert q.min() >= 0 and q.max() <= 15, "values do not fit 4 bits"
+    N, K = q.shape
+    tile_k = min(tile_k, K)
+    assert K % tile_k == 0
+    half = tile_k // 2
+    qt = q.reshape(N, K // tile_k, 2, half)  # [:, :, 0]=lo half, [:, :, 1]=hi
+    packed = (qt[:, :, 0] | (qt[:, :, 1] << 4)).astype(np.uint8)
+    return packed.reshape(N, K // 2)

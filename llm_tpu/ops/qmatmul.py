@@ -4,36 +4,101 @@ This is the TPU replacement for the reference's fused dequant-dot kernels
 (CPU ggml_vec_dot_* in /root/reference/ggml/src/ggml-cpu/quants.c, CUDA MMQ
 in /root/reference/ggml/src/ggml-cuda/mmq.cuh). Two paths:
 
-  * XLA path (this file): dequantize planes in-jit and let XLA fuse the
-    dequant into the dot. Always available, used for correctness and on CPU.
-  * Pallas path (ops/pallas/qmm.py): fused in-VMEM dequant + MXU matmul with
-    the group-offset term folded into a rank-(K/gs) correction, used on TPU.
+  * Pallas path (ops/pallas_qmm.py): fused in-VMEM dequant + MXU matmul —
+    HBM reads the int planes only. Default on TPU for aligned shapes.
+  * XLA path: dequantize planes in-jit and let XLA fuse. Always available;
+    used on CPU and for odd shapes.
 
-The zero-point trick: W = qs*S - rep(M)  =>  x @ W^T = x @ (qs*S)^T -
-groupsum(x) @ M^T, mirroring the reference's Q8 bsums optimization
+The zero-point trick: W = (q-zp)*S - rep(M)  =>  x @ W^T = x @ ((q-zp)*S)^T
+- groupsum(x) @ M^T, mirroring the reference's Q8 bsums optimization
 (block_q8_K.bsums, ggml-common.h:329-334).
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..quant.qtensor import QTensor
+from .pallas_qmm import qmm_pallas
 
 # module-level default compute dtype for dequantized weights
 _DEFAULT_DTYPE = jnp.bfloat16
 
+# "auto" (pallas on TPU when aligned) | "pallas" | "xla"
+_BACKEND = os.environ.get("LLM_TPU_QMM", "auto")
+_INTERPRET = False  # pallas interpret mode (tests on CPU)
+
+
+def set_backend(backend: str, interpret: bool = False) -> None:
+    global _BACKEND, _INTERPRET
+    assert backend in ("auto", "pallas", "xla")
+    _BACKEND = backend
+    _INTERPRET = interpret
+
+
+def _unpack_p4_jnp(packed: jnp.ndarray, pack_tk: int, zp: int) -> jnp.ndarray:
+    lead, kh = packed.shape[:-1], packed.shape[-1]
+    half = pack_tk // 2
+    p = packed.reshape(*lead, kh // half, half).astype(jnp.int32)
+    q = jnp.stack([p & 0xF, p >> 4], axis=-2)
+    return (q.reshape(*lead, kh * 2) - zp).astype(jnp.int8)
+
+
+def _int_planes(qt: QTensor) -> jnp.ndarray:
+    """int8 [N, K] view of the stored planes (unpacking p4 if needed)."""
+    if qt.layout == "p4":
+        return _unpack_p4_jnp(qt.qs, qt.pack_tk, qt.zp)
+    return qt.qs
+
 
 def _dequant_rows(qt: QTensor, dtype) -> jnp.ndarray:
     """[N, K] dequantized weight (scales applied groupwise, mins subtracted)."""
-    n, k = qt.qs.shape
+    qi = _int_planes(qt)
+    n, k = qi.shape
     g = qt.group_size
-    q = qt.qs.astype(dtype).reshape(n, k // g, g)
+    q = qi.astype(dtype).reshape(n, k // g, g)
     w = q * qt.scales.astype(dtype)[..., None]
     if qt.mins is not None:
         w = w - qt.mins.astype(dtype)[..., None]
     return w.reshape(n, k)
+
+
+def _pick_tile(n: int, options=(256, 128)) -> int | None:
+    for t in options:
+        if n % t == 0:
+            return t
+    return None
+
+
+def _pallas_ok(qt: QTensor, k: int) -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND == "auto" and jax.default_backend() not in ("tpu",):
+        return False
+    n = qt.out_features
+    if _pick_tile(n) is None:
+        return False
+    if qt.layout == "p4":
+        return k % qt.pack_tk == 0
+    tk = _pick_tile(k, (512, 256, 128))
+    return tk is not None and tk % qt.group_size == 0
+
+
+def _group_correction(x2: jnp.ndarray, qt: QTensor, y: jnp.ndarray, dtype):
+    """y -= groupsum(x) @ mins^T."""
+    if qt.mins is None:
+        return y
+    b, k = x2.shape
+    g = qt.group_size
+    xg = x2.astype(jnp.float32).reshape(b, k // g, g).sum(-1)
+    return y - jax.lax.dot_general(
+        xg.astype(dtype), qt.mins.astype(dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def qmm(
@@ -47,18 +112,40 @@ def qmm(
     Accepts a dense jnp array [N, K] or a QTensor. Accumulates in f32.
     """
     dtype = dtype or _DEFAULT_DTYPE
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+
     if isinstance(w, QTensor):
-        if w.mins is not None:
+        if _pallas_ok(w, k):
+            x2 = x.reshape(-1, k)
+            b = x2.shape[0]
+            pad = (-b) % 8
+            if pad:
+                x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+            tile_n = _pick_tile(w.out_features)
+            tile_k = w.pack_tk if w.layout == "p4" else _pick_tile(k, (512, 256, 128))
+            y = qmm_pallas(
+                x2.astype(dtype), w.qs, w.scales,
+                gs=w.group_size, zp=w.zp, layout=w.layout,
+                tile_n=tile_n, tile_k=tile_k, interpret=_INTERPRET,
+                compute_dtype=dtype,
+            )
+            y = _group_correction(x2, w, y, dtype)
+            if pad:
+                y = y[:b]
+            y = y.reshape(*lead, -1)
+        elif w.mins is not None:
             # symmetric part + group-sum correction (keeps dequant mul-only)
-            n, k = w.qs.shape
+            qi = _int_planes(w)
+            n, _ = qi.shape
             g = w.group_size
-            ws = (w.qs.astype(dtype).reshape(n, k // g, g) * w.scales.astype(dtype)[..., None]).reshape(n, k)
+            ws = (qi.astype(dtype).reshape(n, k // g, g) * w.scales.astype(dtype)[..., None]).reshape(n, k)
             y = jax.lax.dot_general(
                 x.astype(dtype), ws,
                 dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            xg = x.astype(jnp.float32).reshape(*x.shape[:-1], k // g, g).sum(-1)
+            xg = x.astype(jnp.float32).reshape(*lead, k // g, g).sum(-1)
             y = y - jax.lax.dot_general(
                 xg.astype(dtype), w.mins.astype(dtype),
                 dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
@@ -87,7 +174,10 @@ def qembed(w: QTensor | jnp.ndarray, ids: jnp.ndarray, dtype=None) -> jnp.ndarra
     """Row gather + dequant: embeddings for token ids. w rows = vocab."""
     dtype = dtype or _DEFAULT_DTYPE
     if isinstance(w, QTensor):
-        q = jnp.take(w.qs, ids, axis=0).astype(jnp.float32)
+        qrows = jnp.take(w.qs, ids, axis=0)
+        if w.layout == "p4":
+            qrows = _unpack_p4_jnp(qrows, w.pack_tk, w.zp)
+        q = qrows.astype(jnp.float32)
         s = jnp.take(w.scales, ids, axis=0).astype(jnp.float32)
         g = w.group_size
         k = q.shape[-1]

@@ -42,27 +42,36 @@ from .codecs import (
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qs", "scales", "mins"],
-    meta_fields=["group_size", "ggml_type"],
+    meta_fields=["group_size", "ggml_type", "layout", "zp", "pack_tk"],
 )
 @dataclass
 class QTensor:
     """Device planes for a quantized matrix, stored row-major like GGUF:
     rows are output channels, columns the contraction (input) dim.
 
-        W[n, k] = qs[n, k] * scales[n, k//gs] - mins[n, k//gs]
+        W[n, k] = (q[n, k] - zp) * scales[n, k//gs] - mins[n, k//gs]
 
     One layout serves matmul (y = x @ W^T), embedding gather (rows), and the
-    tied lm_head, and needs no load-time transpose of multi-GiB tensors."""
+    tied lm_head, and needs no load-time transpose of multi-GiB tensors.
 
-    qs: jax.Array  # int8 [N, K]
+    layout "i8": qs int8 [N, K] holds q - zp directly (zp folded, zp == 0).
+    layout "p4": qs uint8 [N, K//2] nibble-packed for the Pallas kernel
+    (pairing stride pack_tk — see ops/pallas_qmm.py); zp subtracted in-kernel.
+    """
+
+    qs: jax.Array
     scales: jax.Array  # f32 [N, K//gs]
     mins: jax.Array | None  # f32 [N, K//gs] or None
     group_size: int
     ggml_type: GGMLType
+    layout: str = "i8"
+    zp: int = 0
+    pack_tk: int = 512
 
     @property
     def in_features(self) -> int:
-        return self.qs.shape[-1]
+        k = self.qs.shape[-1]
+        return k * 2 if self.layout == "p4" else k
 
     @property
     def out_features(self) -> int:
@@ -226,17 +235,28 @@ def _finalize_rows(q, scales, mins, gs, n_rows, n_per_row):
     return q, scales, mins
 
 
+# 4-bit types eligible for nibble packing: stored value range and zero-point
+_PACK4 = {
+    GGMLType.Q4_0: 8,  # planes hold q-8 in [-8, 7] -> re-bias by 8
+    GGMLType.Q4_1: 0,
+    GGMLType.Q4_K: 0,
+}
+
+
 def qtensor_from_gguf(
     raw: np.ndarray,
     ggml_type: GGMLType,
     ne_shape: tuple[int, ...],
     device=None,
     scales_dtype=np.float32,
+    pack4: bool = True,
 ) -> QTensor:
     """Build a QTensor from raw GGUF tensor bytes.
 
     GGUF weight matrices have ne=(K, N): N rows (output channels) of length
     K (the contraction dim). Planes keep that row-major layout: [N, K].
+    4-bit types are nibble-packed ("p4") when the row length allows, halving
+    HBM traffic in the Pallas matmul kernel.
     """
     t = GGMLType(ggml_type)
     if len(ne_shape) == 1:
@@ -251,18 +271,43 @@ def qtensor_from_gguf(
     q, scales, mins, gs = planes_from_raw(raw, t, K)
     q, scales, mins = _finalize_rows(q, scales, mins, gs, N, K)
     put = partial(jax.device_put, device=device)
+
+    layout, zp, pack_tk = "i8", 0, 512
+    if pack4 and t in _PACK4 and K % 256 == 0:
+        from ..ops.pallas_qmm import pack_p4
+
+        zp = _PACK4[t]
+        pack_tk = 512 if K % 512 == 0 else 256
+        q = pack_p4(q, zp, tile_k=pack_tk)
+        layout = "p4"
+
     return QTensor(
         qs=put(np.ascontiguousarray(q)),
         scales=put(np.ascontiguousarray(scales.astype(scales_dtype))),
         mins=put(np.ascontiguousarray(mins.astype(scales_dtype))) if mins is not None else None,
         group_size=gs,
         ggml_type=t,
+        layout=layout,
+        zp=zp,
+        pack_tk=pack_tk,
     )
+
+
+def unpack_p4_np(packed: np.ndarray, pack_tk: int, zp: int) -> np.ndarray:
+    """Inverse of ops.pallas_qmm.pack_p4 (numpy)."""
+    lead, kh = packed.shape[:-1], packed.shape[-1]
+    half = pack_tk // 2
+    p = packed.reshape(*lead, kh // half, half).astype(np.int16)
+    q = np.stack([p & 0xF, p >> 4], axis=-2)  # [..., tiles, {lo,hi}, half]
+    return (q.reshape(*lead, kh * 2) - zp).astype(np.int8)
 
 
 def dequantize_qtensor(qt: QTensor) -> np.ndarray:
     """Reference dequant of the planes (f32 [N, K]) — for tests."""
-    q = np.asarray(qt.qs, np.float32)
+    q = np.asarray(qt.qs)
+    if qt.layout == "p4":
+        q = unpack_p4_np(q, qt.pack_tk, qt.zp)
+    q = q.astype(np.float32)
     s = np.repeat(np.asarray(qt.scales, np.float32), qt.group_size, axis=-1)
     w = q * s
     if qt.mins is not None:

@@ -1,0 +1,142 @@
+"""llm-tpu-cli: interactive / one-shot generation.
+
+Parity target: tools/main/main.cpp (llama-cli) — prompt eval, sampling loop,
+context shifting (keep n_keep, discard half, main.cpp:357-400), antiprompts,
+perf report. Interactive chat and session files follow in the server layer.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..gguf.reader import GGUFReader
+from ..runtime.batch import Batch
+from ..runtime.engine import Context
+from ..samplers import SamplingParams, build_chain
+from ..tokenizers import tokenizer_from_gguf
+
+
+def generate(
+    ctx: Context,
+    tok,
+    prompt_tokens: list[int],
+    n_predict: int,
+    sampling: SamplingParams,
+    seq_id: int = 0,
+    n_keep: int = 0,
+    antiprompts: tuple[str, ...] = (),
+    stream=None,
+):
+    """Prompt eval + generation loop with context shifting. Returns
+    (tokens, text)."""
+    chain = build_chain(sampling, ctx.cfg.vocab_size)
+    n_ctx = ctx.n_cells
+
+    rc = ctx.decode(Batch.text(prompt_tokens, seq_id=seq_id))
+    if rc != 0:
+        raise RuntimeError(f"prompt decode failed: rc={rc}")
+    for t in prompt_tokens:
+        chain.accept(t)
+
+    out_tokens: list[int] = []
+    text_parts: list[str] = []
+    n_past = len(prompt_tokens)
+    for _ in range(n_predict):
+        logits = ctx.get_logits()
+        tid = chain.sample(logits)
+        chain.accept(tid)
+        if tok.vocab.is_eog(tid):
+            break
+        out_tokens.append(tid)
+        piece = tok.piece(tid)
+        text_parts.append(piece)
+        if stream:
+            stream(piece)
+
+        # context shift: keep n_keep, drop half of the rest (main.cpp:372-400)
+        if ctx.cells.n_seq_cells(seq_id) + 1 > n_ctx - 1:
+            n_left = n_past - n_keep
+            n_discard = n_left // 2
+            ctx.seq_rm(seq_id, n_keep, n_keep + n_discard)
+            ctx.seq_add(seq_id, n_keep + n_discard, n_past, -n_discard)
+            n_past -= n_discard
+
+        rc = ctx.decode(Batch.one(tid, pos=n_past, seq_id=seq_id))
+        if rc != 0:
+            raise RuntimeError(f"decode failed: rc={rc}")
+        n_past += 1
+
+        if antiprompts:
+            tail = "".join(text_parts)[-64:]
+            if any(a in tail for a in antiprompts):
+                break
+    return out_tokens, "".join(text_parts)
+
+
+def main(argv=None):
+    import argparse
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser(description="llm-tpu text generation")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-p", "--prompt", default="")
+    ap.add_argument("-f", "--file", default=None, help="prompt from file")
+    ap.add_argument("-n", "--n-predict", type=int, default=128)
+    ap.add_argument("-c", "--ctx-size", type=int, default=4096)
+    ap.add_argument("--n-keep", type=int, default=0)
+    ap.add_argument("--temp", type=float, default=0.8)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--min-p", type=float, default=0.05)
+    ap.add_argument("--repeat-penalty", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=-1)
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--no-planes", action="store_true",
+                    help="dequantize weights to dense at load")
+    ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
+    ap.add_argument("--verbose-prompt", action="store_true")
+    args = ap.parse_args(argv)
+
+    t0 = time.perf_counter()
+    reader = GGUFReader(args.model)
+    tok = tokenizer_from_gguf(reader)
+    ctx = Context(
+        reader,
+        n_cells=args.ctx_size,
+        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        use_planes=not args.no_planes,
+    )
+    print(f"model loaded in {time.perf_counter()-t0:.1f}s "
+          f"({ctx.cfg.arch}, {ctx.cfg.n_layers} layers, vocab {ctx.cfg.vocab_size})",
+          file=sys.stderr)
+
+    prompt = args.prompt
+    if args.file:
+        prompt = open(args.file, encoding="utf-8").read()
+    ptoks = tok.encode(prompt, add_special=True, parse_special=True)
+    if args.verbose_prompt:
+        for t in ptoks:
+            print(f"{t:8d} -> {tok.piece(t, special=True)!r}", file=sys.stderr)
+
+    sampling = SamplingParams(
+        temp=args.temp, top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
+        penalty_repeat=args.repeat_penalty,
+        seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
+    )
+
+    sys.stdout.write(prompt)
+    sys.stdout.flush()
+    _, _text = generate(
+        ctx, tok, ptoks, args.n_predict, sampling,
+        n_keep=args.n_keep, antiprompts=tuple(args.reverse_prompt),
+        stream=lambda s: (sys.stdout.write(s), sys.stdout.flush()),
+    )
+    print()
+    print(ctx.perf.summary(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

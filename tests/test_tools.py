@@ -1,0 +1,146 @@
+"""End-to-end tool tests: quantize recipe, perplexity, CLI generation."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from llm_tpu.convert.hf_llama import convert_hf_llama
+from llm_tpu.gguf.constants import GGMLType, Keys
+from llm_tpu.gguf.reader import GGUFReader
+from llm_tpu.runtime.batch import Batch
+from llm_tpu.runtime.engine import Context
+from llm_tpu.samplers import SamplingParams
+from llm_tpu.tools.cli import generate
+from llm_tpu.tools.perplexity import kl_divergence, perplexity
+from llm_tpu.tools.quantize import quantize_model, tensor_type_for
+from llm_tpu.tokenizers import tokenizer_from_gguf
+
+from test_model_vs_hf import _tiny_hf_llama
+
+
+def _test_vocab(n: int = 97) -> dict:
+    """Minimal SPM vocab: unk/bos/eos + printable single-char tokens."""
+    K = Keys.Tokenizer
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [2, 3, 3]
+    chars = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    chars += [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+    chars += list("0123456789 .,!?':;-()\n\t")
+    chars[chars.index(" ")] = "▁"
+    for ch in chars:
+        tokens.append(ch)
+        types.append(1)
+    while len(tokens) < n:
+        tokens.append(f"<extra_{len(tokens)}>")
+        types.append(5)
+    scores = [0.0] * 3 + [-float(i) for i in range(len(tokens) - 3)]
+    return {
+        K.MODEL: "llama",
+        K.LIST: tokens[:n],
+        K.SCORES: np.asarray(scores[:n], np.float32),
+        K.TOKEN_TYPE: np.asarray(types[:n], np.int32),
+        K.BOS_ID: 1,
+        K.EOS_ID: 2,
+        K.UNK_ID: 0,
+        K.ADD_BOS: True,
+        K.ADD_EOS: False,
+        K.ADD_SPACE_PREFIX: True,
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_f32(tmp_path_factory):
+    model = _tiny_hf_llama(hidden=64, layers=2, vocab=97)
+    path = str(tmp_path_factory.mktemp("q") / "tiny_f32.gguf")
+    convert_hf_llama(model, path, vocab=_test_vocab(97))
+    return path
+
+
+def test_tensor_type_recipe():
+    # Q4_K_M: output -> Q6_K, attn_v upgraded on boosted layers
+    assert tensor_type_for("output.weight", (4096, 32000), "Q4_K_M", 32) == GGMLType.Q6_K
+    assert tensor_type_for("blk.0.attn_v.weight", (4096, 1024), "Q4_K_M", 32) == GGMLType.Q6_K
+    assert tensor_type_for("blk.16.attn_v.weight", (4096, 1024), "Q4_K_M", 32) == GGMLType.Q4_K
+    assert tensor_type_for("blk.0.ffn_up.weight", (4096, 11008), "Q4_K_M", 32) == GGMLType.Q4_K
+    # incompatible row size falls back
+    assert tensor_type_for("blk.0.ffn_up.weight", (100, 64), "Q4_K_M", 32) == GGMLType.F16
+
+
+@pytest.fixture(scope="module")
+def tiny_q8(tiny_f32, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("q") / "tiny_q8.gguf")
+    # hidden=64 rows: K-quants don't fit (64 < 256) -> Q8_0 everywhere works
+    stats = quantize_model(tiny_f32, out, "Q8_0")
+    assert stats["out_bytes"] < stats["in_bytes"]
+    return out
+
+
+def test_quantized_model_close_to_f32(tiny_f32, tiny_q8):
+    toks = [1, 10, 20, 30, 40]
+    outs = {}
+    for path in (tiny_f32, tiny_q8):
+        ctx = Context(GGUFReader(path), n_cells=32, dtype=jnp.float32)
+        assert ctx.decode(Batch.text(toks)) == 0
+        outs[path] = ctx.get_logits()
+    a, b = outs[tiny_f32], outs[tiny_q8]
+    # Q8_0 logits track f32 closely
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.999
+    assert int(np.argmax(a)) == int(np.argmax(b))
+
+
+def test_perplexity_and_kld(tiny_f32, tiny_q8):
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(3, 90, size=64).tolist()
+    ctx = Context(GGUFReader(tiny_f32), n_cells=32, n_ubatch=32, dtype=jnp.float32)
+    saved = []
+    res = perplexity(ctx, tokens, n_ctx=32, add_bos=True, bos_id=1, save_logits=saved)
+    assert np.isfinite(res["ppl"]) and res["ppl"] > 1.0
+    assert res["count"] == 2 * (32 // 2 - 1)
+
+    ctx8 = Context(GGUFReader(tiny_q8), n_cells=32, n_ubatch=32, dtype=jnp.float32)
+    kld = kl_divergence(ctx8, tokens, saved, n_ctx=32, add_bos=True, bos_id=1)
+    assert kld["kld"] < 0.01  # Q8_0 vs f32 is near-lossless
+    assert kld["same_top"] > 0.95
+
+
+def test_cli_generate_deterministic(tiny_f32):
+    reader = GGUFReader(tiny_f32)
+    tok = tokenizer_from_gguf(reader)
+    ctx = Context(reader, n_cells=64, dtype=jnp.float32)
+    ptoks = tok.encode("hello world", add_special=True)
+    sampling = SamplingParams(temp=0.0)
+    toks, text = generate(ctx, tok, ptoks, 8, sampling)
+    assert len(toks) <= 8
+    # greedy is deterministic
+    ctx2 = Context(reader, n_cells=64, dtype=jnp.float32)
+    toks2, _ = generate(ctx2, tok, ptoks, 8, sampling)
+    assert toks == toks2
+
+
+def test_cli_context_shift(tiny_f32):
+    reader = GGUFReader(tiny_f32)
+    tok = tokenizer_from_gguf(reader)
+    ctx = Context(reader, n_cells=16, dtype=jnp.float32)
+    ptoks = tok.encode("abc", add_special=True)
+    toks, _ = generate(ctx, tok, ptoks, 24, SamplingParams(temp=0.0), n_keep=1)
+    # generation must be able to run past the cache size via context shift
+    assert len(toks) == 24 or (toks and tok.vocab.is_eog(toks[-1]) is False)
+
+
+def test_cli_main_subprocess(tiny_f32):
+    out = subprocess.run(
+        [sys.executable, "-m", "llm_tpu.tools.cli", "-m", tiny_f32,
+         "-p", "hi", "-n", "4", "--temp", "0", "--f32", "-c", "64"],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "decode" in out.stderr
