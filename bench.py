@@ -1,0 +1,129 @@
+"""Benchmark: Llama-3-8B-geometry Q4_K decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+vs_baseline anchors to the reference's closest published number: tg128 of a
+Q4_K_M 7B-class model on a CUDA GPU = 120.60 t/s
+(/root/reference/tools/llama-bench/README.md:168; see BASELINE.md).
+
+The model is synthetic (random Q4_K planes generated on-device — identical
+compute/memory shape to a loaded checkpoint, no multi-GiB host upload).
+The decode loop runs fully on device (greedy argmax feedback), so the
+number is chip throughput, not host/tunnel latency.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(cfg_kw, scales_dtype=jnp.bfloat16):
+    from llm_tpu.gguf.constants import GGMLType
+    from llm_tpu.models.synthetic import make_synthetic_model
+
+    params, cfg = make_synthetic_model(
+        qtype=GGMLType.Q4_K, on_device=True, scales_dtype=scales_dtype, **cfg_kw
+    )
+    return params, cfg
+
+
+def main():
+    from llm_tpu.models.synthetic import LLAMA3_8B
+    from llm_tpu.models.transformer import forward
+
+    small = "--small" in sys.argv  # CI / smoke mode
+    geo = dict(n_embd=512, n_layers=4, n_heads=8, n_kv_heads=8, n_ff=1024,
+               vocab=2048, head_dim=64) if small else LLAMA3_8B
+
+    S = 512 if small else 1024
+    N_PREFILL = 16
+    N_GEN = 128
+
+    t0 = time.time()
+    params, cfg = build(geo)
+    jax.block_until_ready(params["tok_embd"].qs)
+    t_build = time.time() - t0
+    print(f"build: {t_build:.1f}s", file=sys.stderr)
+
+    kv_k = tuple(
+        jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+        for _ in range(cfg.n_layers)
+    )
+    kv_v = tuple(
+        jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+        for _ in range(cfg.n_layers)
+    )
+
+    cell_idx = jnp.arange(S, dtype=jnp.int32)
+
+    def prefill(params, kv_k, kv_v, tokens):
+        T = tokens.shape[0]
+        pos = jnp.arange(T, dtype=jnp.int32)
+        seq = jnp.zeros(T, jnp.int32)
+        cbits = (cell_idx < T).astype(jnp.uint32)
+        logits, nk, nv = forward(
+            params, cfg, list(kv_k), list(kv_v), tokens, pos, seq, pos,
+            cell_idx, cbits, jnp.asarray([T - 1], jnp.int32),
+        )
+        return jnp.argmax(logits[0]).astype(jnp.int32), tuple(nk), tuple(nv)
+
+    def decode_loop(params, kv_k, kv_v, tok0, n_steps):
+        def body(i, carry):
+            tok, kk, vv = carry
+            pos = N_PREFILL + i
+            cbits = (cell_idx <= pos).astype(jnp.uint32)
+            logits, nk, nv = forward(
+                params, cfg, list(kk), list(vv),
+                tok[None], pos[None].astype(jnp.int32), jnp.zeros(1, jnp.int32),
+                pos[None].astype(jnp.int32), cell_idx, cbits,
+                jnp.zeros(1, jnp.int32),
+            )
+            return jnp.argmax(logits[0]).astype(jnp.int32), tuple(nk), tuple(nv)
+
+        return jax.lax.fori_loop(0, n_steps, body, (tok0, kv_k, kv_v))
+
+    prefill_j = jax.jit(prefill, donate_argnums=(1, 2))
+    decode_j = jax.jit(decode_loop, static_argnums=(4,), donate_argnums=(1, 2))
+
+    tokens = jnp.asarray(np.arange(N_PREFILL) % cfg.vocab_size, jnp.int32)
+
+    t0 = time.time()
+    tok, kv_k, kv_v = prefill_j(params, kv_k, kv_v, tokens)
+    jax.block_until_ready(tok)
+    print(f"prefill(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # warmup decode (compile)
+    t0 = time.time()
+    tok, kv_k, kv_v = decode_j(params, kv_k, kv_v, tok, 8)
+    jax.block_until_ready(tok)
+    print(f"decode warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    reps = 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        tok, kv_k, kv_v = decode_j(params, kv_k, kv_v, tok, N_GEN)
+        jax.block_until_ready(tok)
+        times.append(time.perf_counter() - t0)
+    tps = N_GEN / float(np.mean(times))
+    sigma = float(np.std([N_GEN / t for t in times]))
+    print(f"tg{N_GEN}: {tps:.2f} ± {sigma:.2f} t/s (times: "
+          f"{['%.3f' % t for t in times]})", file=sys.stderr)
+
+    baseline = 120.60  # tg128 Q4_K_M 7B-class, CUDA (llama-bench README:168)
+    print(json.dumps({
+        "metric": "tg128_tok_per_s_llama3_8b_q4_k_single_chip" if not small
+        else "tg128_tok_per_s_small_smoke",
+        "value": round(tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tps / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

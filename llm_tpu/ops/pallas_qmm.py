@@ -42,7 +42,7 @@ def _qmm_kernel_i8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, zp: int, cdt
     if zp:
         q = q - float(zp)
     tn, tk = q.shape
-    s = s_ref[...].astype(jnp.float32)  # (TN, TK//gs)
+    s = s_ref[...].astype(jnp.float32).T  # stored (TK//gs, TN) -> (TN, TK//gs)
     w = (q.reshape(tn, tk // gs, gs) * s[:, :, None]).reshape(tn, tk)
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...].astype(cdtype),
@@ -71,7 +71,7 @@ def _qmm_kernel_p4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, zp: int, cdt
     if zp:
         q = q - float(zp)
     tn, tk = q.shape
-    s = s_ref[...].astype(jnp.float32)
+    s = s_ref[...].astype(jnp.float32).T  # stored (TK//gs, TN) -> (TN, TK//gs)
     w = (q.reshape(tn, tk // gs, gs) * s[:, :, None]).reshape(tn, tk)
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...].astype(cdtype),
@@ -92,7 +92,7 @@ def _qmm_kernel_p4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, zp: int, cdt
 def qmm_pallas(
     x: jnp.ndarray,  # [B, K] (bf16/f32)
     qs: jnp.ndarray,  # [N, K] int8 or [N, K//2] uint8 (p4)
-    scales: jnp.ndarray,  # [N, K//gs]
+    scales: jnp.ndarray,  # [K//gs, N] (K-major)
     gs: int = 32,
     zp: int = 0,
     layout: str = "i8",
@@ -123,7 +123,7 @@ def qmm_pallas(
                 (tile_n, tile_k // kfac), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_n, tile_k // gs), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (tile_k // gs, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),

@@ -55,14 +55,15 @@ def _int_planes(qt: QTensor) -> jnp.ndarray:
 
 
 def _dequant_rows(qt: QTensor, dtype) -> jnp.ndarray:
-    """[N, K] dequantized weight (scales applied groupwise, mins subtracted)."""
+    """[N, K] dequantized weight (scales applied groupwise, mins subtracted).
+    Stored scales/mins are K-major [K//gs, N]."""
     qi = _int_planes(qt)
     n, k = qi.shape
     g = qt.group_size
     q = qi.astype(dtype).reshape(n, k // g, g)
-    w = q * qt.scales.astype(dtype)[..., None]
+    w = q * qt.scales.astype(dtype).T[..., None]
     if qt.mins is not None:
-        w = w - qt.mins.astype(dtype)[..., None]
+        w = w - qt.mins.astype(dtype).T[..., None]
     return w.reshape(n, k)
 
 
@@ -88,7 +89,7 @@ def _pallas_ok(qt: QTensor, k: int) -> bool:
 
 
 def _group_correction(x2: jnp.ndarray, qt: QTensor, y: jnp.ndarray, dtype):
-    """y -= groupsum(x) @ mins^T."""
+    """y -= groupsum(x) @ mins   (mins stored [K//gs, N])."""
     if qt.mins is None:
         return y
     b, k = x2.shape
@@ -96,7 +97,7 @@ def _group_correction(x2: jnp.ndarray, qt: QTensor, y: jnp.ndarray, dtype):
     xg = x2.astype(jnp.float32).reshape(b, k // g, g).sum(-1)
     return y - jax.lax.dot_general(
         xg.astype(dtype), qt.mins.astype(dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -139,7 +140,7 @@ def qmm(
             qi = _int_planes(w)
             n, _ = qi.shape
             g = w.group_size
-            ws = (qi.astype(dtype).reshape(n, k // g, g) * w.scales.astype(dtype)[..., None]).reshape(n, k)
+            ws = (qi.astype(dtype).reshape(n, k // g, g) * w.scales.astype(dtype).T[..., None]).reshape(n, k)
             y = jax.lax.dot_general(
                 x.astype(dtype), ws,
                 dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
@@ -148,7 +149,7 @@ def qmm(
             xg = x.astype(jnp.float32).reshape(*lead, k // g, g).sum(-1)
             y = y - jax.lax.dot_general(
                 xg.astype(dtype), w.mins.astype(dtype),
-                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         else:
@@ -178,12 +179,13 @@ def qembed(w: QTensor | jnp.ndarray, ids: jnp.ndarray, dtype=None) -> jnp.ndarra
         if w.layout == "p4":
             qrows = _unpack_p4_jnp(qrows, w.pack_tk, w.zp)
         q = qrows.astype(jnp.float32)
-        s = jnp.take(w.scales, ids, axis=0).astype(jnp.float32)
+        s = jnp.take(w.scales, ids, axis=1).astype(jnp.float32)  # [G, T]
+        s = jnp.moveaxis(s, 0, -1)  # [T, G]
         g = w.group_size
         k = q.shape[-1]
         out = q.reshape(*q.shape[:-1], k // g, g) * s[..., None]
         if w.mins is not None:
-            m = jnp.take(w.mins, ids, axis=0).astype(jnp.float32)
+            m = jnp.moveaxis(jnp.take(w.mins, ids, axis=1), 0, -1).astype(jnp.float32)
             out = out - m[..., None]
         return out.reshape(*q.shape[:-1], k).astype(dtype)
     return jnp.take(w, ids, axis=0).astype(dtype)

@@ -49,7 +49,11 @@ class QTensor:
     """Device planes for a quantized matrix, stored row-major like GGUF:
     rows are output channels, columns the contraction (input) dim.
 
-        W[n, k] = (q[n, k] - zp) * scales[n, k//gs] - mins[n, k//gs]
+        W[n, k] = (q[n, k] - zp) * scales[k//gs, n] - mins[k//gs, n]
+
+    Scales/mins are stored K-major ([K//gs, N]) so the Pallas matmul kernel
+    can tile them directly (lane dim = N >= 128) and the zero-point
+    correction matmul needs no transpose.
 
     One layout serves matmul (y = x @ W^T), embedding gather (rows), and the
     tied lm_head, and needs no load-time transpose of multi-GiB tensors.
@@ -60,8 +64,8 @@ class QTensor:
     """
 
     qs: jax.Array
-    scales: jax.Array  # f32 [N, K//gs]
-    mins: jax.Array | None  # f32 [N, K//gs] or None
+    scales: jax.Array  # f32 [K//gs, N]
+    mins: jax.Array | None  # f32 [K//gs, N] or None
     group_size: int
     ggml_type: GGMLType
     layout: str = "i8"
@@ -277,14 +281,15 @@ def qtensor_from_gguf(
         from ..ops.pallas_qmm import pack_p4
 
         zp = _PACK4[t]
-        pack_tk = 512 if K % 512 == 0 else 256
+        # 256 keeps nibble-pair tiles intact under TP sharding of K
+        pack_tk = 256
         q = pack_p4(q, zp, tile_k=pack_tk)
         layout = "p4"
 
     return QTensor(
         qs=put(np.ascontiguousarray(q)),
-        scales=put(np.ascontiguousarray(scales.astype(scales_dtype))),
-        mins=put(np.ascontiguousarray(mins.astype(scales_dtype))) if mins is not None else None,
+        scales=put(np.ascontiguousarray(scales.T.astype(scales_dtype))),
+        mins=put(np.ascontiguousarray(mins.T.astype(scales_dtype))) if mins is not None else None,
         group_size=gs,
         ggml_type=t,
         layout=layout,
@@ -308,10 +313,10 @@ def dequantize_qtensor(qt: QTensor) -> np.ndarray:
     if qt.layout == "p4":
         q = unpack_p4_np(q, qt.pack_tk, qt.zp)
     q = q.astype(np.float32)
-    s = np.repeat(np.asarray(qt.scales, np.float32), qt.group_size, axis=-1)
+    s = np.repeat(np.asarray(qt.scales, np.float32).T, qt.group_size, axis=-1)
     w = q * s
     if qt.mins is not None:
-        w = w - np.repeat(np.asarray(qt.mins, np.float32), qt.group_size, axis=-1)
+        w = w - np.repeat(np.asarray(qt.mins, np.float32).T, qt.group_size, axis=-1)
     return w
 
 

@@ -1,0 +1,346 @@
+"""OpenAI-compatible HTTP server (aiohttp).
+
+Parity target: llama-server's endpoint surface
+(/root/reference/tools/server/server.cpp:4832-4862): /completion,
+/v1/completions, /v1/chat/completions, /tokenize, /detokenize, /v1/models,
+/health, /props, /metrics (Prometheus), /slots — with SSE streaming.
+Chat templating uses the GGUF-embedded Jinja template when present.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+
+from aiohttp import web
+
+from ..samplers import SamplingParams
+from .core import GenTask, InferenceServer, SlotState
+
+DEFAULT_CHAT_TEMPLATE = (
+    "{% for message in messages %}"
+    "<|im_start|>{{ message.role }}\n{{ message.content }}<|im_end|>\n"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}"
+)
+
+
+def _sampling_from_request(d: dict) -> SamplingParams:
+    seed = d.get("seed", -1)
+    return SamplingParams(
+        temp=float(d.get("temperature", d.get("temp", 0.8))),
+        top_k=int(d.get("top_k", 40)),
+        top_p=float(d.get("top_p", 0.95)),
+        min_p=float(d.get("min_p", 0.05)),
+        typical_p=float(d.get("typical_p", 1.0)),
+        penalty_repeat=float(d.get("repeat_penalty", 1.0)),
+        penalty_freq=float(d.get("frequency_penalty", 0.0)),
+        penalty_present=float(d.get("presence_penalty", 0.0)),
+        penalty_last_n=int(d.get("repeat_last_n", 64)),
+        mirostat=int(d.get("mirostat", 0)),
+        mirostat_tau=float(d.get("mirostat_tau", 5.0)),
+        mirostat_eta=float(d.get("mirostat_eta", 0.1)),
+        seed=seed if seed is not None and seed >= 0 else 0xFFFFFFFF,
+    )
+
+
+class ServerApp:
+    def __init__(self, engine: InferenceServer, model_name: str = "llm-tpu"):
+        self.engine = engine
+        self.tok = engine.tok
+        self.model_name = model_name
+        self.t_start = time.time()
+
+    # -- helpers ----------------------------------------------------------------
+
+    def _make_task(self, d: dict, prompt_text: str | None = None) -> GenTask:
+        if prompt_text is None:
+            prompt = d.get("prompt", "")
+            if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+                toks = list(prompt)
+            else:
+                toks = self.tok.encode(str(prompt), add_special=True, parse_special=True)
+        else:
+            toks = self.tok.encode(prompt_text, add_special=True, parse_special=True)
+        stop = d.get("stop") or []
+        if isinstance(stop, str):
+            stop = [stop]
+        n_predict = int(d.get("n_predict", d.get("max_tokens", 128)) or 128)
+        return GenTask(
+            prompt_tokens=toks,
+            params=_sampling_from_request(d),
+            n_predict=n_predict,
+            stop=list(stop),
+            stream=bool(d.get("stream", False)),
+        )
+
+    async def _collect(self, task: GenTask):
+        """Drain events (in a thread-friendly way) until done."""
+        loop = asyncio.get_event_loop()
+        pieces = []
+        meta = {}
+        while True:
+            ev = await loop.run_in_executor(None, task.events.get)
+            if ev.get("done"):
+                meta = ev
+                break
+            pieces.append(ev["text"])
+        return "".join(pieces), meta
+
+    # -- endpoints ----------------------------------------------------------------
+
+    async def health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def props(self, request):
+        cfg = self.engine.ctx.cfg
+        return web.json_response({
+            "model": self.model_name,
+            "n_ctx": self.engine.ctx.n_cells,
+            "n_slots": self.engine.n_slots,
+            "arch": cfg.arch,
+            "n_layers": cfg.n_layers,
+            "vocab_size": cfg.vocab_size,
+            "chat_template": self.tok.vocab.chat_template,
+        })
+
+    async def models(self, request):
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model",
+                      "created": int(self.t_start), "owned_by": "llm-tpu"}],
+        })
+
+    async def tokenize(self, request):
+        d = await request.json()
+        toks = self.tok.encode(
+            d.get("content", ""), add_special=bool(d.get("add_special", False)),
+            parse_special=bool(d.get("parse_special", True)),
+        )
+        return web.json_response({"tokens": toks})
+
+    async def detokenize(self, request):
+        d = await request.json()
+        return web.json_response(
+            {"content": self.tok.decode([int(t) for t in d.get("tokens", [])])}
+        )
+
+    async def slots(self, request):
+        out = []
+        for s in self.engine.slots:
+            out.append({
+                "id": s.id,
+                "state": s.state.name,
+                "n_past": len(s.cache_tokens),
+                "n_decoded": s.n_decoded,
+            })
+        return web.json_response(out)
+
+    async def metrics(self, request):
+        m = self.engine.metrics
+        lines = [
+            "# TYPE llm_tpu_requests_total counter",
+            f"llm_tpu_requests_total {m['requests_total']}",
+            "# TYPE llm_tpu_tokens_predicted_total counter",
+            f"llm_tpu_tokens_predicted_total {m['tokens_predicted_total']}",
+            "# TYPE llm_tpu_tokens_prompt_total counter",
+            f"llm_tpu_tokens_prompt_total {m['tokens_prompt_total']}",
+            "# TYPE llm_tpu_busy_slots gauge",
+            f"llm_tpu_busy_slots {m['busy_slots']}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    # completions (native + OpenAI) ------------------------------------------------
+
+    async def completion(self, request):
+        d = await request.json()
+        task = self.engine.submit(self._make_task(d))
+        rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+
+        if task.stream:
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            })
+            await resp.prepare(request)
+            loop = asyncio.get_event_loop()
+            try:
+                while True:
+                    ev = await loop.run_in_executor(None, task.events.get)
+                    if ev.get("done"):
+                        payload = self._oai_completion_chunk(rid, "", ev)
+                        await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+                        await resp.write(b"data: [DONE]\n\n")
+                        break
+                    payload = self._oai_completion_chunk(rid, ev["text"], None)
+                    await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+            finally:
+                task.cancel()
+            await resp.write_eof()
+            return resp
+
+        text, meta = await self._collect(task)
+        return web.json_response({
+            "id": rid, "object": "text_completion",
+            "created": int(time.time()), "model": self.model_name,
+            "choices": [{"index": 0, "text": text,
+                         "finish_reason": _finish_reason(meta)}],
+            "usage": _usage(meta),
+            "content": text,  # llama-server native field
+            "stop_reason": meta.get("stop_reason"),
+        })
+
+    def _oai_completion_chunk(self, rid, text, done_meta):
+        return {
+            "id": rid, "object": "text_completion", "model": self.model_name,
+            "created": int(time.time()),
+            "choices": [{
+                "index": 0, "text": text,
+                "finish_reason": _finish_reason(done_meta) if done_meta else None,
+            }],
+        }
+
+    async def chat_completions(self, request):
+        d = await request.json()
+        prompt = self._render_chat(d.get("messages", []))
+        task = self.engine.submit(self._make_task(d, prompt_text=prompt))
+        rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+
+        if d.get("stream"):
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            })
+            await resp.prepare(request)
+            loop = asyncio.get_event_loop()
+            first = True
+            try:
+                while True:
+                    ev = await loop.run_in_executor(None, task.events.get)
+                    delta = {}
+                    if first and not ev.get("done"):
+                        delta["role"] = "assistant"
+                        first = False
+                    finish = None
+                    if ev.get("done"):
+                        finish = _finish_reason(ev)
+                    else:
+                        delta["content"] = ev["text"]
+                    payload = {
+                        "id": rid, "object": "chat.completion.chunk",
+                        "created": int(time.time()), "model": self.model_name,
+                        "choices": [{"index": 0, "delta": delta,
+                                     "finish_reason": finish}],
+                    }
+                    await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+                    if ev.get("done"):
+                        await resp.write(b"data: [DONE]\n\n")
+                        break
+            finally:
+                task.cancel()
+            await resp.write_eof()
+            return resp
+
+        text, meta = await self._collect(task)
+        return web.json_response({
+            "id": rid, "object": "chat.completion",
+            "created": int(time.time()), "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": _finish_reason(meta),
+            }],
+            "usage": _usage(meta),
+        })
+
+    def _render_chat(self, messages: list[dict]) -> str:
+        import jinja2
+
+        template = self.tok.vocab.chat_template or DEFAULT_CHAT_TEMPLATE
+        env = jinja2.Environment()
+        try:
+            tmpl = env.from_string(template)
+            return tmpl.render(
+                messages=messages,
+                add_generation_prompt=True,
+                bos_token="", eos_token="",
+            )
+        except Exception:
+            tmpl = env.from_string(DEFAULT_CHAT_TEMPLATE)
+            return tmpl.render(messages=messages, add_generation_prompt=True)
+
+    # -- wiring ---------------------------------------------------------------------
+
+    def build(self) -> web.Application:
+        app = web.Application()
+        app.router.add_get("/health", self.health)
+        app.router.add_get("/props", self.props)
+        app.router.add_get("/v1/models", self.models)
+        app.router.add_get("/slots", self.slots)
+        app.router.add_get("/metrics", self.metrics)
+        app.router.add_post("/tokenize", self.tokenize)
+        app.router.add_post("/detokenize", self.detokenize)
+        app.router.add_post("/completion", self.completion)
+        app.router.add_post("/completions", self.completion)
+        app.router.add_post("/v1/completions", self.completion)
+        app.router.add_post("/v1/chat/completions", self.chat_completions)
+        return app
+
+
+def _finish_reason(meta):
+    if not meta:
+        return None
+    r = meta.get("stop_reason", "")
+    if r == "length":
+        return "length"
+    if r and r.startswith("error"):
+        return r
+    return "stop"
+
+
+def _usage(meta):
+    return {
+        "prompt_tokens": meta.get("n_prompt", 0),
+        "completion_tokens": meta.get("n_decoded", 0),
+        "total_tokens": meta.get("n_prompt", 0) + meta.get("n_decoded", 0),
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    import jax.numpy as jnp
+
+    from ..gguf.reader import GGUFReader
+    from ..runtime.engine import Context
+    from ..tokenizers import tokenizer_from_gguf
+
+    ap = argparse.ArgumentParser(description="llm-tpu OpenAI-compatible server")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=4096)
+    ap.add_argument("-np", "--n-parallel", type=int, default=4)
+    ap.add_argument("-b", "--n-batch", type=int, default=256)
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--alias", default=None, help="model name served")
+    args = ap.parse_args(argv)
+
+    reader = GGUFReader(args.model)
+    tok = tokenizer_from_gguf(reader)
+    ctx = Context(
+        reader, n_cells=args.ctx_size, n_ubatch=args.n_batch,
+        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+    )
+    engine = InferenceServer(ctx, tok, n_slots=args.n_parallel, n_batch=args.n_batch)
+    engine.start()
+    name = args.alias or args.model.rsplit("/", 1)[-1]
+    app = ServerApp(engine, model_name=name).build()
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

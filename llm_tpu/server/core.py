@@ -1,0 +1,271 @@
+"""Continuous-batching inference core.
+
+Parity target: llama-server's slot engine
+(/root/reference/tools/server/server.cpp): slot state machine (:46-52),
+update_slots (:2961) mixing prompt-processing chunks and per-slot generation
+tokens into one decode batch, prompt-prefix cache reuse, task queue +
+deferred queue (:1581-1744), per-slot sampling and incremental detokenize.
+
+Architecture: HTTP threads submit GenTasks to a queue; ONE inference thread
+runs the update loop against the jitted decode step (the analogue of the
+reference's single inference thread over llama_decode).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+
+import numpy as np
+
+from ..runtime.batch import Batch
+from ..samplers import SamplingParams, build_chain
+
+
+class SlotState(Enum):
+    IDLE = 0
+    PROCESSING_PROMPT = 1
+    GENERATING = 2
+
+
+@dataclass
+class GenTask:
+    prompt_tokens: list[int]
+    params: SamplingParams
+    n_predict: int = 128
+    stop: list[str] = field(default_factory=list)
+    stream: bool = False
+    # events: dicts {"token": id, "text": piece, "done": bool, ...}
+    events: queue.Queue = field(default_factory=queue.Queue)
+    id: int = 0
+    t_submit: float = field(default_factory=time.time)
+    cancelled: bool = False
+
+    def cancel(self):
+        self.cancelled = True
+
+
+@dataclass
+class Slot:
+    id: int
+    state: SlotState = SlotState.IDLE
+    task: GenTask | None = None
+    cache_tokens: list[int] = field(default_factory=list)
+    n_prompt_done: int = 0
+    n_decoded: int = 0
+    chain: object = None
+    text_tail: str = ""
+    t_start_prompt: float = 0.0
+    t_first_token: float = 0.0
+
+
+def common_prefix_len(a: list[int], b: list[int]) -> int:
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+class InferenceServer:
+    def __init__(self, ctx, tok, n_slots: int = 4, n_batch: int = 256):
+        self.ctx = ctx
+        self.tok = tok
+        self.n_slots = n_slots
+        self.n_batch = n_batch
+        self.slots = [Slot(id=i) for i in range(n_slots)]
+        self.tasks: queue.Queue[GenTask] = queue.Queue()
+        self._next_task_id = 0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.metrics = {
+            "requests_total": 0,
+            "tokens_predicted_total": 0,
+            "tokens_prompt_total": 0,
+            "busy_slots": 0,
+        }
+
+    # -- public API -----------------------------------------------------------
+
+    def submit(self, task: GenTask) -> GenTask:
+        task.id = self._next_task_id
+        self._next_task_id += 1
+        self.metrics["requests_total"] += 1
+        self.tasks.put(task)
+        return task
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    # -- inference loop ---------------------------------------------------------
+
+    def _assign_tasks(self):
+        for slot in self.slots:
+            if slot.state != SlotState.IDLE:
+                continue
+            try:
+                task = self.tasks.get_nowait()
+            except queue.Empty:
+                return
+            if task.cancelled:
+                continue
+            # prompt-prefix reuse (server.cpp prompt caching)
+            prefix = common_prefix_len(slot.cache_tokens, task.prompt_tokens)
+            # always re-decode at least the final prompt token to get logits
+            prefix = min(prefix, len(task.prompt_tokens) - 1)
+            if prefix > 0:
+                self.ctx.seq_rm(slot.id, prefix, -1)
+                slot.cache_tokens = slot.cache_tokens[:prefix]
+            else:
+                self.ctx.seq_rm(slot.id)
+                slot.cache_tokens = []
+            slot.task = task
+            slot.state = SlotState.PROCESSING_PROMPT
+            slot.n_prompt_done = prefix
+            slot.n_decoded = 0
+            slot.text_tail = ""
+            slot.chain = build_chain(task.params, self.ctx.cfg.vocab_size)
+            for t in task.prompt_tokens[:prefix]:
+                slot.chain.accept(t)
+            slot.t_start_prompt = time.time()
+
+    def _finish(self, slot: Slot, reason: str):
+        task = slot.task
+        n_prompt = len(task.prompt_tokens) if task else 0
+        if task:
+            task.events.put({
+                "done": True, "stop_reason": reason,
+                "n_prompt": n_prompt, "n_decoded": slot.n_decoded,
+                "t_prompt": (slot.t_first_token or time.time()) - slot.t_start_prompt,
+            })
+        slot.task = None
+        slot.state = SlotState.IDLE
+
+    def _sample_token(self, slot: Slot, logits: np.ndarray):
+        task = slot.task
+        tid = slot.chain.sample(logits)
+        slot.chain.accept(tid)
+        slot.n_decoded += 1
+        if slot.n_decoded == 1:
+            slot.t_first_token = time.time()
+        self.metrics["tokens_predicted_total"] += 1
+        slot.cache_tokens.append(tid)
+
+        if self.tok.vocab.is_eog(tid):
+            self._finish(slot, "eos")
+            return
+        piece = self.tok.piece(tid)
+        slot.text_tail = (slot.text_tail + piece)[-64:]
+        task.events.put({"done": False, "token": int(tid), "text": piece})
+        for s in task.stop:
+            if s and s in slot.text_tail:
+                self._finish(slot, "stop_string")
+                return
+        if slot.n_decoded >= task.n_predict:
+            self._finish(slot, "length")
+        elif task.cancelled:
+            self._finish(slot, "cancelled")
+
+    def _update_slots(self) -> bool:
+        """One iteration of the continuous-batching loop; returns True if any
+        work was done."""
+        self._assign_tasks()
+        batch = Batch()
+        entries: list[tuple[Slot, int, str]] = []  # (slot, batch index, kind)
+        # snapshot for rollback on KV-full (decode() failure rollback,
+        # llama-context.cpp:1015-1035 analogue at the slot level)
+        snap = {
+            s.id: (s.n_prompt_done, len(s.cache_tokens)) for s in self.slots
+        }
+
+        # generation slots first: one token each
+        for slot in self.slots:
+            if slot.state == SlotState.GENERATING:
+                pos = len(slot.cache_tokens) - 1
+                batch.add(slot.cache_tokens[-1], pos, (slot.id,), logits=True)
+                entries.append((slot, len(batch) - 1, "gen"))
+
+        # prompt-processing slots: fill remaining budget
+        budget = self.n_batch - len(batch)
+        for slot in self.slots:
+            if slot.state != SlotState.PROCESSING_PROMPT or budget <= 0:
+                continue
+            task = slot.task
+            remaining = task.prompt_tokens[slot.n_prompt_done :]
+            take = min(len(remaining), budget)
+            last = slot.n_prompt_done + take == len(task.prompt_tokens)
+            for i, t in enumerate(remaining[:take]):
+                pos = slot.n_prompt_done + i
+                need_logits = last and i == take - 1
+                batch.add(t, pos, (slot.id,), logits=need_logits)
+                if need_logits:
+                    entries.append((slot, len(batch) - 1, "prompt_end"))
+            slot.n_prompt_done += take
+            slot.cache_tokens.extend(remaining[:take])
+            self.metrics["tokens_prompt_total"] += take
+            budget -= take
+
+        if len(batch) == 0:
+            return False
+
+        rc = self.ctx.decode(batch)
+        if rc == 1:
+            # cache full: roll back in-flight bookkeeping + any partially
+            # written cells, then evict the newest active task
+            for slot in self.slots:
+                pd, cl = snap[slot.id]
+                if slot.state == SlotState.PROCESSING_PROMPT:
+                    self.ctx.seq_rm(slot.id, pd, -1)
+                    slot.n_prompt_done = pd
+                    slot.cache_tokens = slot.cache_tokens[:pd]
+                elif slot.state == SlotState.GENERATING:
+                    self.ctx.seq_rm(slot.id, cl - 1, -1)
+            for slot in reversed(self.slots):
+                if slot.state != SlotState.IDLE and slot.task:
+                    slot.task.events.put(
+                        {"done": True, "stop_reason": "error:kv_full"})
+                    self.ctx.seq_rm(slot.id)
+                    slot.cache_tokens = []
+                    slot.task = None
+                    slot.state = SlotState.IDLE
+                    break
+            return True
+        if rc != 0:
+            raise RuntimeError(f"decode failed rc={rc}")
+
+        for slot, bi, kind in entries:
+            if slot.task is None:
+                continue
+            logits = self.ctx.get_logits(bi)
+            if kind == "prompt_end":
+                slot.state = SlotState.GENERATING
+            self._sample_token(slot, logits)
+        return True
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                busy = self._update_slots()
+            except Exception as e:  # surface errors to all active tasks
+                for slot in self.slots:
+                    if slot.task:
+                        slot.task.events.put(
+                            {"done": True, "stop_reason": f"error:{e}"})
+                        slot.task = None
+                        slot.state = SlotState.IDLE
+                busy = False
+            self.metrics["busy_slots"] = sum(
+                1 for s in self.slots if s.state != SlotState.IDLE
+            )
+            if not busy:
+                time.sleep(0.005)

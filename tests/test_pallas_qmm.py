@@ -28,7 +28,7 @@ def test_qmm_pallas_interpret_matches_numpy(layout, zp):
     rng = np.random.default_rng(1)
     B, K, N, gs = 8, 1024, 256, 32
     q = rng.integers(0, 16, size=(N, K)).astype(np.int8) - (zp if layout == "i8" else 0)
-    scales = (rng.random((N, K // gs)).astype(np.float32) + 0.5) * 0.01
+    scales = (rng.random((K // gs, N)).astype(np.float32) + 0.5) * 0.01  # K-major
     x = rng.normal(size=(B, K)).astype(np.float32)
 
     if layout == "p4":
@@ -43,7 +43,7 @@ def test_qmm_pallas_interpret_matches_numpy(layout, zp):
         gs=gs, zp=zp if layout == "p4" else 0, layout=layout,
         tile_n=128, tile_k=512, interpret=True,
     )
-    w = q_eff * np.repeat(scales, gs, axis=1)
+    w = q_eff * np.repeat(scales.T, gs, axis=1)
     want = x.astype(np.float32) @ w.T
     rel = np.abs(np.asarray(y) - want) / (np.abs(want).max() + 1e-9)
     assert rel.max() < 2e-2  # bf16 mantissa on the dequantized weights

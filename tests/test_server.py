@@ -1,0 +1,178 @@
+"""Server integration tests (model: reference tools/server/tests pytest
+suite): continuous batching, OpenAI endpoints, SSE streaming, prefix cache."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+pytest.importorskip("aiohttp")
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from llm_tpu.convert.hf_llama import convert_hf_llama
+from llm_tpu.gguf.reader import GGUFReader
+from llm_tpu.runtime.engine import Context
+from llm_tpu.samplers import SamplingParams
+from llm_tpu.server.app import ServerApp
+from llm_tpu.server.core import GenTask, InferenceServer
+from llm_tpu.tokenizers import tokenizer_from_gguf
+
+from test_model_vs_hf import _tiny_hf_llama
+from test_tools import _test_vocab
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    model = _tiny_hf_llama(hidden=64, layers=2, vocab=97)
+    path = str(tmp_path_factory.mktemp("srv") / "m.gguf")
+    convert_hf_llama(model, path, vocab=_test_vocab(97))
+    reader = GGUFReader(path)
+    tok = tokenizer_from_gguf(reader)
+    ctx = Context(reader, n_cells=256, n_ubatch=32, dtype=jnp.float32)
+    eng = InferenceServer(ctx, tok, n_slots=3, n_batch=32)
+    eng.start()
+    yield eng
+    eng.stop()
+
+
+def _drain(task):
+    pieces = []
+    while True:
+        ev = task.events.get(timeout=180)
+        if ev.get("done"):
+            return pieces, ev
+        pieces.append(ev)
+
+
+def test_core_single_task(engine):
+    toks = engine.tok.encode("hello world", add_special=True)
+    task = engine.submit(GenTask(prompt_tokens=toks,
+                                 params=SamplingParams(temp=0.0), n_predict=6))
+    pieces, meta = _drain(task)
+    assert meta["stop_reason"] in ("length", "eos")
+    assert meta["n_prompt"] == len(toks)
+    assert len(pieces) <= 6
+
+
+def test_core_parallel_tasks_match_serial(engine):
+    """Three tasks batched continuously must each produce the same greedy
+    continuation as when run alone."""
+    prompts = ["abc def", "hello world, this", "x y z 1 2 3"]
+    serial = []
+    for p in prompts:
+        toks = engine.tok.encode(p, add_special=True)
+        t = engine.submit(GenTask(prompt_tokens=toks,
+                                  params=SamplingParams(temp=0.0), n_predict=5))
+        pieces, _ = _drain(t)
+        serial.append([e["token"] for e in pieces])
+
+    tasks = []
+    for p in prompts:
+        toks = engine.tok.encode(p, add_special=True)
+        tasks.append(engine.submit(GenTask(prompt_tokens=toks,
+                                           params=SamplingParams(temp=0.0),
+                                           n_predict=5)))
+    parallel = []
+    for t in tasks:
+        pieces, _ = _drain(t)
+        parallel.append([e["token"] for e in pieces])
+    assert parallel == serial
+
+
+def test_core_prefix_cache_reuse(engine):
+    toks = engine.tok.encode("the quick brown fox jumps", add_special=True)
+    t1 = engine.submit(GenTask(prompt_tokens=toks,
+                               params=SamplingParams(temp=0.0), n_predict=3))
+    out1, _ = _drain(t1)
+    before = engine.metrics["tokens_prompt_total"]
+    # same prompt again: only the final token should be re-processed
+    t2 = engine.submit(GenTask(prompt_tokens=toks,
+                               params=SamplingParams(temp=0.0), n_predict=3))
+    out2, _ = _drain(t2)
+    reprocessed = engine.metrics["tokens_prompt_total"] - before
+    assert [e["token"] for e in out1] == [e["token"] for e in out2]
+    assert reprocessed <= 2
+
+
+@pytest.fixture()
+def client(engine, event_loop=None):
+    app = ServerApp(engine, model_name="tiny").build()
+    return app
+
+
+async def _with_client(app, fn):
+    server = TestServer(app)
+    client = TestClient(server)
+    await client.start_server()
+    try:
+        return await fn(client)
+    finally:
+        await client.close()
+
+
+def test_http_endpoints(client):
+    async def run(c):
+        r = await c.get("/health")
+        assert (await r.json())["status"] == "ok"
+
+        r = await c.get("/v1/models")
+        assert (await r.json())["data"][0]["id"] == "tiny"
+
+        r = await c.post("/tokenize", json={"content": "hello"})
+        toks = (await r.json())["tokens"]
+        assert toks
+        r = await c.post("/detokenize", json={"tokens": toks})
+        assert "hello" in (await r.json())["content"]
+
+        r = await c.post("/v1/completions", json={
+            "prompt": "hello world", "max_tokens": 4, "temperature": 0,
+        })
+        d = await r.json()
+        assert d["object"] == "text_completion"
+        assert d["usage"]["completion_tokens"] <= 4
+        assert isinstance(d["choices"][0]["text"], str)
+
+        r = await c.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "temperature": 0,
+        })
+        d = await r.json()
+        assert d["choices"][0]["message"]["role"] == "assistant"
+
+        r = await c.get("/metrics")
+        text = await r.text()
+        assert "llm_tpu_requests_total" in text
+
+        r = await c.get("/slots")
+        assert len(await r.json()) == 3
+        return True
+
+    assert asyncio.run(_with_client(client, run))
+
+
+def test_http_streaming(client):
+    async def run(c):
+        r = await c.post("/v1/completions", json={
+            "prompt": "abc", "max_tokens": 4, "temperature": 0, "stream": True,
+        })
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        chunks = []
+        async for line in r.content:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                payload = line[6:]
+                if payload == "[DONE]":
+                    break
+                chunks.append(json.loads(payload))
+        assert chunks
+        assert any(ch["choices"][0]["text"] for ch in chunks[:-1]) or len(chunks) == 1
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("length", "stop")
+        return True
+
+    assert asyncio.run(_with_client(client, run))

@@ -1,0 +1,81 @@
+"""TP sharding over a virtual 8-device CPU mesh: the sharded forward must
+equal the single-device forward exactly (GSPMD inserts the collectives)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from llm_tpu.gguf.constants import GGMLType
+from llm_tpu.models.synthetic import make_synthetic_model
+from llm_tpu.models.transformer import forward
+from llm_tpu.parallel.sharding import kv_shardings, make_mesh, param_shardings, shard_params
+
+
+def _inputs(cfg, T=5, S=16):
+    tok = jnp.asarray(np.arange(T) % cfg.vocab_size, jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    seq = jnp.zeros(T, jnp.int32)
+    widx = jnp.arange(T, dtype=jnp.int32)
+    cpos = jnp.concatenate([pos, jnp.zeros(S - T, jnp.int32)])
+    cbits = jnp.concatenate([jnp.ones(T, jnp.uint32), jnp.zeros(S - T, jnp.uint32)])
+    oidx = jnp.arange(T, dtype=jnp.int32)
+    return tok, pos, seq, widx, cpos, cbits, oidx
+
+
+def _fresh_kv(cfg, S=16, dtype=jnp.float32):
+    kv_k = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), dtype) for _ in range(cfg.n_layers)]
+    kv_v = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), dtype) for _ in range(cfg.n_layers)]
+    return kv_k, kv_v
+
+
+@pytest.mark.parametrize("qtype", [None, GGMLType.Q4_K])
+def test_tp8_matches_single_device(qtype):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
+        vocab=256, qtype=qtype, dtype=jnp.float32,
+    )
+    inputs = _inputs(cfg)
+
+    kv_k, kv_v = _fresh_kv(cfg)
+    ref_logits, _, _ = forward(params, cfg, kv_k, kv_v, *inputs, dtype=jnp.float32)
+    ref = np.asarray(ref_logits)
+
+    mesh = make_mesh(n_tp=8)
+    sparams = shard_params(params, mesh)
+    kss_k, kss_v = kv_shardings(cfg.n_layers, mesh)
+    kv_k2, kv_v2 = _fresh_kv(cfg)
+    kv_k2 = [jax.device_put(a, s) for a, s in zip(kv_k2, kss_k)]
+    kv_v2 = [jax.device_put(a, s) for a, s in zip(kv_v2, kss_v)]
+
+    def step(p, kk, vv, *ins):
+        return forward(p, cfg, kk, vv, *ins, dtype=jnp.float32)
+
+    with mesh:
+        out = jax.jit(step)(sparams, kv_k2, kv_v2, *inputs)
+    got = np.asarray(out[0])
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+    # KV cache came back head-sharded (trailing Nones are normalized away)
+    assert tuple(out[1][0].sharding.spec)[:2] == (None, "tp")
+
+
+def test_param_shardings_structure():
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_ff=512, n_heads=8, n_kv_heads=8, vocab=256,
+        qtype=GGMLType.Q4_K,
+    )
+    mesh = make_mesh(n_tp=8)
+    sh = param_shardings(params, mesh)
+    l0 = sh["layers"][0]
+    assert l0["attn_q"].qs.spec == P("tp", None)
+    assert l0["attn_output"].qs.spec == P(None, "tp")
+    assert l0["ffn_down"].qs.spec == P(None, "tp")
+    assert sh["output_norm"].spec == P()
+
+
+def test_dp_axis_mesh():
+    mesh = make_mesh(n_tp=4, n_dp=2)
+    assert mesh.shape == {"dp": 2, "tp": 4}
