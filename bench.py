@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def build(cfg_kw, scales_dtype=jnp.bfloat16):
     from llm_tpu.gguf.constants import GGMLType
@@ -97,9 +101,9 @@ def main():
     jax.block_until_ready(tok)
     print(f"prefill(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # warmup decode (compile)
+    # warmup decode (compile) — same static n_steps as the timed reps
     t0 = time.time()
-    tok, kv_k, kv_v = decode_j(params, kv_k, kv_v, tok, 8)
+    tok, kv_k, kv_v = decode_j(params, kv_k, kv_v, tok, N_GEN)
     jax.block_until_ready(tok)
     print(f"decode warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
 

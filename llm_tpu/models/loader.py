@@ -31,11 +31,13 @@ def _to_dense(reader: GGUFReader, name: str, dtype) -> jnp.ndarray:
     return jnp.asarray(arr, dtype=dtype)
 
 
-def _load_matrix(reader: GGUFReader, name: str, dense_dtype, use_planes: bool):
+def _load_matrix(reader: GGUFReader, name: str, dense_dtype, use_planes: bool,
+                 kmajor: bool = True):
     """2-D weight: QTensor planes when quantized (and enabled), dense otherwise."""
     ti = reader.tensors[name]
     if use_planes and ti.ggml_type in _PLANE_TYPES and len(ti.shape) == 2:
-        return qtensor_from_gguf(reader.data(name), ti.ggml_type, ti.shape)
+        return qtensor_from_gguf(reader.data(name), ti.ggml_type, ti.shape,
+                                 kmajor=kmajor)
     return _to_dense(reader, name, dense_dtype)
 
 
@@ -70,7 +72,9 @@ def load_params(
             continue
 
         if name == "token_embd.weight":
-            params["tok_embd"] = _load_matrix(reader, name, dense_dtype, use_planes)
+            # rows layout for token gathers (kmajor=False)
+            params["tok_embd"] = _load_matrix(
+                reader, name, dense_dtype, use_planes, kmajor=False)
         elif name == "output.weight":
             params["output"] = _load_matrix(reader, name, dense_dtype, use_planes)
         elif name == "output_norm.weight":
@@ -80,5 +84,14 @@ def load_params(
                 dequantize_tensor(reader.data(name), ti.ggml_type, ti.shape), np.float32
             ).reshape(-1)
 
+    if params.get("output") is None and "token_embd.weight" in reader.tensors:
+        # tied lm_head: a K-major copy of the embedding table for the matmul
+        # path (the rows layout can't feed the fused kernel)
+        ti = reader.tensors["token_embd.weight"]
+        if isinstance(params.get("tok_embd"), jnp.ndarray):
+            params["output"] = params["tok_embd"]  # dense works either way
+        else:
+            params["output"] = _load_matrix(
+                reader, "token_embd.weight", dense_dtype, use_planes, kmajor=True)
     params.setdefault("output", None)
     return params, cfg

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf.constants import GGMLType
-from ..ops.pallas_qmm import pack_p4
+from ..ops.pallas_qmm import pack_p4, pack_p4_kmajor
 from ..ops.rope import ROPE_TYPE_NORM, RopeParams
 from ..quant.qtensor import QTensor
 from .config import ModelConfig
@@ -24,40 +24,54 @@ def synthetic_qtensor(
     qtype: GGMLType = GGMLType.Q4_K,
     pack4: bool = True,
     pack_tk: int = 256,
+    kmajor: bool = True,
 ) -> QTensor:
-    """Random quantized planes shaped like a loaded [N, K] weight."""
+    """Random quantized planes shaped like a loaded weight (K-major)."""
     gs = 16 if qtype in (GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K) else 32
     scale_mag = 0.02 / np.sqrt(k) * 8
-    scales = (rng.random((k // gs, n), dtype=np.float32) * scale_mag).astype(np.float32)
+
+    def orient(a):  # scales/mins: [K//gs, N] kmajor else [N, K//gs]
+        return a if kmajor else np.ascontiguousarray(a.T)
+
+    scales = orient((rng.random((k // gs, n), dtype=np.float32) * scale_mag))
     if qtype in (GGMLType.Q4_K, GGMLType.Q4_0, GGMLType.Q4_1):
-        q = rng.integers(0, 16, size=(n, k), dtype=np.int16).astype(np.int8)
+        q = rng.integers(0, 16, size=(k, n), dtype=np.int16).astype(np.int8)
         zp = 8
         mins = None
         if qtype in (GGMLType.Q4_K, GGMLType.Q4_1):
-            # asymmetric: values 0..15 with a separate min plane
-            mins = (rng.random((k // gs, n), dtype=np.float32) * scale_mag * 8).astype(np.float32)
+            mins = orient((rng.random((k // gs, n), dtype=np.float32) * scale_mag * 8))
             zp = 0
         if pack4 and k % pack_tk == 0:
-            qs = jnp.asarray(pack_p4((q - zp).astype(np.int8), zp, tile_k=pack_tk))
+            qsub = (q - zp).astype(np.int8)
+            if kmajor:
+                packed = pack_p4_kmajor(qsub, zp, tile_k=pack_tk)
+            else:
+                packed = pack_p4(np.ascontiguousarray(qsub.T), zp, tile_k=pack_tk)
             return QTensor(
-                qs=qs, scales=jnp.asarray(scales),
+                qs=jnp.asarray(packed), scales=jnp.asarray(scales),
                 mins=jnp.asarray(mins) if mins is not None else None,
-                group_size=gs, ggml_type=qtype, layout="p4", zp=zp, pack_tk=pack_tk,
+                group_size=gs, ggml_type=qtype, layout="p4", zp=zp,
+                pack_tk=pack_tk, kmajor=kmajor,
             )
+        qi = (q - zp).astype(np.int8)
+        if not kmajor:
+            qi = np.ascontiguousarray(qi.T)
         return QTensor(
-            qs=jnp.asarray((q - zp).astype(np.int8)), scales=jnp.asarray(scales),
+            qs=jnp.asarray(qi), scales=jnp.asarray(scales),
             mins=jnp.asarray(mins) if mins is not None else None,
-            group_size=gs, ggml_type=qtype, layout="i8", zp=0,
+            group_size=gs, ggml_type=qtype, layout="i8", zp=0, kmajor=kmajor,
         )
     # int8-plane types (Q8_0, Q6_K, Q5_K, ...)
-    q = rng.integers(-32, 32, size=(n, k), dtype=np.int16).astype(np.int8)
+    q = rng.integers(-32, 32, size=(k, n), dtype=np.int16).astype(np.int8)
+    if not kmajor:
+        q = np.ascontiguousarray(q.T)
     mins = None
     if qtype == GGMLType.Q5_K:
-        mins = (rng.random((k // gs, n), dtype=np.float32) * scale_mag * 8).astype(np.float32)
+        mins = orient((rng.random((k // gs, n), dtype=np.float32) * scale_mag * 8))
     return QTensor(
         qs=jnp.asarray(q), scales=jnp.asarray(scales),
         mins=jnp.asarray(mins) if mins is not None else None,
-        group_size=gs, ggml_type=qtype, layout="i8", zp=0,
+        group_size=gs, ggml_type=qtype, layout="i8", zp=0, kmajor=kmajor,
     )
 
 
@@ -79,14 +93,14 @@ def device_synthetic_qtensor(
     scales = jax.random.uniform(k2, (k // gs, n), jnp.float32, 0.2, 1.0) * scale_mag
     scales = scales.astype(scales_dtype)
     if qtype == GGMLType.Q4_K:
-        qs = jax.random.randint(k1, (n, k // 2), 0, 256, jnp.int32).astype(jnp.uint8)
+        qs = jax.random.randint(k1, (k // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
         mins = (
             jax.random.uniform(k3, (k // gs, n), jnp.float32, 0.0, 1.0)
             * scale_mag * 8
         ).astype(scales_dtype)
         return QTensor(qs=qs, scales=scales, mins=mins, group_size=gs,
                        ggml_type=qtype, layout="p4", zp=0, pack_tk=pack_tk)
-    qs = jax.random.randint(k1, (n, k), -32, 32, jnp.int32).astype(jnp.int8)
+    qs = jax.random.randint(k1, (k, n), -32, 32, jnp.int32).astype(jnp.int8)
     return QTensor(qs=qs, scales=scales, mins=None, group_size=gs,
                    ggml_type=qtype, layout="i8", zp=0)
 
@@ -158,9 +172,18 @@ def make_synthetic_model(
                 "ffn_down": mat(n_embd, n_ff),
             }
         )
+    def embd_mat():
+        if on_device or qtype is None:
+            # dense path / on-device: qembed accepts dense rows; for the
+            # quantized on-device case generate rows-layout planes
+            if qtype is None:
+                return mat(vocab, n_embd)
+            return synthetic_qtensor(rng, vocab, n_embd, qtype, kmajor=False)
+        return synthetic_qtensor(rng, vocab, n_embd, qtype, kmajor=False)
+
     params = {
         "layers": layers,
-        "tok_embd": mat(vocab, n_embd),
+        "tok_embd": embd_mat(),
         "output": mat(vocab, n_embd),
         "output_norm": vec(n_embd),
     }

@@ -7,14 +7,20 @@ small integers and are dequantized in-register against per-group scales,
 so HBM traffic is ~1 byte/weight (int8 planes) or ~0.5 (nibble-packed),
 never the bf16-materialized weight.
 
-Layouts (produced by quant/qtensor.py at load):
-  * "i8":  qs int8 [N, K]
-  * "p4":  qs uint8 [N, K//2]; within each K-tile of size TK, byte t packs
-           element k = t (low nibble) and k = t + TK//2 (high nibble), so
-           unpacking is a sublane-aligned concat, never an interleave.
+All weight planes are K-MAJOR (quant/qtensor.py):
+  * "i8":  qs int8  [K, N]
+  * "p4":  qs uint8 [K//2, N]; within each K-tile of size TK, sublane t
+           packs element k = t (low nibble) and k = t + TK//2 (high
+           nibble), so unpacking is a sublane-aligned concat.
+  * scales/mins f32|bf16 [K//gs, N]
+
+K-major matters on real hardware: the lane (minor) dim is the 128-aligned
+output-feature dim, and expanding scales group-wise along K is a
+sublane-only reshape — the only reshape Mosaic supports; lane-splitting
+reshapes fail to compile ("infer-vector-layout: unsupported shape cast").
 
 The group zero-point term (Q4_K mins etc.) is NOT in the kernel: it
-factors into groupsum(x) @ mins — a rank-K/32 correction matmul handled
+factors into groupsum(x) @ mins — a rank-K/gs correction matmul handled
 by XLA (mirrors the reference's Q8 bsums trick).
 """
 
@@ -28,26 +34,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # K-tile must match the nibble-pairing stride used at pack time.
-PACK_TK = 512
+PACK_TK = 256
 
 
-def _qmm_kernel_i8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, zp: int, cdtype):
+def _dequant_w(q, s_ref, gs, zp, cdtype):
+    """q (TK, TN) small ints + scales (TK//gs, TN) -> w (TK, TN)."""
+    tk, tn = q.shape
+    if zp:
+        q = q - float(zp)
+    s = s_ref[...].astype(jnp.float32)  # (TK//gs, TN)
+    # expand along K: sublane-only broadcast+reshape (lane dim unchanged)
+    s_full = jnp.broadcast_to(s[:, None, :], (tk // gs, gs, tn)).reshape(tk, tn)
+    return (q * s_full).astype(cdtype)
+
+
+def _qmm_kernel_i8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs, zp, cdtype):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[...].astype(jnp.float32)  # (TN, TK)
-    if zp:
-        q = q - float(zp)
-    tn, tk = q.shape
-    s = s_ref[...].astype(jnp.float32).T  # stored (TK//gs, TN) -> (TN, TK//gs)
-    w = (q.reshape(tn, tk // gs, gs) * s[:, :, None]).reshape(tn, tk)
+    q = q_ref[...].astype(jnp.float32)  # (TK, TN)
+    w = _dequant_w(q, s_ref, gs, zp, cdtype)
     acc_ref[...] += jax.lax.dot_general(
-        x_ref[...].astype(cdtype),
-        w.astype(cdtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        x_ref[...].astype(cdtype), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -56,27 +68,21 @@ def _qmm_kernel_i8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, zp: int, cdt
         o_ref[...] = acc_ref[...]
 
 
-def _qmm_kernel_p4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, zp: int, cdtype):
+def _qmm_kernel_p4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs, zp, cdtype):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = q_ref[...]  # (TN, TK//2) uint8 -> int32 ops
-    pi = packed.astype(jnp.int32)
-    lo = (pi & 0xF).astype(jnp.float32)
-    hi = (pi >> 4).astype(jnp.float32)
-    q = jnp.concatenate([lo, hi], axis=1)  # (TN, TK); halves are k-contiguous
-    if zp:
-        q = q - float(zp)
-    tn, tk = q.shape
-    s = s_ref[...].astype(jnp.float32).T  # stored (TK//gs, TN) -> (TN, TK//gs)
-    w = (q.reshape(tn, tk // gs, gs) * s[:, :, None]).reshape(tn, tk)
+    packed = q_ref[...].astype(jnp.int32)  # (TK//2, TN)
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=0)  # (TK, TN): k-contiguous halves
+    w = _dequant_w(q, s_ref, gs, zp, cdtype)
     acc_ref[...] += jax.lax.dot_general(
-        x_ref[...].astype(cdtype),
-        w.astype(cdtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        x_ref[...].astype(cdtype), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -87,12 +93,13 @@ def _qmm_kernel_p4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, zp: int, cdt
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gs", "zp", "layout", "tile_n", "tile_k", "interpret", "compute_dtype"),
+    static_argnames=("gs", "zp", "layout", "tile_n", "tile_k", "interpret",
+                     "compute_dtype"),
 )
 def qmm_pallas(
     x: jnp.ndarray,  # [B, K] (bf16/f32)
-    qs: jnp.ndarray,  # [N, K] int8 or [N, K//2] uint8 (p4)
-    scales: jnp.ndarray,  # [K//gs, N] (K-major)
+    qs: jnp.ndarray,  # [K, N] int8 or [K//2, N] uint8 (p4)
+    scales: jnp.ndarray,  # [K//gs, N]
     gs: int = 32,
     zp: int = 0,
     layout: str = "i8",
@@ -101,9 +108,9 @@ def qmm_pallas(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """y[b, n] = sum_k x[b,k] * (q[n,k] - zp) * scales[n, k//gs]  (f32)."""
+    """y[b, n] = sum_k x[b,k] * (q[k,n] - zp) * scales[k//gs, n]  (f32)."""
     B, K = x.shape
-    N = qs.shape[0]
+    N = qs.shape[-1]
     tile_n = min(tile_n, N)
     tile_k = min(tile_k, K)
     assert K % tile_k == 0 and N % tile_n == 0, (N, K, tile_n, tile_k)
@@ -120,7 +127,7 @@ def qmm_pallas(
         in_specs=[
             pl.BlockSpec((B, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile_n, tile_k // kfac), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (tile_k // kfac, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (tile_k // gs, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM
@@ -134,7 +141,8 @@ def qmm_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
-            bytes_accessed=qs.size * qs.dtype.itemsize + scales.size * 4 + B * K * 2 + B * N * 4,
+            bytes_accessed=qs.size * qs.dtype.itemsize + scales.size * 4
+            + B * K * 2 + B * N * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -142,7 +150,7 @@ def qmm_pallas(
 
 
 def pack_p4(qs_i8, zp: int, tile_k: int = PACK_TK):
-    """Pack int8 4-bit values [N, K] into the p4 nibble layout [N, K//2].
+    """Row-major packing [N, K] -> [N, K//2] (embedding tables).
 
     Within each K-tile, byte t holds k=t (low) and k=t+tile_k//2 (high),
     both offset by zp so storage is unsigned 0..15.
@@ -155,6 +163,22 @@ def pack_p4(qs_i8, zp: int, tile_k: int = PACK_TK):
     tile_k = min(tile_k, K)
     assert K % tile_k == 0
     half = tile_k // 2
-    qt = q.reshape(N, K // tile_k, 2, half)  # [:, :, 0]=lo half, [:, :, 1]=hi
+    qt = q.reshape(N, K // tile_k, 2, half)
     packed = (qt[:, :, 0] | (qt[:, :, 1] << 4)).astype(np.uint8)
     return packed.reshape(N, K // 2)
+
+
+def pack_p4_kmajor(qs_i8, zp: int, tile_k: int = PACK_TK):
+    """K-major packing [K, N] -> [K//2, N]: sublane t of each K-tile packs
+    k=t (low nibble) and k=t+tile_k//2 (high nibble)."""
+    import numpy as np
+
+    q = np.asarray(qs_i8, np.int16) + zp
+    assert q.min() >= 0 and q.max() <= 15, "values do not fit 4 bits"
+    K, N = q.shape
+    tile_k = min(tile_k, K)
+    assert K % tile_k == 0
+    half = tile_k // 2
+    qt = q.reshape(K // tile_k, 2, half, N)
+    packed = (qt[:, 0] | (qt[:, 1] << 4)).astype(np.uint8)
+    return packed.reshape(K // 2, N)

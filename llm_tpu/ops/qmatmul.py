@@ -7,10 +7,10 @@ in /root/reference/ggml/src/ggml-cuda/mmq.cuh). Two paths:
   * Pallas path (ops/pallas_qmm.py): fused in-VMEM dequant + MXU matmul —
     HBM reads the int planes only. Default on TPU for aligned shapes.
   * XLA path: dequantize planes in-jit and let XLA fuse. Always available;
-    used on CPU and for odd shapes.
+    used on CPU, for odd shapes, and for row-layout (embedding) tensors.
 
-The zero-point trick: W = (q-zp)*S - rep(M)  =>  x @ W^T = x @ ((q-zp)*S)^T
-- groupsum(x) @ M^T, mirroring the reference's Q8 bsums optimization
+The zero-point trick: W = (q-zp)*S - rep(M)  =>  x @ W = x @ ((q-zp)*S)
+- groupsum(x) @ M, mirroring the reference's Q8 bsums optimization
 (block_q8_K.bsums, ggml-common.h:329-334).
 """
 
@@ -39,7 +39,8 @@ def set_backend(backend: str, interpret: bool = False) -> None:
     _INTERPRET = interpret
 
 
-def _unpack_p4_jnp(packed: jnp.ndarray, pack_tk: int, zp: int) -> jnp.ndarray:
+def _unpack_p4_rows(packed: jnp.ndarray, pack_tk: int, zp: int) -> jnp.ndarray:
+    """Row-major unpack [..., K//2] -> [..., K]."""
     lead, kh = packed.shape[:-1], packed.shape[-1]
     half = pack_tk // 2
     p = packed.reshape(*lead, kh // half, half).astype(jnp.int32)
@@ -47,23 +48,40 @@ def _unpack_p4_jnp(packed: jnp.ndarray, pack_tk: int, zp: int) -> jnp.ndarray:
     return (q.reshape(*lead, kh * 2) - zp).astype(jnp.int8)
 
 
+def _unpack_p4_kmajor(packed: jnp.ndarray, pack_tk: int, zp: int) -> jnp.ndarray:
+    """K-major unpack [K//2, N] -> [K, N]."""
+    kh, n = packed.shape
+    half = pack_tk // 2
+    p = packed.reshape(kh // half, half, n).astype(jnp.int32)
+    q = jnp.stack([p & 0xF, p >> 4], axis=1)
+    return (q.reshape(kh * 2, n) - zp).astype(jnp.int8)
+
+
 def _int_planes(qt: QTensor) -> jnp.ndarray:
-    """int8 [N, K] view of the stored planes (unpacking p4 if needed)."""
+    """int8 planes in storage orientation (unpacking p4 if needed)."""
     if qt.layout == "p4":
-        return _unpack_p4_jnp(qt.qs, qt.pack_tk, qt.zp)
+        if qt.kmajor:
+            return _unpack_p4_kmajor(qt.qs, qt.pack_tk, qt.zp)
+        return _unpack_p4_rows(qt.qs, qt.pack_tk, qt.zp)
     return qt.qs
 
 
-def _dequant_rows(qt: QTensor, dtype) -> jnp.ndarray:
-    """[N, K] dequantized weight (scales applied groupwise, mins subtracted).
-    Stored scales/mins are K-major [K//gs, N]."""
+def _dequant_w(qt: QTensor, dtype) -> jnp.ndarray:
+    """Dequantized weight in storage orientation ([K, N] kmajor / [N, K] rows)."""
     qi = _int_planes(qt)
-    n, k = qi.shape
     g = qt.group_size
+    if qt.kmajor:
+        k, n = qi.shape
+        q = qi.astype(dtype).reshape(k // g, g, n)
+        w = q * qt.scales.astype(dtype)[:, None, :]
+        if qt.mins is not None:
+            w = w - qt.mins.astype(dtype)[:, None, :]
+        return w.reshape(k, n)
+    n, k = qi.shape
     q = qi.astype(dtype).reshape(n, k // g, g)
-    w = q * qt.scales.astype(dtype).T[..., None]
+    w = q * qt.scales.astype(dtype)[..., None]
     if qt.mins is not None:
-        w = w - qt.mins.astype(dtype).T[..., None]
+        w = w - qt.mins.astype(dtype)[..., None]
     return w.reshape(n, k)
 
 
@@ -74,13 +92,12 @@ def _pick_tile(n: int, options=(256, 128)) -> int | None:
     return None
 
 
-def _pallas_ok(qt: QTensor, k: int) -> bool:
-    if _BACKEND == "xla":
+def _pallas_ok(qt: QTensor, k: int, b: int) -> bool:
+    if _BACKEND == "xla" or not qt.kmajor:
         return False
     if _BACKEND == "auto" and jax.default_backend() not in ("tpu",):
         return False
-    n = qt.out_features
-    if _pick_tile(n) is None:
+    if _pick_tile(qt.out_features) is None:
         return False
     if qt.layout == "p4":
         return k % qt.pack_tk == 0
@@ -89,7 +106,7 @@ def _pallas_ok(qt: QTensor, k: int) -> bool:
 
 
 def _group_correction(x2: jnp.ndarray, qt: QTensor, y: jnp.ndarray, dtype):
-    """y -= groupsum(x) @ mins   (mins stored [K//gs, N])."""
+    """y -= groupsum(x) @ mins   (mins [K//gs, N])."""
     if qt.mins is None:
         return y
     b, k = x2.shape
@@ -108,18 +125,19 @@ def qmm(
     dtype=None,
     out_dtype=None,
 ) -> jnp.ndarray:
-    """y[..., n] = sum_k x[..., k] * W[n, k]   (W row-major [N, K]).
+    """y[..., n] = sum_k x[..., k] * W[k, n].
 
-    Accepts a dense jnp array [N, K] or a QTensor. Accumulates in f32.
+    Accepts a QTensor (any layout) or a dense jnp array [N, K] (row-major,
+    as GGUF/converters produce dense weights). Accumulates in f32.
     """
     dtype = dtype or _DEFAULT_DTYPE
     lead = x.shape[:-1]
     k = x.shape[-1]
 
     if isinstance(w, QTensor):
-        if _pallas_ok(w, k):
-            x2 = x.reshape(-1, k)
-            b = x2.shape[0]
+        x2 = x.reshape(-1, k)
+        b = x2.shape[0]
+        if _pallas_ok(w, k, b):
             pad = (-b) % 8
             if pad:
                 x2 = jnp.pad(x2, ((0, pad), (0, 0)))
@@ -134,31 +152,15 @@ def qmm(
             y = _group_correction(x2, w, y, dtype)
             if pad:
                 y = y[:b]
-            y = y.reshape(*lead, -1)
-        elif w.mins is not None:
-            # symmetric part + group-sum correction (keeps dequant mul-only)
-            qi = _int_planes(w)
-            n, _ = qi.shape
-            g = w.group_size
-            ws = (qi.astype(dtype).reshape(n, k // g, g) * w.scales.astype(dtype).T[..., None]).reshape(n, k)
-            y = jax.lax.dot_general(
-                x.astype(dtype), ws,
-                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            xg = x.astype(jnp.float32).reshape(*lead, k // g, g).sum(-1)
-            y = y - jax.lax.dot_general(
-                xg.astype(dtype), w.mins.astype(dtype),
-                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
         else:
-            wd = _dequant_rows(w, dtype)
+            wd = _dequant_w(w, dtype)  # [K, N] or [N, K]
+            contract = (0,) if w.kmajor else (1,)
             y = jax.lax.dot_general(
-                x.astype(dtype), wd,
-                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                x2.astype(dtype), wd,
+                dimension_numbers=(((1,), contract), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        y = y.reshape(*lead, -1)
     else:
         y = jax.lax.dot_general(
             x.astype(w.dtype) if w.dtype != jnp.float32 else x.astype(jnp.float32),
@@ -172,20 +174,21 @@ def qmm(
 
 
 def qembed(w: QTensor | jnp.ndarray, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    """Row gather + dequant: embeddings for token ids. w rows = vocab."""
+    """Row gather + dequant: embeddings for token ids. w rows = vocab
+    (QTensor with kmajor=False, or dense [V, K])."""
     dtype = dtype or _DEFAULT_DTYPE
     if isinstance(w, QTensor):
+        assert not w.kmajor, "embedding tables must use the rows layout"
         qrows = jnp.take(w.qs, ids, axis=0)
         if w.layout == "p4":
-            qrows = _unpack_p4_jnp(qrows, w.pack_tk, w.zp)
+            qrows = _unpack_p4_rows(qrows, w.pack_tk, w.zp)
         q = qrows.astype(jnp.float32)
-        s = jnp.take(w.scales, ids, axis=1).astype(jnp.float32)  # [G, T]
-        s = jnp.moveaxis(s, 0, -1)  # [T, G]
+        s = jnp.take(w.scales, ids, axis=0).astype(jnp.float32)
         g = w.group_size
         k = q.shape[-1]
         out = q.reshape(*q.shape[:-1], k // g, g) * s[..., None]
         if w.mins is not None:
-            m = jnp.moveaxis(jnp.take(w.mins, ids, axis=1), 0, -1).astype(jnp.float32)
+            m = jnp.take(w.mins, ids, axis=0).astype(jnp.float32)
             out = out - m[..., None]
         return out.reshape(*q.shape[:-1], k).astype(dtype)
     return jnp.take(w, ids, axis=0).astype(dtype)

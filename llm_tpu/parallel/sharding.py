@@ -70,8 +70,8 @@ def _spec_for(key: str, leaf, mesh: Mesh):
         return _replicated(leaf, mesh)
     if isinstance(leaf, QTensor):
         n_ax, k_ax = spec[0], spec[1]
-        p_q = P(n_ax, k_ax)
-        p_s = P(k_ax, n_ax)  # scales/mins are stored K-major
+        p_q = P(k_ax, n_ax) if leaf.kmajor else P(n_ax, k_ax)
+        p_s = P(k_ax, n_ax) if leaf.kmajor else P(n_ax, k_ax)
         ok = (
             _fits(mesh, leaf.qs.shape, p_q)
             and _fits(mesh, leaf.scales.shape, p_s)
@@ -85,6 +85,7 @@ def _spec_for(key: str, leaf, mesh: Mesh):
             mins=NamedSharding(mesh, p_s) if leaf.mins is not None else None,
             group_size=leaf.group_size, ggml_type=leaf.ggml_type,
             layout=leaf.layout, zp=leaf.zp, pack_tk=leaf.pack_tk,
+            kmajor=leaf.kmajor,
         )
     nd = getattr(leaf, "ndim", 0)
     spec_t = tuple(spec)[:nd] if nd else ()
@@ -101,6 +102,7 @@ def _replicated(leaf, mesh: Mesh):
             qs=r, scales=r, mins=r if leaf.mins is not None else None,
             group_size=leaf.group_size, ggml_type=leaf.ggml_type,
             layout=leaf.layout, zp=leaf.zp, pack_tk=leaf.pack_tk,
+            kmajor=leaf.kmajor,
         )
     return NamedSharding(mesh, P())
 

@@ -7,7 +7,8 @@ TPU-first decomposition done once at load:
     W[k, n]  =  qs[k, n] * scales[k//gs, n]  -  mins[k//gs, n]
 
   * `qs` — small integers (int8; optionally nibble-packed for 4-bit types),
-    laid out [K, N] so the matmul contraction dim is the sublane dim.
+    laid out K-major [K, N] so the matmul contraction dim is the sublane
+    dim and the lane dim is the (128-aligned) output-feature dim.
   * `scales` — effective per-group scale (e.g. Q4_K: d * 6-bit sub-scale,
     already multiplied out from the super-block encoding).
   * `mins` — effective per-group offset (zero-point) term, or None for
@@ -42,44 +43,47 @@ from .codecs import (
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qs", "scales", "mins"],
-    meta_fields=["group_size", "ggml_type", "layout", "zp", "pack_tk"],
+    meta_fields=["group_size", "ggml_type", "layout", "zp", "pack_tk", "kmajor"],
 )
 @dataclass
 class QTensor:
-    """Device planes for a quantized matrix, stored row-major like GGUF:
-    rows are output channels, columns the contraction (input) dim.
+    """Device planes for a quantized matrix.
 
-        W[n, k] = (q[n, k] - zp) * scales[k//gs, n] - mins[k//gs, n]
+    Matmul weights are stored K-MAJOR (kmajor=True), the TPU-native layout:
 
-    Scales/mins are stored K-major ([K//gs, N]) so the Pallas matmul kernel
-    can tile them directly (lane dim = N >= 128) and the zero-point
-    correction matmul needs no transpose.
+        W[k, n] = (q[k, n] - zp) * scales[k//gs, n] - mins[k//gs, n]
 
-    One layout serves matmul (y = x @ W^T), embedding gather (rows), and the
-    tied lm_head, and needs no load-time transpose of multi-GiB tensors.
+    so in the Pallas kernel the lane (last) dim is the output-feature dim
+    (>= 128) and expanding per-group scales along K is a sublane reshape —
+    the only reshape kind Mosaic supports. The contraction runs over
+    sublanes, exactly how the MXU wants its stationary operand.
 
-    layout "i8": qs int8 [N, K] holds q - zp directly (zp folded, zp == 0).
-    layout "p4": qs uint8 [N, K//2] nibble-packed for the Pallas kernel
-    (pairing stride pack_tk — see ops/pallas_qmm.py); zp subtracted in-kernel.
+    Embedding tables use kmajor=False ("rows" layout: qs [V, K], scales
+    [V, K//gs]) so token gathers are row gathers; the tied lm_head gets a
+    separate K-major copy at load.
+
+    layout "i8": int8 planes. layout "p4": uint8 nibble-packed along K with
+    pairing stride pack_tk (see ops/pallas_qmm.py); zp subtracted in-kernel.
     """
 
-    qs: jax.Array
-    scales: jax.Array  # f32 [K//gs, N]
-    mins: jax.Array | None  # f32 [K//gs, N] or None
+    qs: jax.Array  # kmajor: [K(/2), N]; rows: [N, K(/2)]
+    scales: jax.Array  # kmajor: [K//gs, N]; rows: [N, K//gs]
+    mins: jax.Array | None
     group_size: int
     ggml_type: GGMLType
     layout: str = "i8"
     zp: int = 0
-    pack_tk: int = 512
+    pack_tk: int = 256
+    kmajor: bool = True
 
     @property
     def in_features(self) -> int:
-        k = self.qs.shape[-1]
+        k = self.qs.shape[0] if self.kmajor else self.qs.shape[-1]
         return k * 2 if self.layout == "p4" else k
 
     @property
     def out_features(self) -> int:
-        return self.qs.shape[0]
+        return self.qs.shape[-1] if self.kmajor else self.qs.shape[0]
 
 
 def planes_from_raw(raw: np.ndarray, ggml_type: GGMLType, n_per_row: int):
@@ -254,13 +258,15 @@ def qtensor_from_gguf(
     device=None,
     scales_dtype=np.float32,
     pack4: bool = True,
+    kmajor: bool = True,
 ) -> QTensor:
     """Build a QTensor from raw GGUF tensor bytes.
 
     GGUF weight matrices have ne=(K, N): N rows (output channels) of length
-    K (the contraction dim). Planes keep that row-major layout: [N, K].
-    4-bit types are nibble-packed ("p4") when the row length allows, halving
-    HBM traffic in the Pallas matmul kernel.
+    K (the contraction dim). Matmul weights are transposed to K-major at
+    load; embedding tables pass kmajor=False to keep the row layout.
+    4-bit types are nibble-packed ("p4"), halving HBM traffic in the
+    Pallas matmul kernel.
     """
     t = GGMLType(ggml_type)
     if len(ne_shape) == 1:
@@ -273,28 +279,41 @@ def qtensor_from_gguf(
         ne_shape = (ne_shape[0], n)
     K, N = int(ne_shape[0]), int(ne_shape[1])
     q, scales, mins, gs = planes_from_raw(raw, t, K)
-    q, scales, mins = _finalize_rows(q, scales, mins, gs, N, K)
+    q, scales, mins = _finalize_rows(q, scales, mins, gs, N, K)  # [N, K] rows
     put = partial(jax.device_put, device=device)
 
-    layout, zp, pack_tk = "i8", 0, 512
-    if pack4 and t in _PACK4 and K % 256 == 0:
-        from ..ops.pallas_qmm import pack_p4
-
+    layout, zp, pack_tk = "i8", 0, 256
+    do_pack = pack4 and t in _PACK4 and K % 256 == 0
+    if do_pack:
         zp = _PACK4[t]
-        # 256 keeps nibble-pair tiles intact under TP sharding of K
-        pack_tk = 256
-        q = pack_p4(q, zp, tile_k=pack_tk)
         layout = "p4"
+
+    if kmajor:
+        q = np.ascontiguousarray(q.T)  # [K, N]
+        if do_pack:
+            from ..ops.pallas_qmm import pack_p4_kmajor
+
+            q = pack_p4_kmajor(q, zp, tile_k=pack_tk)
+        scales = np.ascontiguousarray(scales.T.astype(scales_dtype))
+        mins = np.ascontiguousarray(mins.T.astype(scales_dtype)) if mins is not None else None
+    else:
+        if do_pack:
+            from ..ops.pallas_qmm import pack_p4
+
+            q = pack_p4(q, zp, tile_k=pack_tk)
+        scales = np.ascontiguousarray(scales.astype(scales_dtype))
+        mins = np.ascontiguousarray(mins.astype(scales_dtype)) if mins is not None else None
 
     return QTensor(
         qs=put(np.ascontiguousarray(q)),
-        scales=put(np.ascontiguousarray(scales.T.astype(scales_dtype))),
-        mins=put(np.ascontiguousarray(mins.T.astype(scales_dtype))) if mins is not None else None,
+        scales=put(scales),
+        mins=put(mins) if mins is not None else None,
         group_size=gs,
         ggml_type=t,
         layout=layout,
         zp=zp,
         pack_tk=pack_tk,
+        kmajor=kmajor,
     )
 
 
@@ -308,16 +327,35 @@ def unpack_p4_np(packed: np.ndarray, pack_tk: int, zp: int) -> np.ndarray:
 
 
 def dequantize_qtensor(qt: QTensor) -> np.ndarray:
-    """Reference dequant of the planes (f32 [N, K]) — for tests."""
+    """Reference dequant of the planes — for tests. Returns f32 [N, K]
+    regardless of storage layout."""
     q = np.asarray(qt.qs)
+    if qt.kmajor:
+        if qt.layout == "p4":
+            q = unpack_p4_kmajor_np(q, qt.pack_tk, qt.zp)
+        q = q.T.astype(np.float32)  # -> [N, K]
+        s = np.repeat(np.asarray(qt.scales, np.float32).T, qt.group_size, axis=-1)
+        w = q * s
+        if qt.mins is not None:
+            w = w - np.repeat(np.asarray(qt.mins, np.float32).T, qt.group_size, axis=-1)
+        return w
     if qt.layout == "p4":
         q = unpack_p4_np(q, qt.pack_tk, qt.zp)
     q = q.astype(np.float32)
-    s = np.repeat(np.asarray(qt.scales, np.float32).T, qt.group_size, axis=-1)
+    s = np.repeat(np.asarray(qt.scales, np.float32), qt.group_size, axis=-1)
     w = q * s
     if qt.mins is not None:
-        w = w - np.repeat(np.asarray(qt.mins, np.float32).T, qt.group_size, axis=-1)
+        w = w - np.repeat(np.asarray(qt.mins, np.float32), qt.group_size, axis=-1)
     return w
+
+
+def unpack_p4_kmajor_np(packed: np.ndarray, pack_tk: int, zp: int) -> np.ndarray:
+    """Inverse of ops.pallas_qmm.pack_p4_kmajor: [K//2, N] -> [K, N]."""
+    kh, n = packed.shape
+    half = pack_tk // 2
+    p = packed.reshape(kh // half, half, n).astype(np.int16)
+    q = np.stack([p & 0xF, p >> 4], axis=1)  # [tiles, {lo,hi}, half, N]
+    return (q.reshape(kh * 2, n) - zp).astype(np.int8)
 
 
 def supported_plane_types() -> list[GGMLType]:

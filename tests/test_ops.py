@@ -102,7 +102,8 @@ def test_qembed_matches_rows():
     rng = np.random.default_rng(4)
     V, K = 64, 256
     w = rng.normal(size=(V, K)).astype(np.float32)
-    qt = qtensor_from_gguf(codecs.quantize(w, GGMLType.Q4_K), GGMLType.Q4_K, (K, V))
+    qt = qtensor_from_gguf(codecs.quantize(w, GGMLType.Q4_K), GGMLType.Q4_K, (K, V),
+                           kmajor=False)
     ids = jnp.asarray([0, 5, 63], jnp.int32)
     got = np.asarray(qembed(qt, ids, dtype=jnp.float32))
     want = dequantize_qtensor(qt)[np.asarray(ids)]

@@ -9,9 +9,14 @@ import jax.numpy as jnp
 
 from llm_tpu.gguf.constants import GGMLType
 from llm_tpu.ops import qmatmul
-from llm_tpu.ops.pallas_qmm import pack_p4, qmm_pallas
+from llm_tpu.ops.pallas_qmm import pack_p4, pack_p4_kmajor, qmm_pallas
 from llm_tpu.quant import codecs
-from llm_tpu.quant.qtensor import dequantize_qtensor, qtensor_from_gguf, unpack_p4_np
+from llm_tpu.quant.qtensor import (
+    dequantize_qtensor,
+    qtensor_from_gguf,
+    unpack_p4_kmajor_np,
+    unpack_p4_np,
+)
 
 
 def test_pack_p4_round_trip():
@@ -23,16 +28,26 @@ def test_pack_p4_round_trip():
     np.testing.assert_array_equal(back, q)
 
 
+def test_pack_p4_kmajor_round_trip():
+    rng = np.random.default_rng(0)
+    q = rng.integers(-8, 8, size=(1024, 128), dtype=np.int8)
+    packed = pack_p4_kmajor(q, zp=8, tile_k=256)
+    assert packed.shape == (512, 128)
+    back = unpack_p4_kmajor_np(packed, pack_tk=256, zp=8)
+    np.testing.assert_array_equal(back, q)
+
+
 @pytest.mark.parametrize("layout,zp", [("i8", 0), ("p4", 8)])
 def test_qmm_pallas_interpret_matches_numpy(layout, zp):
     rng = np.random.default_rng(1)
     B, K, N, gs = 8, 1024, 256, 32
-    q = rng.integers(0, 16, size=(N, K)).astype(np.int8) - (zp if layout == "i8" else 0)
-    scales = (rng.random((K // gs, N)).astype(np.float32) + 0.5) * 0.01  # K-major
+    # K-major planes [K, N]
+    q = rng.integers(0, 16, size=(K, N)).astype(np.int8) - (zp if layout == "i8" else 0)
+    scales = (rng.random((K // gs, N)).astype(np.float32) + 0.5) * 0.01
     x = rng.normal(size=(B, K)).astype(np.float32)
 
     if layout == "p4":
-        qs_dev = jnp.asarray(pack_p4(q.astype(np.int16) - zp, zp, 512))
+        qs_dev = jnp.asarray(pack_p4_kmajor(q.astype(np.int16) - zp, zp, 256))
         q_eff = q.astype(np.float32) - zp
     else:
         qs_dev = jnp.asarray(q)
@@ -41,10 +56,10 @@ def test_qmm_pallas_interpret_matches_numpy(layout, zp):
     y = qmm_pallas(
         jnp.asarray(x), qs_dev, jnp.asarray(scales),
         gs=gs, zp=zp if layout == "p4" else 0, layout=layout,
-        tile_n=128, tile_k=512, interpret=True,
+        tile_n=128, tile_k=256, interpret=True,
     )
-    w = q_eff * np.repeat(scales.T, gs, axis=1)
-    want = x.astype(np.float32) @ w.T
+    w = q_eff * np.repeat(scales, gs, axis=0)  # [K, N]
+    want = x.astype(np.float32) @ w
     rel = np.abs(np.asarray(y) - want) / (np.abs(want).max() + 1e-9)
     assert rel.max() < 2e-2  # bf16 mantissa on the dequantized weights
 
@@ -75,8 +90,9 @@ def test_qembed_p4_rows():
     rng = np.random.default_rng(3)
     V, K = 64, 512
     w = rng.normal(size=(V, K)).astype(np.float32)
-    qt = qtensor_from_gguf(codecs.quantize(w, GGMLType.Q4_K), GGMLType.Q4_K, (K, V))
-    assert qt.layout == "p4"
+    qt = qtensor_from_gguf(codecs.quantize(w, GGMLType.Q4_K), GGMLType.Q4_K, (K, V),
+                           kmajor=False)
+    assert qt.layout == "p4" and not qt.kmajor
     ids = jnp.asarray([0, 5, 63], jnp.int32)
     got = np.asarray(qmatmul.qembed(qt, ids, dtype=jnp.float32))
     want = dequantize_qtensor(qt)[np.asarray(ids)]

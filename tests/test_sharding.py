@@ -70,9 +70,10 @@ def test_param_shardings_structure():
     mesh = make_mesh(n_tp=8)
     sh = param_shardings(params, mesh)
     l0 = sh["layers"][0]
-    assert l0["attn_q"].qs.spec == P("tp", None)
-    assert l0["attn_output"].qs.spec == P(None, "tp")
-    assert l0["ffn_down"].qs.spec == P(None, "tp")
+    # K-major planes: output-feature shard is on the lane (last) dim
+    assert l0["attn_q"].qs.spec == P(None, "tp")
+    assert l0["attn_output"].qs.spec == P("tp", None)
+    assert l0["ffn_down"].qs.spec == P("tp", None)
     assert sh["output_norm"].spec == P()
 
 
