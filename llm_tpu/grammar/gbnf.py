@@ -71,7 +71,7 @@ class _Parser:
 
     def _name(self) -> str:
         start = self.pos
-        while self._peek().isalnum() or self._peek() in "-_":
+        while self._peek() and (self._peek().isalnum() or self._peek() in "-_"):
             self.pos += 1
         if start == self.pos:
             raise GrammarError(f"expected rule name at {self.pos}")
@@ -149,7 +149,7 @@ class _Parser:
             alts = self._alternates(rule_name)
             self._expect(")")
             return [Ref(self._new_rule(rule_name, alts))]
-        if c.isalnum() or c in "-_":
+        if c and (c.isalnum() or c in "-_"):
             return [Ref(self._name())]
         if c == ".":
             self.pos += 1
@@ -159,7 +159,7 @@ class _Parser:
     def _repeat(self, rule_name: str, seq: list[Atom]) -> list[Atom]:
         """Apply a trailing ?/*/+/{m,n} operator to the last atom."""
         c = self._peek()
-        if c not in "?*+{":
+        if not c or c not in "?*+{":
             return seq
         target = [seq[-1]]
         rest = seq[:-1]
@@ -182,7 +182,7 @@ class _Parser:
         # {m}, {m,}, {m,n}
         self.pos += 1
         start = self.pos
-        while self._peek() not in "},":
+        while self._peek() and self._peek() not in "},":
             self.pos += 1
         m = int(self.text[start : self.pos] or "0")
         n = None
@@ -208,13 +208,29 @@ class _Parser:
                 out.append(Ref(name))
         return out
 
+    def _at_rule_end(self) -> bool:
+        """A newline ends the rule only if what follows is a new rule
+        definition or EOF (GBNF allows multi-line rule bodies)."""
+        save = self.pos
+        self._ws(newlines=True)
+        end = not self._peek() or self._lookahead_rule_def()
+        self.pos = save
+        return end
+
     def _sequence(self, rule_name: str) -> list[Atom]:
         seq: list[Atom] = []
         while True:
             self._ws(newlines=False)
             c = self._peek()
-            if c in ")|\n" or not c:
+            if c in ")|" or not c:
                 break
+            if c == "\n":
+                if self._at_rule_end():
+                    break
+                self._ws(newlines=True)
+                if self._peek() in ")|":
+                    break
+                continue
             if self._lookahead_rule_def():
                 break
             atoms = self._atom(rule_name)
@@ -222,7 +238,7 @@ class _Parser:
                 break
             seq.extend(atoms)
             self._ws(newlines=False)
-            while self._peek() in "?*+{":
+            while self._peek() and self._peek() in "?*+{":
                 seq = self._repeat(rule_name, seq)
         return seq
 
@@ -242,14 +258,15 @@ class _Parser:
 
     def _alternates(self, rule_name: str) -> list[list[Atom]]:
         alts = [self._sequence(rule_name)]
-        self._ws(newlines=False)
-        while self._peek() == "|" or self.text.startswith("\n|", self.pos):
-            if self._peek() == "\n":
-                self.pos += 1
-                self._ws(newlines=False)
-            self._expect("|")
-            alts.append(self._sequence(rule_name))
-            self._ws(newlines=False)
+        while True:
+            save = self.pos
+            self._ws(newlines=True)
+            if self._peek() == "|":
+                self._expect("|")
+                alts.append(self._sequence(rule_name))
+            else:
+                self.pos = save
+                break
         return alts
 
     def parse(self) -> dict[str, list[list[Atom]]]:
