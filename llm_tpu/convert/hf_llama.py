@@ -25,6 +25,21 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
     )
 
 
+# gemma2-style layer naming (pre/post norms around both blocks)
+_HF_GEMMA2_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "attn_post_norm.weight",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "ffn_post_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
 _HF_LAYER_MAP = {
     "input_layernorm.weight": "attn_norm.weight",
     "self_attn.q_proj.weight": "attn_q.weight",
@@ -60,6 +75,9 @@ def convert_hf_llama(
     n_kv = getattr(hf_cfg, "num_key_value_heads", n_head)
     head_dim = getattr(hf_cfg, "head_dim", None) or hf_cfg.hidden_size // n_head
 
+    is_gemma2 = arch == "gemma2"
+    layer_map = _HF_GEMMA2_MAP if is_gemma2 else _HF_LAYER_MAP
+
     w = GGUFWriter(path, arch=arch)
     a = arch
     w.add_kv(Keys.General.NAME, getattr(hf_cfg, "name_or_path", "hf-model") or "hf-model")
@@ -75,6 +93,15 @@ def convert_hf_llama(
     w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(getattr(hf_cfg, "rope_theta", 10000.0)))
     w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), int(head_dim))
     w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if is_gemma2:
+        w.add_kv("gemma2.attn_logit_softcapping",
+                 float(getattr(hf_cfg, "attn_logit_softcapping", 50.0)))
+        w.add_kv("gemma2.final_logit_softcapping",
+                 float(getattr(hf_cfg, "final_logit_softcapping", 30.0)))
+        w.add_kv(Keys.Attention.SLIDING_WINDOW.format(arch=a),
+                 int(getattr(hf_cfg, "sliding_window", 4096)))
+        qpas = float(getattr(hf_cfg, "query_pre_attn_scalar", head_dim))
+        w.add_kv(Keys.Attention.SCALE.format(arch=a), qpas ** -0.5)
 
     if vocab:
         for key, val in vocab.items():
@@ -83,6 +110,8 @@ def convert_hf_llama(
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
 
     def put(name: str, arr: np.ndarray):
+        if is_gemma2 and ("norm" in name):
+            arr = arr + 1.0  # gemma stores (1 + w) on disk
         w.add_tensor(name, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
 
     put("token_embd.weight", sd["model.embed_tokens.weight"])
@@ -90,10 +119,10 @@ def convert_hf_llama(
     if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", False):
         put("output.weight", sd["lm_head.weight"])
 
-    permute = arch in ("llama",)  # NORM-rope archs store permuted q/k
+    permute = arch in ("llama", "mixtral")  # NORM-rope archs store permuted q/k
     for il in range(hf_cfg.num_hidden_layers):
         pre = f"model.layers.{il}."
-        for hf_suffix, gg_suffix in _HF_LAYER_MAP.items():
+        for hf_suffix, gg_suffix in layer_map.items():
             key = pre + hf_suffix
             if key not in sd:
                 continue

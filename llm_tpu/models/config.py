@@ -137,11 +137,31 @@ def config_from_gguf(reader) -> ModelConfig:
         context_length=ctx_len,
     )
 
-    # per-arch adjustments
+    # per-arch adjustments (parity: load_hparams per-arch cases,
+    # /root/reference/src/llama-model.cpp)
     if arch in ("qwen2", "qwen2moe"):
         cfg = replace(cfg, attn_bias=True)
     if arch in ("qwen3", "qwen3moe"):
         cfg = replace(cfg, qk_norm=True)
+    if arch in ("gemma", "gemma2", "gemma3"):
+        cfg = replace(cfg, act="gelu", embedding_scale=float(n_embd) ** 0.5)
     if arch == "gemma2":
-        cfg = replace(cfg, attn_softcap=50.0, final_softcap=30.0, swa_pattern=2)
+        # 27B (46 layers) scales by n_embd/n_head (llama-model.cpp:999)
+        attn_scale = (
+            (n_embd / n_heads) ** -0.5 if n_layers == 46 else head_dim ** -0.5
+        )
+        cfg = replace(
+            cfg,
+            swa_window=int(_ak(reader, Keys.Attention.SLIDING_WINDOW, 4096) or 4096),
+            swa_pattern=2,
+            attn_softcap=float(_ak(reader, "{arch}.attn_logit_softcapping", 50.0) or 50.0),
+            final_softcap=float(_ak(reader, "{arch}.final_logit_softcapping", 30.0) or 30.0),
+            attn_scale=attn_scale,
+        )
+    if arch == "gemma3":
+        cfg = replace(cfg, qk_norm=True, swa_pattern=6,
+                      attn_scale=float(_ak(reader, Keys.Attention.SCALE, 0.0625) or 0.0625))
+    explicit_scale = _ak(reader, Keys.Attention.SCALE)
+    if explicit_scale is not None and arch not in ("gemma3",):
+        cfg = replace(cfg, attn_scale=float(explicit_scale))
     return cfg

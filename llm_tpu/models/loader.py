@@ -17,7 +17,7 @@ import numpy as np
 from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFReader
 from ..quant.codecs import dequantize_tensor
-from ..quant.qtensor import qtensor_from_gguf, supported_plane_types
+from ..quant.qtensor import concat_qtensors, qtensor_from_gguf, supported_plane_types
 from .config import ModelConfig, config_from_gguf
 
 _BLK_RE = re.compile(r"^blk\.(\d+)\.(.+?)\.(weight|bias)$")
@@ -41,10 +41,40 @@ def _load_matrix(reader: GGUFReader, name: str, dense_dtype, use_planes: bool,
     return _to_dense(reader, name, dense_dtype)
 
 
+def _fuse_projections(layers: list[dict]) -> None:
+    """Fuse QKV and gate+up into single QTensors when the quant recipes
+    match — fewer, larger fused-matmul launches (decode is launch-bound at
+    small batch). The forward graph slices the fused outputs."""
+    import jax
+
+    for layer in layers:
+        if all(k in layer for k in ("attn_q", "attn_k", "attn_v")):
+            fused = (
+                concat_qtensors([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
+                if all(not isinstance(layer[k], jax.Array)
+                       for k in ("attn_q", "attn_k", "attn_v"))
+                else None
+            )
+            if fused is not None:
+                layer["attn_qkv_fused"] = fused
+                del layer["attn_q"], layer["attn_k"], layer["attn_v"]
+        if "ffn_gate" in layer and "ffn_up" in layer:
+            fused = (
+                concat_qtensors([layer["ffn_gate"], layer["ffn_up"]])
+                if not isinstance(layer["ffn_gate"], jax.Array)
+                and not isinstance(layer["ffn_up"], jax.Array)
+                else None
+            )
+            if fused is not None:
+                layer["ffn_gateup_fused"] = fused
+                del layer["ffn_gate"], layer["ffn_up"]
+
+
 def load_params(
     reader: GGUFReader,
     dense_dtype=jnp.bfloat16,
     use_planes: bool = True,
+    fuse: bool = True,
 ) -> tuple[dict, ModelConfig]:
     """Returns (params, config). params layout documented in
     models/transformer.py::forward."""
@@ -94,4 +124,6 @@ def load_params(
             params["output"] = _load_matrix(
                 reader, "token_embd.weight", dense_dtype, use_planes, kmajor=True)
     params.setdefault("output", None)
+    if fuse and use_planes:
+        _fuse_projections(layers)
     return params, cfg

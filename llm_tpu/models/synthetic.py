@@ -118,6 +118,7 @@ def make_synthetic_model(
     dtype=jnp.bfloat16,
     on_device: bool = False,
     scales_dtype=jnp.float32,
+    fuse: bool = True,
 ) -> tuple[dict, ModelConfig]:
     """Build (params, cfg) for a llama-shaped model with random weights."""
     import jax
@@ -187,6 +188,10 @@ def make_synthetic_model(
         "output": mat(vocab, n_embd),
         "output_norm": vec(n_embd),
     }
+    if fuse and qtype is not None:
+        from .loader import _fuse_projections
+
+        _fuse_projections(layers)
     return params, cfg
 
 

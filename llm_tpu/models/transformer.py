@@ -43,6 +43,12 @@ def _maybe_add(x, b):
 
 def _ffn(h, layer, cfg: ModelConfig):
     act = ACTIVATIONS[cfg.act]
+    if "ffn_gateup_fused" in layer:
+        gu = qmm(h, layer["ffn_gateup_fused"])
+        ng = cfg.n_ff
+        g, up = gu[:, :ng], gu[:, ng:]
+        cur = (act(g) * up).astype(h.dtype)
+        return qmm(cur, layer["ffn_down"], out_dtype=h.dtype)
     gate = layer.get("ffn_gate")
     up = qmm(h, layer["ffn_up"], out_dtype=h.dtype)
     if gate is not None:
@@ -125,9 +131,17 @@ def forward(
     for il, layer in enumerate(params["layers"]):
         h = _norm(x, layer.get("attn_norm"), cfg)
 
-        q = _maybe_add(qmm(h, layer["attn_q"], out_dtype=dtype), layer.get("attn_q_b"))
-        k = _maybe_add(qmm(h, layer["attn_k"], out_dtype=dtype), layer.get("attn_k_b"))
-        v = _maybe_add(qmm(h, layer["attn_v"], out_dtype=dtype), layer.get("attn_v_b"))
+        if "attn_qkv_fused" in layer:
+            qkv = qmm(h, layer["attn_qkv_fused"], out_dtype=dtype)
+            nq, nk = H * Dk, Hkv * Dk
+            q, k, v = qkv[:, :nq], qkv[:, nq : nq + nk], qkv[:, nq + nk :]
+            q = _maybe_add(q, layer.get("attn_q_b"))
+            k = _maybe_add(k, layer.get("attn_k_b"))
+            v = _maybe_add(v, layer.get("attn_v_b"))
+        else:
+            q = _maybe_add(qmm(h, layer["attn_q"], out_dtype=dtype), layer.get("attn_q_b"))
+            k = _maybe_add(qmm(h, layer["attn_k"], out_dtype=dtype), layer.get("attn_k_b"))
+            v = _maybe_add(qmm(h, layer["attn_v"], out_dtype=dtype), layer.get("attn_v_b"))
         q = q.reshape(T, H, Dk)
         k = k.reshape(T, Hkv, Dk)
         v = v.reshape(T, Hkv, Dv)
@@ -152,7 +166,10 @@ def forward(
             softcap=cfg.attn_softcap,
         )
         att = att.reshape(T, H * Dv)
-        x = x + qmm(att, layer["attn_output"], out_dtype=dtype)
+        attn_out = qmm(att, layer["attn_output"], out_dtype=dtype)
+        if "attn_post_norm" in layer:  # gemma2-style post-norm before residual
+            attn_out = _norm(attn_out, layer["attn_post_norm"], cfg)
+        x = x + attn_out
 
         h2 = _norm(x, layer.get("ffn_norm"), cfg)
         if cfg.n_expert > 0 and "ffn_gate_inp" in layer:
@@ -169,6 +186,8 @@ def forward(
                 )
         else:
             ffn_out = _ffn(h2, layer, cfg)
+        if "ffn_post_norm" in layer:
+            ffn_out = _norm(ffn_out, layer["ffn_post_norm"], cfg)
         x = x + ffn_out
 
     x = _norm(x, params.get("output_norm"), cfg)

@@ -68,17 +68,22 @@ def _qmm_kernel_i8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs, zp, cdtype):
         o_ref[...] = acc_ref[...]
 
 
-def _qmm_kernel_p4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs, zp, cdtype):
+def _qmm_kernel_p4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs, zp, cdtype, ptk):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = q_ref[...].astype(jnp.int32)  # (TK//2, TN)
-    lo = (packed & 0xF).astype(jnp.float32)
-    hi = (packed >> 4).astype(jnp.float32)
-    q = jnp.concatenate([lo, hi], axis=0)  # (TK, TN): k-contiguous halves
+    packed = q_ref[...].astype(jnp.int32)  # (TK//2, TN), TK = m * ptk
+    kh, tn = packed.shape
+    half = ptk // 2
+    m = kh // half
+    p3 = packed.reshape(m, half, tn)  # sublane-only reshape
+    lo = (p3 & 0xF).astype(jnp.float32)
+    hi = (p3 >> 4).astype(jnp.float32)
+    # per pack-tile: [lo half | hi half] along K, tiles stay in order
+    q = jnp.concatenate([lo, hi], axis=1).reshape(m * ptk, tn)
     w = _dequant_w(q, s_ref, gs, zp, cdtype)
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...].astype(cdtype), w,
@@ -117,12 +122,18 @@ def qmm_pallas(
     assert tile_k % gs == 0
 
     grid = (N // tile_n, K // tile_k)
-    kernel = _qmm_kernel_p4 if layout == "p4" else _qmm_kernel_i8
     cdtype = jnp.dtype(compute_dtype)
     kfac = 2 if layout == "p4" else 1
+    if layout == "p4":
+        assert tile_k % PACK_TK == 0
+        kernel = functools.partial(
+            _qmm_kernel_p4, gs=gs, zp=zp, cdtype=cdtype, ptk=PACK_TK
+        )
+    else:
+        kernel = functools.partial(_qmm_kernel_i8, gs=gs, zp=zp, cdtype=cdtype)
 
     return pl.pallas_call(
-        functools.partial(kernel, gs=gs, zp=zp, cdtype=cdtype),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),

@@ -364,3 +364,38 @@ def supported_plane_types() -> list[GGMLType]:
         GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
         GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS,
     ]
+
+
+def concat_qtensors(tensors: list) -> "QTensor | None":
+    """Concatenate K-major QTensors along the output dim (lane axis) — used
+    to fuse QKV / gate+up projections into one kernel launch. Returns None
+    when the planes are incompatible (mixed quant recipes)."""
+    import jax.numpy as jnp
+
+    first = tensors[0]
+    if not all(isinstance(t, QTensor) for t in tensors):
+        return None
+    for t in tensors:
+        if (
+            not t.kmajor
+            or t.layout != first.layout
+            or t.group_size != first.group_size
+            or t.zp != first.zp
+            or t.pack_tk != first.pack_tk
+            or t.qs.shape[0] != first.qs.shape[0]
+            or t.scales.dtype != first.scales.dtype
+            or (t.mins is None) != (first.mins is None)
+        ):
+            return None
+    return QTensor(
+        qs=jnp.concatenate([t.qs for t in tensors], axis=1),
+        scales=jnp.concatenate([t.scales for t in tensors], axis=1),
+        mins=jnp.concatenate([t.mins for t in tensors], axis=1)
+        if first.mins is not None else None,
+        group_size=first.group_size,
+        ggml_type=first.ggml_type,
+        layout=first.layout,
+        zp=first.zp,
+        pack_tk=first.pack_tk,
+        kmajor=True,
+    )

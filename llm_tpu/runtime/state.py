@@ -1,0 +1,98 @@
+"""Context state serialization: full-context and per-sequence.
+
+Parity target: llama_state_get/set_data + llama_state_{load,save}_file and
+the per-sequence variants llama_state_seq_* (/root/reference/include/
+llama.h:813-900, impl src/llama-context.cpp:1556-1898) used for CLI prompt
+caching (--prompt-cache) and server slot save/restore (/slots/:id).
+
+Format: npz with cell metadata + KV rows (+ token history for prefix
+matching), independent of cache capacity so states move between contexts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAGIC = "llm_tpu_state_v1"
+
+
+def state_save(ctx, path: str, tokens: list[int] | None = None) -> None:
+    """Full context state: all occupied cells + their KV rows."""
+    used = np.flatnonzero(ctx.cells.seq_bits != 0).astype(np.int32)
+    data = {
+        "magic": np.asarray(MAGIC),
+        "pos": ctx.cells.pos[used],
+        "seq_bits": ctx.cells.seq_bits[used],
+        "tokens": np.asarray(tokens if tokens is not None else [], np.int32),
+        "n_layers": np.asarray(ctx.cfg.n_layers),
+    }
+    for il in range(ctx.cfg.n_layers):
+        data[f"k{il}"] = np.asarray(ctx.kv.k[il][used]).astype(np.float32)
+        data[f"v{il}"] = np.asarray(ctx.kv.v[il][used]).astype(np.float32)
+    np.savez_compressed(path, **data)
+
+
+def state_load(ctx, path: str) -> list[int]:
+    """Restore a full-context state; returns the saved token history."""
+    import jax.numpy as jnp
+
+    d = np.load(path, allow_pickle=False)
+    if str(d["magic"]) != MAGIC:
+        raise ValueError("not a llm_tpu state file")
+    if int(d["n_layers"]) != ctx.cfg.n_layers:
+        raise ValueError("layer count mismatch")
+    n = len(d["pos"])
+    ctx.clear()
+    slots = ctx.cells.find_slots(n)
+    if slots is None:
+        raise ValueError(f"cache too small for saved state ({n} cells)")
+    ctx.cells.pos[slots] = d["pos"]
+    ctx.cells.seq_bits[slots] = d["seq_bits"]
+    idx = jnp.asarray(slots)
+    for il in range(ctx.cfg.n_layers):
+        kd = jnp.asarray(d[f"k{il}"], ctx.kv.k[il].dtype)
+        vd = jnp.asarray(d[f"v{il}"], ctx.kv.v[il].dtype)
+        ctx.kv.k[il] = ctx.kv.k[il].at[idx].set(kd)
+        ctx.kv.v[il] = ctx.kv.v[il].at[idx].set(vd)
+    return [int(t) for t in d["tokens"]]
+
+
+def state_seq_save(ctx, seq_id: int, path: str, tokens: list[int] | None = None) -> None:
+    """Per-sequence state (llama_state_seq_get_data analogue)."""
+    mask = ctx.cells.seq_mask(seq_id)
+    used = np.flatnonzero(mask).astype(np.int32)
+    order = np.argsort(ctx.cells.pos[used], kind="stable")
+    used = used[order]
+    data = {
+        "magic": np.asarray(MAGIC + "_seq"),
+        "pos": ctx.cells.pos[used],
+        "tokens": np.asarray(tokens if tokens is not None else [], np.int32),
+        "n_layers": np.asarray(ctx.cfg.n_layers),
+    }
+    for il in range(ctx.cfg.n_layers):
+        data[f"k{il}"] = np.asarray(ctx.kv.k[il][used]).astype(np.float32)
+        data[f"v{il}"] = np.asarray(ctx.kv.v[il][used]).astype(np.float32)
+    np.savez_compressed(path, **data)
+
+
+def state_seq_load(ctx, seq_id: int, path: str) -> list[int]:
+    """Restore a sequence into `seq_id` (llama_state_seq_set_data)."""
+    import jax.numpy as jnp
+
+    d = np.load(path, allow_pickle=False)
+    if str(d["magic"]) != MAGIC + "_seq":
+        raise ValueError("not a llm_tpu per-seq state file")
+    if int(d["n_layers"]) != ctx.cfg.n_layers:
+        raise ValueError("layer count mismatch")
+    ctx.seq_rm(seq_id)
+    n = len(d["pos"])
+    slots = ctx.cells.find_slots(n)
+    if slots is None:
+        raise ValueError("no KV space for sequence state")
+    ctx.cells.pos[slots] = d["pos"]
+    ctx.cells.seq_bits[slots] = np.uint32(1) << np.uint32(seq_id)
+    idx = jnp.asarray(slots)
+    for il in range(ctx.cfg.n_layers):
+        ctx.kv.k[il] = ctx.kv.k[il].at[idx].set(jnp.asarray(d[f"k{il}"], ctx.kv.k[il].dtype))
+        ctx.kv.v[il] = ctx.kv.v[il].at[idx].set(jnp.asarray(d[f"v{il}"], ctx.kv.v[il].dtype))
+    return [int(t) for t in d["tokens"]]

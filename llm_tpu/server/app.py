@@ -127,6 +127,32 @@ class ServerApp:
             {"content": self.tok.decode([int(t) for t in d.get("tokens", [])])}
         )
 
+    async def slot_action(self, request):
+        """POST /slots/{id}?action=save|restore|erase (server.cpp slot
+        save/restore endpoints)."""
+        from ..runtime.state import state_seq_load, state_seq_save
+
+        sid = int(request.match_info["id"])
+        if not (0 <= sid < self.engine.n_slots):
+            return web.json_response({"error": "invalid slot"}, status=400)
+        action = request.query.get("action", "")
+        d = await request.json()
+        filename = d.get("filename", f"slot{sid}.npz")
+        slot = self.engine.slots[sid]
+        if action == "save":
+            state_seq_save(self.engine.ctx, sid, filename, tokens=slot.cache_tokens)
+            return web.json_response({"saved": filename,
+                                      "n_tokens": len(slot.cache_tokens)})
+        if action == "restore":
+            toks = state_seq_load(self.engine.ctx, sid, filename)
+            slot.cache_tokens = toks
+            return web.json_response({"restored": filename, "n_tokens": len(toks)})
+        if action == "erase":
+            self.engine.ctx.seq_rm(sid)
+            slot.cache_tokens = []
+            return web.json_response({"erased": sid})
+        return web.json_response({"error": "unknown action"}, status=400)
+
     async def slots(self, request):
         out = []
         for s in self.engine.slots:
@@ -280,6 +306,7 @@ class ServerApp:
         app.router.add_get("/props", self.props)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/slots", self.slots)
+        app.router.add_post("/slots/{id}", self.slot_action)
         app.router.add_get("/metrics", self.metrics)
         app.router.add_post("/tokenize", self.tokenize)
         app.router.add_post("/detokenize", self.detokenize)

@@ -29,13 +29,15 @@ def generate(
     n_keep: int = 0,
     antiprompts: tuple[str, ...] = (),
     stream=None,
+    prompt_prefix: int = 0,
 ):
     """Prompt eval + generation loop with context shifting. Returns
-    (tokens, text)."""
+    (tokens, text). prompt_prefix: tokens already in cache (session reuse)."""
     chain = build_chain(sampling, ctx.cfg.vocab_size)
     n_ctx = ctx.n_cells
 
-    rc = ctx.decode(Batch.text(prompt_tokens, seq_id=seq_id))
+    todo = prompt_tokens[prompt_prefix:]
+    rc = ctx.decode(Batch.text(todo, seq_id=seq_id, pos_start=prompt_prefix))
     if rc != 0:
         raise RuntimeError(f"prompt decode failed: rc={rc}")
     for t in prompt_tokens:
@@ -97,6 +99,8 @@ def main(argv=None):
     ap.add_argument("--no-planes", action="store_true",
                     help="dequantize weights to dense at load")
     ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
+    ap.add_argument("--prompt-cache", default=None,
+                    help="session file: restore matching prompt prefix, save on exit")
     ap.add_argument("--verbose-prompt", action="store_true")
     args = ap.parse_args(argv)
 
@@ -121,6 +125,27 @@ def main(argv=None):
         for t in ptoks:
             print(f"{t:8d} -> {tok.piece(t, special=True)!r}", file=sys.stderr)
 
+    # session / prompt cache (llama-cli --prompt-cache, main.cpp:357)
+    session_prefix = 0
+    if args.prompt_cache:
+        import os
+        from ..runtime.state import state_load, state_save
+        if os.path.exists(args.prompt_cache):
+            try:
+                cached = state_load(ctx, args.prompt_cache)
+                n = 0
+                for a, b in zip(cached, ptoks):
+                    if a != b:
+                        break
+                    n += 1
+                n = min(n, len(ptoks) - 1)
+                ctx.seq_rm(0, n, -1)
+                session_prefix = n
+                print(f"prompt cache: reusing {n} tokens", file=sys.stderr)
+            except Exception as e:
+                print(f"prompt cache load failed: {e}", file=sys.stderr)
+                ctx.clear()
+
     sampling = SamplingParams(
         temp=args.temp, top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
         penalty_repeat=args.repeat_penalty,
@@ -129,13 +154,18 @@ def main(argv=None):
 
     sys.stdout.write(prompt)
     sys.stdout.flush()
-    _, _text = generate(
+    out_toks, _text = generate(
         ctx, tok, ptoks, args.n_predict, sampling,
         n_keep=args.n_keep, antiprompts=tuple(args.reverse_prompt),
         stream=lambda s: (sys.stdout.write(s), sys.stdout.flush()),
+        prompt_prefix=session_prefix,
     )
     print()
     print(ctx.perf.summary(), file=sys.stderr)
+    if args.prompt_cache:
+        from ..runtime.state import state_save
+        state_save(ctx, args.prompt_cache, tokens=ptoks + out_toks)
+        print(f"prompt cache saved to {args.prompt_cache}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,69 @@
+"""Multi-architecture oracle tests: tiny random HF models (qwen2, qwen3,
+gemma2) converted to GGUF must reproduce transformers' logits — validating
+per-arch config (NEOX rope, qk-norm, softcaps, post-norms, SWA, embedding
+scaling)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from llm_tpu.convert.hf_llama import convert_hf_llama
+from llm_tpu.gguf.reader import GGUFReader
+from llm_tpu.models.loader import load_params
+from llm_tpu.models.transformer import forward
+
+from test_model_vs_hf import _run_ours
+
+
+def _check(model, arch, tmp_path, T=9, atol=3e-3):
+    path = str(tmp_path / f"{arch}.gguf")
+    convert_hf_llama(model, path, arch=arch)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, model.config.vocab_size, size=T).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = model(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=atol, rtol=atol)
+
+
+def test_qwen2(tmp_path):
+    cfg = transformers.Qwen2Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.Qwen2ForCausalLM(cfg).eval()
+    _check(m, "qwen2", tmp_path)
+
+
+def test_qwen3(tmp_path):
+    cfg = transformers.Qwen3Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=24, max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.Qwen3ForCausalLM(cfg).eval()
+    _check(m, "qwen3", tmp_path)
+
+
+def test_gemma2(tmp_path):
+    cfg = transformers.Gemma2Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        query_pre_attn_scalar=16, sliding_window=8,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    m = transformers.Gemma2ForCausalLM(cfg).eval()
+    # 12 tokens > sliding_window=8 so SWA masking is actually exercised
+    _check(m, "gemma2", tmp_path, T=12, atol=5e-3)

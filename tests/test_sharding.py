@@ -36,7 +36,7 @@ def test_tp8_matches_single_device(qtype):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     params, cfg = make_synthetic_model(
         n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
-        vocab=256, qtype=qtype, dtype=jnp.float32,
+        vocab=256, qtype=qtype, dtype=jnp.float32, fuse=False,
     )
     inputs = _inputs(cfg)
 
@@ -65,7 +65,7 @@ def test_tp8_matches_single_device(qtype):
 def test_param_shardings_structure():
     params, cfg = make_synthetic_model(
         n_embd=256, n_ff=512, n_heads=8, n_kv_heads=8, vocab=256,
-        qtype=GGMLType.Q4_K,
+        qtype=GGMLType.Q4_K, fuse=False,
     )
     mesh = make_mesh(n_tp=8)
     sh = param_shardings(params, mesh)
