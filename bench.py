@@ -70,7 +70,7 @@ def main():
         pos = jnp.arange(T, dtype=jnp.int32)
         seq = jnp.zeros(T, jnp.int32)
         cbits = (cell_idx < T).astype(jnp.uint32)
-        logits, nk, nv = forward(
+        logits, nk, nv, _ = forward(
             params, cfg, list(kv_k), list(kv_v), tokens, pos, seq, pos,
             cell_idx, cbits, jnp.asarray([T - 1], jnp.int32),
         )
@@ -81,7 +81,7 @@ def main():
             tok, kk, vv = carry
             pos = N_PREFILL + i
             cbits = (cell_idx <= pos).astype(jnp.uint32)
-            logits, nk, nv = forward(
+            logits, nk, nv, _ = forward(
                 params, cfg, list(kk), list(vv),
                 tok[None], pos[None].astype(jnp.int32), jnp.zeros(1, jnp.int32),
                 pos[None].astype(jnp.int32), cell_idx, cbits,

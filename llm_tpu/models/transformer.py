@@ -198,4 +198,4 @@ def forward(
         logits = logits * cfg.logit_scale
     if cfg.final_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
-    return logits, new_k, new_v
+    return logits, new_k, new_v, hs.astype(jnp.float32)

@@ -84,6 +84,7 @@ class Context:
         )
         self._steps: dict = {}
         self._logits: dict[int, np.ndarray] = {}  # batch index -> logits row
+        self._embd: dict[int, np.ndarray] = {}  # batch index -> hidden row
         self.perf = PerfCounters()
         self.perf.t_load_ms = (time.perf_counter() - t0) * 1e3
 
@@ -116,6 +117,7 @@ class Context:
                     return -1
         batch = sanitize(batch, self.cells)
         self._logits.clear()
+        self._embd.clear()
 
         for ub in split_simple(batch, self.n_ubatch):
             n = len(ub.tokens)
@@ -154,7 +156,7 @@ class Context:
 
             step = self._get_step(T, O)
             try:
-                logits, new_k, new_v = step(
+                logits, new_k, new_v, hidden = step(
                     self.params, self.kv.k, self.kv.v,
                     jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
                     jnp.asarray(widx), jnp.asarray(cpos), jnp.asarray(cbits),
@@ -168,8 +170,10 @@ class Context:
             self.kv.k, self.kv.v = new_k, new_v
 
             logits_np = np.asarray(logits[: len(out_rows)])
-            for row, bi in zip(logits_np, ub.orig_index[out_rows]):
-                self._logits[int(bi)] = row
+            hidden_np = np.asarray(hidden[: len(out_rows)])
+            for i, bi in enumerate(ub.orig_index[out_rows]):
+                self._logits[int(bi)] = logits_np[i]
+                self._embd[int(bi)] = hidden_np[i]
 
             dt = (time.perf_counter() - t0) * 1e3
             if n > 1:
@@ -190,6 +194,34 @@ class Context:
 
     def all_logits(self) -> dict[int, np.ndarray]:
         return dict(self._logits)
+
+    def get_embeddings(self, i: int = -1) -> np.ndarray:
+        """Final hidden state for batch token i (llama_get_embeddings_ith)."""
+        if i == -1:
+            i = max(self._embd.keys())
+        return self._embd[i]
+
+    def encode(self, tokens: list[int], pooling: str = "mean", seq_id: int = 0):
+        """Sequence embedding with pooling (llama_encode + pooling_type
+        semantics: none/mean/cls/last)."""
+        from .batch import Batch
+
+        self.cells.seq_rm(seq_id)
+        b = Batch()
+        for i, t in enumerate(tokens):
+            b.add(t, i, (seq_id,), logits=True)
+        rc = self.decode(b)
+        if rc != 0:
+            raise RuntimeError(f"encode failed rc={rc}")
+        rows = np.stack([self._embd[i] for i in range(len(tokens))])
+        self.cells.seq_rm(seq_id)
+        if pooling == "none":
+            return rows
+        if pooling == "cls":
+            return rows[0]
+        if pooling == "last":
+            return rows[-1]
+        return rows.mean(axis=0)  # mean
 
     # -- memory (seq) API (llama_memory_* passthrough) --------------------------
 

@@ -140,11 +140,13 @@ class ServerApp:
         filename = d.get("filename", f"slot{sid}.npz")
         slot = self.engine.slots[sid]
         if action == "save":
-            state_seq_save(self.engine.ctx, sid, filename, tokens=slot.cache_tokens)
+            with self.engine.ctx_lock:
+                state_seq_save(self.engine.ctx, sid, filename, tokens=slot.cache_tokens)
             return web.json_response({"saved": filename,
                                       "n_tokens": len(slot.cache_tokens)})
         if action == "restore":
-            toks = state_seq_load(self.engine.ctx, sid, filename)
+            with self.engine.ctx_lock:
+                toks = state_seq_load(self.engine.ctx, sid, filename)
             slot.cache_tokens = toks
             return web.json_response({"restored": filename, "n_tokens": len(toks)})
         if action == "erase":
@@ -178,6 +180,31 @@ class ServerApp:
         ]
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
+
+    async def embeddings(self, request):
+        """/v1/embeddings (OpenAI) + /embeddings (native)."""
+        d = await request.json()
+        inputs = d.get("input", d.get("content", ""))
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        pooling = d.get("pooling", "mean")
+        loop = asyncio.get_event_loop()
+        out = []
+        for i, text in enumerate(inputs):
+            toks = self.tok.encode(str(text), add_special=True, parse_special=True)
+            # run on the inference thread's context via executor lock-free:
+            # encode uses a dedicated seq id above the slot range
+            def run(t=toks):
+                with self.engine.ctx_lock:
+                    return self.engine.ctx.encode(t, pooling, seq_id=self.engine.n_slots)
+
+            emb = await loop.run_in_executor(None, run)
+            out.append({"object": "embedding", "index": i,
+                        "embedding": [float(x) for x in emb.reshape(-1)]})
+        return web.json_response({
+            "object": "list", "data": out, "model": self.model_name,
+            "usage": {"prompt_tokens": 0, "total_tokens": 0},
+        })
 
     # completions (native + OpenAI) ------------------------------------------------
 
@@ -309,6 +336,8 @@ class ServerApp:
         app.router.add_post("/slots/{id}", self.slot_action)
         app.router.add_get("/metrics", self.metrics)
         app.router.add_post("/tokenize", self.tokenize)
+        app.router.add_post("/embeddings", self.embeddings)
+        app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/detokenize", self.detokenize)
         app.router.add_post("/completion", self.completion)
         app.router.add_post("/completions", self.completion)

@@ -82,6 +82,9 @@ class InferenceServer:
         self._next_task_id = 0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # Context is not thread-safe; the inference loop and any side-channel
+        # users (embeddings endpoint, slot save/restore) must hold this lock.
+        self.ctx_lock = threading.Lock()
         self.metrics = {
             "requests_total": 0,
             "tokens_predicted_total": 0,
@@ -218,7 +221,12 @@ class InferenceServer:
         if len(batch) == 0:
             return False
 
-        rc = self.ctx.decode(batch)
+        with self.ctx_lock:
+            rc = self.ctx.decode(batch)
+            logits_by_entry = (
+                {bi: self.ctx.get_logits(bi) for _, bi, _ in entries}
+                if rc == 0 else {}
+            )
         if rc == 1:
             # cache full: roll back in-flight bookkeeping + any partially
             # written cells, then evict the newest active task
@@ -246,7 +254,7 @@ class InferenceServer:
         for slot, bi, kind in entries:
             if slot.task is None:
                 continue
-            logits = self.ctx.get_logits(bi)
+            logits = logits_by_entry[bi]
             if kind == "prompt_end":
                 slot.state = SlotState.GENERATING
             self._sample_token(slot, logits)

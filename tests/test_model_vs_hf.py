@@ -53,7 +53,7 @@ def _run_ours(path, tokens, n_cells=32, dtype=jnp.float32):
         [jnp.ones(T, jnp.uint32), jnp.zeros(n_cells - T, jnp.uint32)]
     )
     out_idx = jnp.arange(T, dtype=jnp.int32)
-    logits, _, _ = forward(
+    logits, _, _, _ = forward(
         params, cfg, kv_k, kv_v, tok, pos, seq, write_idx, cell_pos, cell_bits,
         out_idx, dtype=dtype,
     )
@@ -99,7 +99,7 @@ def test_incremental_decode_matches_full_prefill(tmp_path):
     for t, tok in enumerate(tokens):
         cell_pos[t] = t
         cell_bits[t] = 1
-        logits, kv_k, kv_v = forward(
+        logits, kv_k, kv_v, _ = forward(
             params, cfg, kv_k, kv_v,
             jnp.asarray([tok], jnp.int32),
             jnp.asarray([t], jnp.int32),

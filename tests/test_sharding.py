@@ -41,7 +41,7 @@ def test_tp8_matches_single_device(qtype):
     inputs = _inputs(cfg)
 
     kv_k, kv_v = _fresh_kv(cfg)
-    ref_logits, _, _ = forward(params, cfg, kv_k, kv_v, *inputs, dtype=jnp.float32)
+    ref_logits, _, _, _ = forward(params, cfg, kv_k, kv_v, *inputs, dtype=jnp.float32)
     ref = np.asarray(ref_logits)
 
     mesh = make_mesh(n_tp=8)
