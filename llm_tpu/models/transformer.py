@@ -41,21 +41,23 @@ def _maybe_add(x, b):
     return x if b is None else x + b.astype(x.dtype)
 
 
-def _ffn(h, layer, cfg: ModelConfig):
+def _ffn(h, layer, cfg: ModelConfig, collect=None):
     act = ACTIVATIONS[cfg.act]
     if "ffn_gateup_fused" in layer:
         gu = qmm(h, layer["ffn_gateup_fused"])
         ng = cfg.n_ff
         g, up = gu[:, :ng], gu[:, ng:]
         cur = (act(g) * up).astype(h.dtype)
-        return qmm(cur, layer["ffn_down"], out_dtype=h.dtype)
-    gate = layer.get("ffn_gate")
-    up = qmm(h, layer["ffn_up"], out_dtype=h.dtype)
-    if gate is not None:
-        g = act(qmm(h, gate))
-        cur = (g * up.astype(jnp.float32)).astype(h.dtype)
     else:
-        cur = act(up.astype(jnp.float32)).astype(h.dtype)
+        gate = layer.get("ffn_gate")
+        up = qmm(h, layer["ffn_up"], out_dtype=h.dtype)
+        if gate is not None:
+            g = act(qmm(h, gate))
+            cur = (g * up.astype(jnp.float32)).astype(h.dtype)
+        else:
+            cur = act(up.astype(jnp.float32)).astype(h.dtype)
+    if collect is not None:
+        collect("ffn_down", cur)
     return qmm(cur, layer["ffn_down"], out_dtype=h.dtype)
 
 
@@ -105,8 +107,20 @@ def forward(
     cell_seq_bits: jnp.ndarray,  # [S] uint32
     out_idx: jnp.ndarray,  # [O] int32 rows for which to compute logits
     dtype=jnp.bfloat16,
+    collect_acts: bool = False,
 ):
-    """One decode/prefill step. Returns (logits [O, vocab] f32, kv_k, kv_v)."""
+    """One decode/prefill step. Returns (logits [O, vocab] f32, kv_k, kv_v,
+    hidden [O, E] f32). With collect_acts=True a 5th element is returned:
+    per-layer dicts of per-channel activation sums-of-squares — the data the
+    reference's imatrix collector gathers via its eval callback
+    (tools/imatrix/imatrix.cpp:42-83)."""
+    acts: list = []
+
+    def _collect(store, name, val):
+        if collect_acts:
+            store[name] = jnp.sum(
+                val.astype(jnp.float32) ** 2, axis=tuple(range(val.ndim - 1))
+            )
     cfg_rope = cfg.rope
     ff = params.get("rope_freqs")
 
@@ -129,7 +143,9 @@ def forward(
 
     new_k, new_v = [], []
     for il, layer in enumerate(params["layers"]):
+        layer_acts: dict = {}
         h = _norm(x, layer.get("attn_norm"), cfg)
+        _collect(layer_acts, "attn_qkv", h)
 
         if "attn_qkv_fused" in layer:
             qkv = qmm(h, layer["attn_qkv_fused"], out_dtype=dtype)
@@ -166,12 +182,14 @@ def forward(
             softcap=cfg.attn_softcap,
         )
         att = att.reshape(T, H * Dv)
+        _collect(layer_acts, "attn_output", att)
         attn_out = qmm(att, layer["attn_output"], out_dtype=dtype)
         if "attn_post_norm" in layer:  # gemma2-style post-norm before residual
             attn_out = _norm(attn_out, layer["attn_post_norm"], cfg)
         x = x + attn_out
 
         h2 = _norm(x, layer.get("ffn_norm"), cfg)
+        _collect(layer_acts, "ffn_gateup", h2)
         if cfg.n_expert > 0 and "ffn_gate_inp" in layer:
             ffn_out = _moe_ffn(h2, layer, cfg)
             if "ffn_up_shexp" in layer:  # shared expert (qwen2moe-style)
@@ -185,10 +203,15 @@ def forward(
                     cfg,
                 )
         else:
-            ffn_out = _ffn(h2, layer, cfg)
+            ffn_out = _ffn(
+                h2, layer, cfg,
+                collect=(lambda n, v, s=layer_acts: _collect(s, n, v))
+                if collect_acts else None,
+            )
         if "ffn_post_norm" in layer:
             ffn_out = _norm(ffn_out, layer["ffn_post_norm"], cfg)
         x = x + ffn_out
+        acts.append(layer_acts)
 
     x = _norm(x, params.get("output_norm"), cfg)
     hs = jnp.take(x, out_idx, axis=0)
@@ -198,4 +221,6 @@ def forward(
         logits = logits * cfg.logit_scale
     if cfg.final_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+    if collect_acts:
+        return logits, new_k, new_v, hs.astype(jnp.float32), acts
     return logits, new_k, new_v, hs.astype(jnp.float32)
