@@ -41,6 +41,18 @@ def _maybe_add(x, b):
     return x if b is None else x + b.astype(x.dtype)
 
 
+def _proj(h, layer, key, dtype=None):
+    """Projection matmul with optional LoRA delta (build_lora_mm parity,
+    /root/reference/src/llama-graph.h:517)."""
+    y = qmm(h, layer[key], out_dtype=dtype)
+    lora = layer.get(key + ".lora")
+    if lora is not None:
+        a, b, s = lora
+        delta = qmm(qmm(h, a), b)  # (x @ A^T) @ B^T, rows layout
+        y = y + (s * delta).astype(y.dtype)
+    return y
+
+
 def _ffn(h, layer, cfg: ModelConfig, collect=None):
     act = ACTIVATIONS[cfg.act]
     if "ffn_gateup_fused" in layer:
@@ -50,15 +62,15 @@ def _ffn(h, layer, cfg: ModelConfig, collect=None):
         cur = (act(g) * up).astype(h.dtype)
     else:
         gate = layer.get("ffn_gate")
-        up = qmm(h, layer["ffn_up"], out_dtype=h.dtype)
+        up = _proj(h, layer, "ffn_up", h.dtype)
         if gate is not None:
-            g = act(qmm(h, gate))
+            g = act(_proj(h, layer, "ffn_gate"))
             cur = (g * up.astype(jnp.float32)).astype(h.dtype)
         else:
             cur = act(up.astype(jnp.float32)).astype(h.dtype)
     if collect is not None:
         collect("ffn_down", cur)
-    return qmm(cur, layer["ffn_down"], out_dtype=h.dtype)
+    return _proj(cur, layer, "ffn_down", h.dtype)
 
 
 def _moe_ffn(h, layer, cfg: ModelConfig):
@@ -155,9 +167,9 @@ def forward(
             k = _maybe_add(k, layer.get("attn_k_b"))
             v = _maybe_add(v, layer.get("attn_v_b"))
         else:
-            q = _maybe_add(qmm(h, layer["attn_q"], out_dtype=dtype), layer.get("attn_q_b"))
-            k = _maybe_add(qmm(h, layer["attn_k"], out_dtype=dtype), layer.get("attn_k_b"))
-            v = _maybe_add(qmm(h, layer["attn_v"], out_dtype=dtype), layer.get("attn_v_b"))
+            q = _maybe_add(_proj(h, layer, "attn_q", dtype), layer.get("attn_q_b"))
+            k = _maybe_add(_proj(h, layer, "attn_k", dtype), layer.get("attn_k_b"))
+            v = _maybe_add(_proj(h, layer, "attn_v", dtype), layer.get("attn_v_b"))
         q = q.reshape(T, H, Dk)
         k = k.reshape(T, Hkv, Dk)
         v = v.reshape(T, Hkv, Dv)
@@ -183,7 +195,7 @@ def forward(
         )
         att = att.reshape(T, H * Dv)
         _collect(layer_acts, "attn_output", att)
-        attn_out = qmm(att, layer["attn_output"], out_dtype=dtype)
+        attn_out = _proj(att, layer, "attn_output", dtype)
         if "attn_post_norm" in layer:  # gemma2-style post-norm before residual
             attn_out = _norm(attn_out, layer["attn_post_norm"], cfg)
         x = x + attn_out
@@ -217,6 +229,9 @@ def forward(
     hs = jnp.take(x, out_idx, axis=0)
     out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
     logits = qmm(hs, out_w)  # f32
+    if "output.lora" in params:
+        a, b, s = params["output.lora"]
+        logits = logits + s * qmm(qmm(hs, a), b)
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
     if cfg.final_softcap > 0.0:
