@@ -47,10 +47,12 @@ def _sampling_from_request(d: dict) -> SamplingParams:
 
 
 class ServerApp:
-    def __init__(self, engine: InferenceServer, model_name: str = "llm-tpu"):
+    def __init__(self, engine: InferenceServer, model_name: str = "llm-tpu",
+                 chat_template: str | None = None):
         self.engine = engine
         self.tok = engine.tok
         self.model_name = model_name
+        self.chat_template_override = chat_template
         self.t_start = time.time()
 
     # -- helpers ----------------------------------------------------------------
@@ -310,20 +312,14 @@ class ServerApp:
         })
 
     def _render_chat(self, messages: list[dict]) -> str:
-        import jinja2
+        from .chat import TEMPLATES, apply_template, detect_template
 
-        template = self.tok.vocab.chat_template or DEFAULT_CHAT_TEMPLATE
-        env = jinja2.Environment()
-        try:
-            tmpl = env.from_string(template)
-            return tmpl.render(
-                messages=messages,
-                add_generation_prompt=True,
-                bos_token="", eos_token="",
-            )
-        except Exception:
-            tmpl = env.from_string(DEFAULT_CHAT_TEMPLATE)
-            return tmpl.render(messages=messages, add_generation_prompt=True)
+        if self.chat_template_override:
+            return apply_template(self.chat_template_override, messages)
+        template = self.tok.vocab.chat_template
+        if template:
+            return apply_template(template, messages)
+        return TEMPLATES["chatml"](messages)
 
     # -- wiring ---------------------------------------------------------------------
 
@@ -383,6 +379,9 @@ def main(argv=None):
     ap.add_argument("-b", "--n-batch", type=int, default=256)
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--alias", default=None, help="model name served")
+    ap.add_argument("--chat-template", default=None,
+                    help="builtin template name (chatml/llama2/llama3/gemma/...) "
+                         "or a Jinja source string")
     args = ap.parse_args(argv)
 
     reader = GGUFReader(args.model)
@@ -394,7 +393,8 @@ def main(argv=None):
     engine = InferenceServer(ctx, tok, n_slots=args.n_parallel, n_batch=args.n_batch)
     engine.start()
     name = args.alias or args.model.rsplit("/", 1)[-1]
-    app = ServerApp(engine, model_name=name).build()
+    app = ServerApp(engine, model_name=name,
+                    chat_template=args.chat_template).build()
     web.run_app(app, host=args.host, port=args.port)
 
 
