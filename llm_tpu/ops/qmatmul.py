@@ -85,8 +85,16 @@ def _dequant_w(qt: QTensor, dtype) -> jnp.ndarray:
     return w.reshape(n, k)
 
 
-def _pick_tile(n: int, options=(256, 128)) -> int | None:
-    for t in options:
+_TILE_N_OPTS = tuple(
+    int(x) for x in os.environ.get("LLM_TPU_TILE_N", "512,256,128").split(",")
+)
+_TILE_K_OPTS = tuple(
+    int(x) for x in os.environ.get("LLM_TPU_TILE_K", "1024,512,256,128").split(",")
+)
+
+
+def _pick_tile(n: int, options=None) -> int | None:
+    for t in options or _TILE_N_OPTS:
         if n % t == 0:
             return t
     return None
@@ -101,7 +109,7 @@ def _pallas_ok(qt: QTensor, k: int, b: int) -> bool:
         return False
     if qt.layout == "p4":
         return k % qt.pack_tk == 0
-    tk = _pick_tile(k, (512, 256, 128))
+    tk = _pick_tile(k, _TILE_K_OPTS)
     return tk is not None and tk % qt.group_size == 0
 
 
@@ -142,7 +150,14 @@ def qmm(
             if pad:
                 x2 = jnp.pad(x2, ((0, pad), (0, 0)))
             tile_n = _pick_tile(w.out_features)
-            tile_k = w.pack_tk if w.layout == "p4" else _pick_tile(k, (512, 256, 128))
+            if w.layout == "p4":
+                # the kernel handles any multiple of the pack stride
+                tile_k = next(
+                    t for t in _TILE_K_OPTS + (w.pack_tk,)
+                    if k % t == 0 and t % w.pack_tk == 0
+                )
+            else:
+                tile_k = _pick_tile(k, _TILE_K_OPTS)
             y = qmm_pallas(
                 x2.astype(dtype), w.qs, w.scales,
                 gs=w.group_size, zp=w.zp, layout=w.layout,
