@@ -86,7 +86,7 @@ def _dequant_w(qt: QTensor, dtype) -> jnp.ndarray:
 
 
 _TILE_N_OPTS = tuple(
-    int(x) for x in os.environ.get("LLM_TPU_TILE_N", "512,256,128").split(",")
+    int(x) for x in os.environ.get("LLM_TPU_TILE_N", "1024,512,256,128").split(",")
 )
 _TILE_K_OPTS = tuple(
     int(x) for x in os.environ.get("LLM_TPU_TILE_K", "1024,512,256,128").split(",")

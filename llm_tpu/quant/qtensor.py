@@ -278,9 +278,28 @@ def qtensor_from_gguf(
             n *= d
         ne_shape = (ne_shape[0], n)
     K, N = int(ne_shape[0]), int(ne_shape[1])
+    put = partial(jax.device_put, device=device)
+
+    if kmajor:
+        from .. import native
+
+        can_pack = K % 256 == 0
+        if native.available() and int(t) in native.NATIVE_TYPES and (
+            can_pack or int(t) in (8, 14)
+        ):
+            res = native.unpack_planes(int(t), raw, N, K)
+            if res is not None:
+                qn, sn, mn, gs, layout, zp = res
+                return QTensor(
+                    qs=put(qn),
+                    scales=put(sn.astype(scales_dtype)),
+                    mins=put(mn.astype(scales_dtype)) if mn is not None else None,
+                    group_size=gs, ggml_type=t, layout=layout, zp=zp,
+                    pack_tk=256, kmajor=True,
+                )
+
     q, scales, mins, gs = planes_from_raw(raw, t, K)
     q, scales, mins = _finalize_rows(q, scales, mins, gs, N, K)  # [N, K] rows
-    put = partial(jax.device_put, device=device)
 
     layout, zp, pack_tk = "i8", 0, 256
     do_pack = pack4 and t in _PACK4 and K % 256 == 0
