@@ -40,6 +40,15 @@ _HF_GEMMA2_MAP = {
     "mlp.down_proj.weight": "ffn_down.weight",
 }
 
+_HF_PHI3_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "self_attn.qkv_proj.weight": "attn_qkv.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "mlp.gate_up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
 _HF_LAYER_MAP = {
     "input_layernorm.weight": "attn_norm.weight",
     "self_attn.q_proj.weight": "attn_q.weight",
@@ -76,7 +85,11 @@ def convert_hf_llama(
     head_dim = getattr(hf_cfg, "head_dim", None) or hf_cfg.hidden_size // n_head
 
     is_gemma2 = arch == "gemma2"
-    layer_map = _HF_GEMMA2_MAP if is_gemma2 else _HF_LAYER_MAP
+    layer_map = _HF_LAYER_MAP
+    if is_gemma2:
+        layer_map = _HF_GEMMA2_MAP
+    elif arch == "phi3":
+        layer_map = _HF_PHI3_MAP
 
     w = GGUFWriter(path, arch=arch)
     a = arch
@@ -102,6 +115,12 @@ def convert_hf_llama(
                  int(getattr(hf_cfg, "sliding_window", 4096)))
         qpas = float(getattr(hf_cfg, "query_pre_attn_scalar", head_dim))
         w.add_kv(Keys.Attention.SCALE.format(arch=a), qpas ** -0.5)
+
+    n_expert = int(getattr(hf_cfg, "num_local_experts", 0) or 0)
+    if n_expert:
+        w.add_kv(Keys.LLM.EXPERT_COUNT.format(arch=a), n_expert)
+        w.add_kv(Keys.LLM.EXPERT_USED_COUNT.format(arch=a),
+                 int(getattr(hf_cfg, "num_experts_per_tok", 2)))
 
     if vocab:
         for key, val in vocab.items():
@@ -136,6 +155,19 @@ def convert_hf_llama(
             elif permute and hf_suffix == "self_attn.k_proj.bias":
                 arr = permute_qk(arr, n_kv)
             put(f"blk.{il}.{gg_suffix}", arr)
+
+        # MoE (mixtral-style): router + stacked expert tensors
+        gate_key = pre + "block_sparse_moe.gate.weight"
+        if gate_key in sd:
+            put(f"blk.{il}.ffn_gate_inp.weight", sd[gate_key])
+            for hf_w, gg in (("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                             ("w2", "ffn_down_exps")):
+                stack = np.stack([
+                    sd[f"{pre}block_sparse_moe.experts.{e}.{hf_w}.weight"]
+                    for e in range(n_expert)
+                ])  # [n_expert, n_out, K] -> GGUF ne (K, n_out, n_expert)
+                w.add_tensor(f"blk.{il}.{gg}.weight", stack,
+                             ggml_type=GGMLType.F32)
 
     w.write()
     return path

@@ -90,6 +90,10 @@ def load_params(
             if il >= cfg.n_layers:
                 continue
             key = base if kind == "weight" else base + "_b"
+            if kind == "weight" and base == "attn_qkv":
+                key = "attn_qkv_fused"
+            elif kind == "weight" and base == "ffn_up" and cfg.arch in ("phi3", "phimoe"):
+                key = "ffn_gateup_fused"  # GGUF phi3 packs [gate; up]
             if kind == "bias" or len(ti.shape) == 1:
                 layers[il][key] = _to_dense(reader, name, jnp.float32)
             elif len(ti.shape) == 3:

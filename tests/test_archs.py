@@ -67,3 +67,28 @@ def test_gemma2(tmp_path):
     m = transformers.Gemma2ForCausalLM(cfg).eval()
     # 12 tokens > sliding_window=8 so SWA masking is actually exercised
     _check(m, "gemma2", tmp_path, T=12, atol=5e-3)
+
+
+def test_phi3(tmp_path):
+    cfg = transformers.Phi3Config(
+        vocab_size=1097, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.Phi3ForCausalLM(cfg).eval()
+    _check(m, "phi3", tmp_path)
+
+
+def test_mixtral_moe(tmp_path):
+    cfg = transformers.MixtralConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.MixtralForCausalLM(cfg).eval()
+    _check(m, "llama", tmp_path, atol=5e-3)
