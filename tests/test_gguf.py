@@ -135,3 +135,23 @@ def test_read_reference_vocab_gguf():
     toks = r.metadata[Keys.Tokenizer.LIST]
     assert len(toks) == 32000
     assert r.metadata[Keys.Tokenizer.MODEL] == "llama"
+
+
+def test_split_and_merge(tmp_path):
+    from llm_tpu.tools.gguf_split import merge_gguf, split_gguf
+
+    p = str(tmp_path / "m.gguf")
+    _write_sample(p)
+    paths = split_gguf(p, str(tmp_path / "shard"), max_tensors=2)
+    assert len(paths) == 2
+    # split set opens transparently via the first shard
+    r = GGUFReader(paths[0])
+    orig = GGUFReader(p)
+    assert set(r.tensors) == set(orig.tensors)
+    np.testing.assert_array_equal(
+        np.asarray(r.data("tensor_q4k")), np.asarray(orig.data("tensor_q4k"))
+    )
+    merged = merge_gguf(paths[0], str(tmp_path / "merged.gguf"))
+    r2 = GGUFReader(merged)
+    assert set(r2.tensors) == set(orig.tensors)
+    assert r2.metadata["general.name"] == "test-model"
