@@ -24,6 +24,38 @@ from ..ops.qmatmul import qembed, qmm
 from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
 
+KV_QUANT_GROUP = 32
+
+
+def _kv_write(cache, idx, val):
+    """Scatter new K/V rows into the cache; quantizes when the cache is a
+    (q8, scales) pair (reference's quantized-KV cpy path)."""
+    if isinstance(cache, tuple):
+        q8, sc = cache
+        t, h, d = val.shape
+        g = d // sc.shape[-1]
+        vf = val.astype(jnp.float32).reshape(t, h, d // g, g)
+        amax = jnp.max(jnp.abs(vf), axis=-1, keepdims=True)
+        scale = amax / 127.0
+        inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
+        qv = jnp.clip(jnp.round(vf * inv), -127, 127).astype(jnp.int8)
+        return (
+            q8.at[idx].set(qv.reshape(t, h, d)),
+            sc.at[idx].set(scale.reshape(t, h, d // g).astype(sc.dtype)),
+        )
+    return cache.at[idx].set(val.astype(cache.dtype))
+
+
+def _kv_read(cache, dtype):
+    if isinstance(cache, tuple):
+        q8, sc = cache
+        s, h, d = q8.shape
+        g = d // sc.shape[-1]
+        vf = q8.astype(jnp.float32).reshape(s, h, d // g, g) * sc.astype(jnp.float32)[..., None]
+        return vf.reshape(s, h, d).astype(dtype)
+    return cache.astype(dtype)
+
+
 ACTIVATIONS = {
     "silu": jax.nn.silu,
     "gelu": lambda x: jax.nn.gelu(x, approximate=True),
@@ -180,17 +212,17 @@ def forward(
 
         q = apply_rope(q, cos_t, sin_t, cfg_rope.mode, cfg_rope.n_dims)
         # K enters the cache UNROPED; rotated on read with cell positions.
-        k_cache = kv_k[il].at[write_idx].set(k.astype(kv_k[il].dtype))
-        v_cache = kv_v[il].at[write_idx].set(v.astype(kv_v[il].dtype))
+        k_cache = _kv_write(kv_k[il], write_idx, k)
+        v_cache = _kv_write(kv_v[il], write_idx, v)
         new_k.append(k_cache)
         new_v.append(v_cache)
 
         k_all = apply_rope(
-            k_cache.astype(dtype), cos_c, sin_c, cfg_rope.mode, cfg_rope.n_dims
+            _kv_read(k_cache, dtype), cos_c, sin_c, cfg_rope.mode, cfg_rope.n_dims
         )
         layer_bias = bias_swa if (bias_swa is not None and cfg.layer_is_swa(il)) else bias
         att = attention(
-            q, k_all, v_cache.astype(dtype), layer_bias, scale,
+            q, k_all, _kv_read(v_cache, dtype), layer_bias, scale,
             softcap=cfg.attn_softcap,
         )
         att = att.reshape(T, H * Dv)

@@ -72,7 +72,7 @@ class Context:
         else:
             self.params, self.cfg = load_params(reader, dense_dtype=dtype, use_planes=use_planes)
         self.dtype = dtype
-        self.kv_dtype = kv_dtype or dtype
+        self.kv_dtype = kv_dtype if kv_dtype is not None else dtype
         self.n_ubatch = n_ubatch
         # +1 trash cell: padding tokens scatter their K/V there; it is never
         # attended because its seq bit-set stays 0.

@@ -49,7 +49,28 @@ class KVArrays:
         return self.k[0].shape[0]
 
 
-def new_kv_arrays(n_layers, n_cells, n_kv_heads, head_dim_k, head_dim_v, dtype=jnp.bfloat16):
+KV_QUANT_GROUP = 32
+
+
+def new_kv_arrays(n_layers, n_cells, n_kv_heads, head_dim_k, head_dim_v,
+                  dtype=jnp.bfloat16):
+    """dtype: a jnp dtype for dense caches, or the string "q8_0" for an
+    int8-quantized cache (per-32-group scales along the head dim) — the
+    analogue of the reference's type_k/type_v cache quantization
+    (llama-kv-cache-unified.h:64-75)."""
+    if dtype == "q8_0":
+
+        def mk(d):
+            g = KV_QUANT_GROUP if d % KV_QUANT_GROUP == 0 else d
+            return [
+                (
+                    jnp.zeros((n_cells, n_kv_heads, d), jnp.int8),
+                    jnp.zeros((n_cells, n_kv_heads, d // g), jnp.bfloat16),
+                )
+                for _ in range(n_layers)
+            ]
+
+        return KVArrays(k=mk(head_dim_k), v=mk(head_dim_v))
     k = [jnp.zeros((n_cells, n_kv_heads, head_dim_k), dtype) for _ in range(n_layers)]
     v = [jnp.zeros((n_cells, n_kv_heads, head_dim_v), dtype) for _ in range(n_layers)]
     return KVArrays(k=k, v=v)

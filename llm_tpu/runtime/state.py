@@ -16,6 +16,37 @@ import numpy as np
 MAGIC = "llm_tpu_state_v1"
 
 
+def _rows_to_f32(cache, idx) -> np.ndarray:
+    """Extract cache rows as f32 (dequantizing a (q8, scales) cache)."""
+    if isinstance(cache, tuple):
+        q8, sc = cache
+        q = np.asarray(q8[idx], np.float32)
+        s = np.asarray(sc[idx], np.float32)
+        srep = np.repeat(s, q.shape[-1] // s.shape[-1], axis=-1)
+        return q * srep
+    return np.asarray(cache[idx]).astype(np.float32)
+
+
+def _set_rows(cache, idx, rows_f32):
+    """Scatter f32 rows into a cache (quantizing if needed). jnp-side."""
+    import jax.numpy as jnp
+
+    if isinstance(cache, tuple):
+        q8, sc = cache
+        g = rows_f32.shape[-1] // sc.shape[-1]
+        t, h, d = rows_f32.shape
+        vf = jnp.asarray(rows_f32).reshape(t, h, d // g, g)
+        amax = jnp.max(jnp.abs(vf), axis=-1, keepdims=True)
+        scale = amax / 127.0
+        inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
+        qv = jnp.clip(jnp.round(vf * inv), -127, 127).astype(jnp.int8)
+        return (
+            q8.at[idx].set(qv.reshape(t, h, d)),
+            sc.at[idx].set(scale.reshape(t, h, d // g).astype(sc.dtype)),
+        )
+    return cache.at[idx].set(jnp.asarray(rows_f32, cache.dtype))
+
+
 def state_save(ctx, path: str, tokens: list[int] | None = None) -> None:
     """Full context state: all occupied cells + their KV rows."""
     used = np.flatnonzero(ctx.cells.seq_bits != 0).astype(np.int32)
@@ -27,8 +58,8 @@ def state_save(ctx, path: str, tokens: list[int] | None = None) -> None:
         "n_layers": np.asarray(ctx.cfg.n_layers),
     }
     for il in range(ctx.cfg.n_layers):
-        data[f"k{il}"] = np.asarray(ctx.kv.k[il][used]).astype(np.float32)
-        data[f"v{il}"] = np.asarray(ctx.kv.v[il][used]).astype(np.float32)
+        data[f"k{il}"] = _rows_to_f32(ctx.kv.k[il], used)
+        data[f"v{il}"] = _rows_to_f32(ctx.kv.v[il], used)
     np.savez_compressed(path, **data)
 
 
@@ -50,10 +81,8 @@ def state_load(ctx, path: str) -> list[int]:
     ctx.cells.seq_bits[slots] = d["seq_bits"]
     idx = jnp.asarray(slots)
     for il in range(ctx.cfg.n_layers):
-        kd = jnp.asarray(d[f"k{il}"], ctx.kv.k[il].dtype)
-        vd = jnp.asarray(d[f"v{il}"], ctx.kv.v[il].dtype)
-        ctx.kv.k[il] = ctx.kv.k[il].at[idx].set(kd)
-        ctx.kv.v[il] = ctx.kv.v[il].at[idx].set(vd)
+        ctx.kv.k[il] = _set_rows(ctx.kv.k[il], idx, d[f"k{il}"])
+        ctx.kv.v[il] = _set_rows(ctx.kv.v[il], idx, d[f"v{il}"])
     return [int(t) for t in d["tokens"]]
 
 
@@ -70,8 +99,8 @@ def state_seq_save(ctx, seq_id: int, path: str, tokens: list[int] | None = None)
         "n_layers": np.asarray(ctx.cfg.n_layers),
     }
     for il in range(ctx.cfg.n_layers):
-        data[f"k{il}"] = np.asarray(ctx.kv.k[il][used]).astype(np.float32)
-        data[f"v{il}"] = np.asarray(ctx.kv.v[il][used]).astype(np.float32)
+        data[f"k{il}"] = _rows_to_f32(ctx.kv.k[il], used)
+        data[f"v{il}"] = _rows_to_f32(ctx.kv.v[il], used)
     np.savez_compressed(path, **data)
 
 
@@ -93,6 +122,6 @@ def state_seq_load(ctx, seq_id: int, path: str) -> list[int]:
     ctx.cells.seq_bits[slots] = np.uint32(1) << np.uint32(seq_id)
     idx = jnp.asarray(slots)
     for il in range(ctx.cfg.n_layers):
-        ctx.kv.k[il] = ctx.kv.k[il].at[idx].set(jnp.asarray(d[f"k{il}"], ctx.kv.k[il].dtype))
-        ctx.kv.v[il] = ctx.kv.v[il].at[idx].set(jnp.asarray(d[f"v{il}"], ctx.kv.v[il].dtype))
+        ctx.kv.k[il] = _set_rows(ctx.kv.k[il], idx, d[f"k{il}"])
+        ctx.kv.v[il] = _set_rows(ctx.kv.v[il], idx, d[f"v{il}"])
     return [int(t) for t in d["tokens"]]

@@ -135,3 +135,24 @@ def test_self_extend_seq_div_runs(tiny_gguf):
     assert ctx.seq_pos_max(0) == 3
     assert ctx.decode(Batch.one(9, pos=4)) == 0
     assert np.isfinite(ctx.get_logits()).all()
+
+
+def test_quantized_kv_cache_close_to_bf16(tiny_gguf):
+    """ctx_k/type_v q8_0 cache (llama.cpp --cache-type-k q8_0 parity)."""
+    path, model = tiny_gguf
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    ref = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32)
+    ref.decode(Batch.text(prompt))
+    want = ref.get_logits()
+
+    qctx = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32,
+                   kv_dtype="q8_0")
+    assert qctx.decode(Batch.text(prompt)) == 0
+    got = qctx.get_logits()
+    # q8 KV error is tiny; top-1 must match and logits stay close
+    assert int(np.argmax(got)) == int(np.argmax(want))
+    assert np.max(np.abs(got - want)) < 0.05
+
+    # greedy continuation works
+    nxt = int(np.argmax(got))
+    assert qctx.decode(Batch.one(nxt)) == 0
