@@ -118,6 +118,10 @@ TYPE_TRAITS: dict[GGMLType, TypeTraits] = {
     GGMLType.IQ2_XXS: TypeTraits(QK_K, 2 + QK_K // 8 * 2,      True),
     GGMLType.IQ2_XS:  TypeTraits(QK_K, 2 + QK_K // 8 * 2 + QK_K // 32, True),
     GGMLType.IQ3_XXS: TypeTraits(QK_K, 2 + QK_K // 4 + QK_K // 8, True),
+    GGMLType.IQ2_S:   TypeTraits(QK_K, 2 + QK_K // 4 + QK_K // 16, True),          # 82
+    GGMLType.IQ3_S:   TypeTraits(QK_K, 2 + QK_K // 4 + QK_K // 32 + QK_K // 8 + QK_K // 64, True),  # 110
+    GGMLType.IQ1_S:   TypeTraits(QK_K, 2 + QK_K // 8 + QK_K // 16, True),          # 50
+    GGMLType.IQ1_M:   TypeTraits(QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32, True), # 56
     GGMLType.TQ1_0:  TypeTraits(QK_K, 2 + 4 * 13,              True),
     GGMLType.TQ2_0:  TypeTraits(QK_K, 2 + QK_K // 4,           True),
 }

@@ -878,6 +878,10 @@ _QUANTIZE = {
     GGMLType.IQ4_XS: quantize_iq4_xs,
 }
 
+from . import iq_codecs as _iq  # noqa: E402  (grids-backed IQ/TQ formats)
+
+_QUANTIZE.update(_iq.QUANTIZE)
+
 _DEQUANTIZE = {
     GGMLType.F32: dequantize_f32,
     GGMLType.F16: dequantize_f16,
@@ -897,6 +901,8 @@ _DEQUANTIZE = {
     GGMLType.IQ4_NL: dequantize_iq4_nl,
     GGMLType.IQ4_XS: dequantize_iq4_xs,
 }
+
+_DEQUANTIZE.update(_iq.DEQUANTIZE)
 
 
 def supported_quant_types() -> list[GGMLType]:

@@ -38,9 +38,23 @@ FTYPES = {
     "Q6_K": GGMLType.Q6_K,
     "IQ4_NL": GGMLType.IQ4_NL,
     "IQ4_XS": GGMLType.IQ4_XS,
+    "IQ3_XXS": GGMLType.IQ3_XXS,
+    "IQ3_S": GGMLType.IQ3_S,
+    "IQ3_M": GGMLType.IQ3_S,
+    "IQ2_XXS": GGMLType.IQ2_XXS,
+    "IQ2_XS": GGMLType.IQ2_XS,
+    "IQ2_S": GGMLType.IQ2_S,
+    "IQ2_M": GGMLType.IQ2_S,
+    "IQ1_S": GGMLType.IQ1_S,
+    "IQ1_M": GGMLType.IQ1_M,
+    "TQ1_0": GGMLType.TQ1_0,
+    "TQ2_0": GGMLType.TQ2_0,
     "F16": GGMLType.F16,
     "BF16": GGMLType.BF16,
 }
+
+# sub-4-bit ftypes whose recipes follow the reference's IQ branch
+_IQ_LOW = ("IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ2_M", "IQ1_S", "IQ1_M")
 
 
 def _use_more_bits(i_layer: int, n_layers: int) -> bool:
@@ -73,10 +87,18 @@ def tensor_type_for(
 
     is_output = name == "output.weight" or (not has_output and name == "token_embd.weight")
     if is_output:
-        if base != GGMLType.Q8_0 and type_traits(base).block_size >= 256:
+        if ftype in _IQ_LOW or ftype in ("IQ3_XXS",):
+            new_type = GGMLType.Q5_K  # llama-quant.cpp IQ branch for output
+        elif base != GGMLType.Q8_0 and type_traits(base).block_size >= 256:
             new_type = GGMLType.Q6_K
+    elif name == "token_embd.weight" and ftype in _IQ_LOW:
+        new_type = GGMLType.Q2_K
     elif "attn_v.weight" in name:
-        if ftype == "Q2_K":
+        if ftype in _IQ_LOW:
+            new_type = GGMLType.Q4_K if n_gqa >= 4 else GGMLType.IQ3_S
+        elif ftype in ("IQ3_XXS", "IQ3_S", "IQ3_M"):
+            new_type = GGMLType.Q4_K if n_gqa >= 4 else GGMLType.IQ3_S
+        elif ftype == "Q2_K":
             new_type = GGMLType.Q4_K if n_gqa >= 4 else GGMLType.Q3_K
         elif ftype == "Q3_K_M":
             new_type = GGMLType.Q5_K if i_layer < 2 else GGMLType.Q4_K
@@ -91,7 +113,9 @@ def tensor_type_for(
         if n_expert == 8:
             new_type = GGMLType.Q8_0
     elif "ffn_down" in name:
-        if ftype == "Q2_K":
+        if ftype in _IQ_LOW:
+            new_type = GGMLType.IQ3_XXS if i_layer < 2 else base
+        elif ftype == "Q2_K":
             new_type = GGMLType.Q3_K if _use_more_bits(i_layer, n_layers) else base
         elif ftype == "Q3_K_M":
             new_type = GGMLType.Q4_K if i_layer < 2 else base

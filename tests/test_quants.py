@@ -139,3 +139,84 @@ def test_layout_vs_reference_gguf_py(qtype):
     ref_qt = ref_gguf.GGMLQuantizationType(int(qtype))
     theirs = ref_dequantize(raw.reshape(2, -1), ref_qt).astype(np.float32)
     np.testing.assert_allclose(ours, theirs, rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Importance-grid (IQ) and ternary (TQ) formats (llm_tpu/quant/iq_codecs.py).
+# The reference cannot round-trip-test most of these without an imatrix
+# (its encoders assert on one); ours always encode, so we test both the
+# round-trip quality of our encoder and bit-exact decode parity.
+# ---------------------------------------------------------------------------
+
+# per-element RMSE bounds on unit gaussians for our nearest-codeword
+# encoders (1.5-3.4 bpw formats; ternary-optimal RMSE is ~0.48)
+IQ_THRESH = {
+    GGMLType.IQ2_XXS: 0.55,
+    GGMLType.IQ2_XS: 0.48,
+    GGMLType.IQ2_S: 0.40,
+    GGMLType.IQ3_XXS: 0.42,
+    GGMLType.IQ3_S: 0.30,
+    GGMLType.IQ1_S: 0.60,
+    GGMLType.IQ1_M: 0.58,
+    GGMLType.TQ1_0: 0.80,
+    GGMLType.TQ2_0: 0.80,
+}
+
+
+@pytest.mark.parametrize("qtype", sorted(IQ_THRESH.keys(), key=int), ids=lambda t: t.name)
+def test_iq_round_trip(qtype):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(3, 512)).astype(np.float32)
+    raw = codecs.quantize(x, qtype)
+    tt = type_traits(qtype)
+    assert raw.shape == (3, 512 // tt.block_size * tt.type_size)
+    y = codecs.dequantize(raw, qtype, 512).reshape(3, 512)
+    rmse = float(np.sqrt(np.mean((x - y) ** 2)))
+    assert rmse < IQ_THRESH[qtype], f"{qtype.name}: per-element RMSE {rmse}"
+
+
+@pytest.mark.parametrize("qtype", sorted(IQ_THRESH.keys(), key=int), ids=lambda t: t.name)
+def test_iq_imatrix_weighted(qtype):
+    """Encoding with an importance row must still produce a decodable
+    bitstream and not degrade weighted error."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 512)).astype(np.float32)
+    qw = (1.0 + rng.random(512)).astype(np.float32)
+    raw = codecs.quantize(x, qtype, qw=qw)
+    y = codecs.dequantize(raw, qtype, 512).reshape(2, 512)
+    rmse = float(np.sqrt(np.mean((x - y) ** 2)))
+    assert rmse < IQ_THRESH[qtype] * 1.25
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+@pytest.mark.parametrize("qtype", sorted(IQ_THRESH.keys(), key=int), ids=lambda t: t.name)
+def test_iq_layout_vs_reference_gguf_py(qtype):
+    sys.path.insert(0, os.path.join(REFERENCE_DIR, "gguf-py"))
+    try:
+        from gguf.quants import dequantize as ref_dequantize  # type: ignore
+        import gguf as ref_gguf  # type: ignore
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 512)).astype(np.float32)
+    raw = codecs.quantize(x, qtype)
+    ours = codecs.dequantize(raw, qtype, 512).reshape(2, 512)
+    theirs = ref_dequantize(
+        raw.reshape(2, -1), ref_gguf.GGMLQuantizationType(int(qtype))
+    ).astype(np.float32)
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_tq1_0_golden_trits():
+    """Trit packing matches the reference's MSB-first ceil-scaled scheme
+    (quantize_row_tq1_0_ref, ggml-quants.c:2064)."""
+    x = np.zeros((1, 256), np.float32)
+    x[0, 0] = 1.0    # trit +1, MSB of byte 0
+    x[0, 32] = -1.0  # trit -1 (digit n=1 of byte 0)
+    raw = codecs.quantize(x, GGMLType.TQ1_0).tobytes()
+    # byte 0 digits MSB-first: [2,0,1,1,1] -> q=(((2*3+0)*3+1)*3+1)*3+1 = 175
+    # ceil(175*256/243) = 185
+    assert raw[0] == 185
+    y = codecs.dequantize(np.frombuffer(raw, np.uint8), GGMLType.TQ1_0, 256)[0]
+    assert y[0] == 1.0 and y[32] == -1.0 and y[1] == 0.0

@@ -144,3 +144,21 @@ def test_cli_main_subprocess(tiny_f32):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "decode" in out.stderr
+
+
+def test_quantize_iq_end_to_end(tmp_path):
+    """Sub-4-bit IQ ftype: quantize -> load (dense fallback) -> decode."""
+    model = _tiny_hf_llama(hidden=256, layers=1, vocab=97)
+    f32 = str(tmp_path / "m_f32.gguf")
+    convert_hf_llama(model, f32, vocab=_test_vocab(97))
+    out = str(tmp_path / "m_iq2.gguf")
+    stats = quantize_model(f32, out, "IQ2_XS")
+    assert stats["out_bytes"] < stats["in_bytes"] / 4
+    ctx = Context(GGUFReader(out), n_cells=32, dtype=jnp.float32)
+    assert ctx.decode(Batch.text([1, 10, 20])) == 0
+    logits = ctx.get_logits()
+    assert np.all(np.isfinite(logits))
+
+    # the ftype recipe upgraded the value/output projections
+    assert tensor_type_for("blk.0.attn_v.weight", (256, 256), "IQ2_XS", 1, n_gqa=4) == GGMLType.Q4_K
+    assert tensor_type_for("output.weight", (256, 97), "IQ2_XS", 1) == GGMLType.Q5_K
