@@ -42,6 +42,8 @@ class Vocab:
     add_bos: bool = False
     add_eos: bool = False
     add_space_prefix: bool = True
+    remove_extra_whitespaces: bool = False
+    precompiled_charsmap: bytes = b""
     chat_template: str = ""
 
     token_to_id: dict = field(default_factory=dict)
@@ -143,6 +145,18 @@ def vocab_from_gguf(reader) -> Vocab:
         add_bos=bool(_get(reader, K.ADD_BOS, default_add_bos)),
         add_eos=bool(_get(reader, K.ADD_EOS, False)),
         add_space_prefix=bool(_get(reader, K.ADD_SPACE_PREFIX, model == "llama")),
+        remove_extra_whitespaces=bool(_get(reader, K.REMOVE_EXTRA_WS, False)),
+        precompiled_charsmap=_charsmap_bytes(_get(reader, K.PRECOMPILED_CHARSMAP, b"")),
         chat_template=str(_get(reader, K.CHAT_TEMPLATE, "")),
     )
     return v
+
+
+def _charsmap_bytes(v) -> bytes:
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, np.ndarray):
+        return v.astype(np.uint8).tobytes()
+    if isinstance(v, (list, tuple)):
+        return bytes(int(x) & 0xFF for x in v)
+    return bytes(v) if v else b""
