@@ -19,9 +19,12 @@ output-feature dim, and expanding scales group-wise along K is a
 sublane-only reshape — the only reshape Mosaic supports; lane-splitting
 reshapes fail to compile ("infer-vector-layout: unsupported shape cast").
 
-The group zero-point term (Q4_K mins etc.) is NOT in the kernel: it
-factors into groupsum(x) @ mins — a rank-K/gs correction matmul handled
-by XLA (mirrors the reference's Q8 bsums trick).
+The group zero-point term (Q4_K mins etc.) factors into a rank-K/gs
+correction: x @ W = x @ ((q-zp)*S) - groupsum(x) @ M (mirroring the
+reference's Q8 bsums trick, block_q8_K.bsums ggml-common.h:329-334).
+The correction runs INSIDE the kernel — groupsum(x) is precomputed by XLA
+(a tiny B×K reduce; an in-kernel reshape of x would lane-split) and the
+mins plane streams through the same pipelined DMA as the scales.
 """
 
 from __future__ import annotations
@@ -33,67 +36,120 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
+# Optional kernel scoped-VMEM ceiling override. Mosaic's default is 16MB;
+# raising it admits bigger K-tiles but measurably slows the generated
+# pipeline (~2x at decode shapes on v5e), so it stays unset by default.
+_VMEM_LIMIT = (
+    int(os.environ["LLM_TPU_VMEM_LIMIT"]) if os.environ.get("LLM_TPU_VMEM_LIMIT") else None
+)
+
 # K-tile must match the nibble-pairing stride used at pack time.
 PACK_TK = 256
 
 
 def _dequant_w(q, s_ref, gs, zp, cdtype):
-    """q (TK, TN) small ints + scales (TK//gs, TN) -> w (TK, TN)."""
+    """q (TK, TN) small ints + scales (TK//gs, TN) -> w (TK, TN).
+
+    The scale multiply happens in the 3-D (groups, gs, TN) view with a
+    broadcast sublane operand — Mosaic keeps the scale vector replicated
+    instead of materializing a (TK, TN) scale plane (measured ~10% faster
+    at decode shapes than broadcast_to + full-width multiply)."""
     tk, tn = q.shape
     if zp:
         q = q - float(zp)
     s = s_ref[...].astype(jnp.float32)  # (TK//gs, TN)
-    # expand along K: sublane-only broadcast+reshape (lane dim unchanged)
-    s_full = jnp.broadcast_to(s[:, None, :], (tk // gs, gs, tn)).reshape(tk, tn)
-    return (q * s_full).astype(cdtype)
+    q3 = q.reshape(tk // gs, gs, tn)  # sublane-only reshape
+    return (q3 * s[:, None, :]).reshape(tk, tn).astype(cdtype)
 
 
-def _qmm_kernel_i8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs, zp, cdtype):
+def _unpack_p4_chunk(packed, ptk):
+    """(PTK//2, TN) packed nibbles -> (PTK, TN) f32 in 0..15."""
+    half, tn = packed.shape
+    assert half * 2 == ptk
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
+    # within a pack-tile: [lo half | hi half] along K
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _accumulate(x_ref, make_w, o_ref, acc_ref, corr, cdtype, ptk):
+    """Chunked matmul: the K-tile streams to VMEM in one big DMA block, but
+    dequant+dot run in PTK-sized sub-chunks so the dequantized f32/bf16
+    temporary never exceeds (PTK, TN) — without this, big tile_k blows the
+    16MB scoped-vmem stack (w temp is tile_k*tile_n*4 bytes)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[...].astype(jnp.float32)  # (TK, TN)
-    w = _dequant_w(q, s_ref, gs, zp, cdtype)
-    acc_ref[...] += jax.lax.dot_general(
-        x_ref[...].astype(cdtype), w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    tk = x_ref.shape[1]
+    acc = None
+    for c in range(tk // ptk):
+        w = make_w(c)  # (PTK, TN) in cdtype
+        part = jax.lax.dot_general(
+            x_ref[:, c * ptk:(c + 1) * ptk].astype(cdtype), w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    acc_ref[...] += acc - corr if corr is not None else acc
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
         o_ref[...] = acc_ref[...]
+
+
+def _corr(xg_ref, m_ref, cdtype):
+    """groupsum(x) @ mins for this K-tile. xg_ref is G-major (G, B) so its
+    lane dim is the full B (Mosaic block-shape rule); contracting dim 0 of
+    both operands yields (B, TN) without a transpose."""
+    return jax.lax.dot_general(
+        xg_ref[...].astype(cdtype), m_ref[...].astype(cdtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _make_w_i8(q_ref, s_ref, gs, zp, cdtype, ptk):
+    def make_w(c):
+        q = q_ref[c * ptk:(c + 1) * ptk, :].astype(jnp.float32)
+        gpc = ptk // gs
+        return _dequant_w(q, s_ref[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
+    return make_w
+
+
+def _make_w_p4(q_ref, s_ref, gs, zp, cdtype, ptk):
+    half = ptk // 2
+
+    def make_w(c):
+        packed = q_ref[c * half:(c + 1) * half, :].astype(jnp.int32)
+        q = _unpack_p4_chunk(packed, ptk)
+        gpc = ptk // gs
+        return _dequant_w(q, s_ref[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
+    return make_w
+
+
+def _qmm_kernel_i8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs, zp, cdtype, ptk):
+    _accumulate(x_ref, _make_w_i8(q_ref, s_ref, gs, zp, cdtype, ptk),
+                o_ref, acc_ref, None, cdtype, ptk)
+
+
+def _qmm_kernel_i8_m(x_ref, xg_ref, q_ref, s_ref, m_ref, o_ref, acc_ref, *, gs, zp, cdtype, ptk):
+    _accumulate(x_ref, _make_w_i8(q_ref, s_ref, gs, zp, cdtype, ptk),
+                o_ref, acc_ref, _corr(xg_ref, m_ref, cdtype), cdtype, ptk)
 
 
 def _qmm_kernel_p4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs, zp, cdtype, ptk):
-    j = pl.program_id(1)
+    _accumulate(x_ref, _make_w_p4(q_ref, s_ref, gs, zp, cdtype, ptk),
+                o_ref, acc_ref, None, cdtype, ptk)
 
-    @pl.when(j == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = q_ref[...].astype(jnp.int32)  # (TK//2, TN), TK = m * ptk
-    kh, tn = packed.shape
-    half = ptk // 2
-    m = kh // half
-    p3 = packed.reshape(m, half, tn)  # sublane-only reshape
-    lo = (p3 & 0xF).astype(jnp.float32)
-    hi = (p3 >> 4).astype(jnp.float32)
-    # per pack-tile: [lo half | hi half] along K, tiles stay in order
-    q = jnp.concatenate([lo, hi], axis=1).reshape(m * ptk, tn)
-    w = _dequant_w(q, s_ref, gs, zp, cdtype)
-    acc_ref[...] += jax.lax.dot_general(
-        x_ref[...].astype(cdtype), w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _():
-        o_ref[...] = acc_ref[...]
+def _qmm_kernel_p4_m(x_ref, xg_ref, q_ref, s_ref, m_ref, o_ref, acc_ref, *, gs, zp, cdtype, ptk):
+    _accumulate(x_ref, _make_w_p4(q_ref, s_ref, gs, zp, cdtype, ptk),
+                o_ref, acc_ref, _corr(xg_ref, m_ref, cdtype), cdtype, ptk)
 
 
 @functools.partial(
@@ -105,6 +161,7 @@ def qmm_pallas(
     x: jnp.ndarray,  # [B, K] (bf16/f32)
     qs: jnp.ndarray,  # [K, N] int8 or [K//2, N] uint8 (p4)
     scales: jnp.ndarray,  # [K//gs, N]
+    mins: jnp.ndarray | None = None,  # [K//gs, N] group offsets, or None
     gs: int = 32,
     zp: int = 0,
     layout: str = "i8",
@@ -113,51 +170,71 @@ def qmm_pallas(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """y[b, n] = sum_k x[b,k] * (q[k,n] - zp) * scales[k//gs, n]  (f32)."""
+    """y[b,n] = sum_k x[b,k] * (q[k,n] - zp) * scales[k//gs, n]
+                - sum_g groupsum(x)[b,g] * mins[g,n]             (f32)"""
     B, K = x.shape
     N = qs.shape[-1]
     tile_n = min(tile_n, N)
     tile_k = min(tile_k, K)
-    assert K % tile_k == 0 and N % tile_n == 0, (N, K, tile_n, tile_k)
+    assert K % tile_k == 0, (K, tile_k)
     assert tile_k % gs == 0
 
-    grid = (N // tile_n, K // tile_k)
+    # N need not divide tile_n: the last N-tile is ragged (Mosaic masks the
+    # boundary block loads/stores; padded lanes never reach the output).
+    grid = (pl.cdiv(N, tile_n), K // tile_k)
     cdtype = jnp.dtype(compute_dtype)
     kfac = 2 if layout == "p4" else 1
     if layout == "p4":
         assert tile_k % PACK_TK == 0
-        kernel = functools.partial(
-            _qmm_kernel_p4, gs=gs, zp=zp, cdtype=cdtype, ptk=PACK_TK
-        )
+        kfn = _qmm_kernel_p4_m if mins is not None else _qmm_kernel_p4
+        kernel = functools.partial(kfn, gs=gs, zp=zp, cdtype=cdtype, ptk=PACK_TK)
     else:
-        kernel = functools.partial(_qmm_kernel_i8, gs=gs, zp=zp, cdtype=cdtype)
+        kfn = _qmm_kernel_i8_m if mins is not None else _qmm_kernel_i8
+        chunk = PACK_TK if tile_k % PACK_TK == 0 else tile_k
+        kernel = functools.partial(kfn, gs=gs, zp=zp, cdtype=cdtype, ptk=chunk)
+
+    x_spec = pl.BlockSpec((B, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    group_spec = pl.BlockSpec(
+        (tile_k // gs, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM
+    )
+    in_specs = [x_spec]
+    args = [x]
+    if mins is not None:
+        xg = x.astype(jnp.float32).reshape(B, K // gs, gs).sum(-1).astype(cdtype)
+        in_specs.append(
+            pl.BlockSpec((tile_k // gs, B), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(xg.T)
+    in_specs.append(
+        pl.BlockSpec((tile_k // kfac, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+    )
+    args.append(qs)
+    in_specs.append(group_spec)
+    args.append(scales)
+    nbytes = qs.size * qs.dtype.itemsize + scales.size * scales.dtype.itemsize
+    if mins is not None:
+        in_specs.append(group_spec)
+        args.append(mins)
+        nbytes += mins.size * mins.dtype.itemsize
 
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((B, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_k // kfac, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile_k // gs, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B, tile_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            **({"vmem_limit_bytes": _VMEM_LIMIT} if _VMEM_LIMIT else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
-            bytes_accessed=qs.size * qs.dtype.itemsize + scales.size * 4
-            + B * K * 2 + B * N * 4,
+            bytes_accessed=nbytes + B * K * 2 + B * N * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, qs, scales)
+    )(*args)
 
 
 def pack_p4(qs_i8, zp: int, tile_k: int = PACK_TK):

@@ -31,6 +31,10 @@ _DEFAULT_DTYPE = jnp.bfloat16
 _BACKEND = os.environ.get("LLM_TPU_QMM", "auto")
 _INTERPRET = False  # pallas interpret mode (tests on CPU)
 
+# fold the group-offset (mins) correction into the Pallas kernel instead of
+# an XLA matmul after it
+_FUSE_MINS = os.environ.get("LLM_TPU_FUSE_MINS", "0") == "1"
+
 
 def set_backend(backend: str, interpret: bool = False) -> None:
     global _BACKEND, _INTERPRET
@@ -86,18 +90,54 @@ def _dequant_w(qt: QTensor, dtype) -> jnp.ndarray:
 
 
 _TILE_N_OPTS = tuple(
-    int(x) for x in os.environ.get("LLM_TPU_TILE_N", "1024,512,256,128").split(",")
+    int(x) for x in os.environ.get("LLM_TPU_TILE_N", "4096,2048,1024,512,256,128").split(",")
 )
 _TILE_K_OPTS = tuple(
-    int(x) for x in os.environ.get("LLM_TPU_TILE_K", "1024,512,256,128").split(",")
+    int(x) for x in os.environ.get("LLM_TPU_TILE_K", "2048,1024,512,256,128").split(",")
 )
+
+
+# optional per-shape tile overrides: {(K, N): (tile_n, tile_k)}. Populated
+# from LLM_TPU_TILE_TABLE (a JSON file of [[K, N, tn, tk], ...]) or by the
+# autotune tool at runtime.
+_TILE_TABLE: dict[tuple[int, int], tuple[int, int]] = {}
+if os.environ.get("LLM_TPU_TILE_TABLE"):
+    import json as _json
+
+    try:
+        with open(os.environ["LLM_TPU_TILE_TABLE"]) as _f:
+            _TILE_TABLE = {(int(r[0]), int(r[1])): (int(r[2]), int(r[3]))
+                           for r in _json.load(_f)}
+    except (OSError, ValueError):
+        pass
+
+
+def set_tile_table(table: dict[tuple[int, int], tuple[int, int]]) -> None:
+    global _TILE_TABLE
+    _TILE_TABLE = dict(table)
 
 
 def _pick_tile(n: int, options=None) -> int | None:
+    """Largest option dividing n evenly (exact tiles)."""
     for t in options or _TILE_N_OPTS:
         if n % t == 0:
             return t
     return None
+
+
+def _pick_tile_n(n: int) -> int | None:
+    """Tile for the output dim. Prefers the largest exactly-dividing option;
+    when only tiny tiles divide (e.g. lm_head N=128256 -> 128), uses the
+    largest option <= n with a ragged last tile instead — the kernel masks
+    the boundary block, which beats crawling through 128-wide tiles."""
+    exact = _pick_tile(n, _TILE_N_OPTS)
+    best = _TILE_N_OPTS[0]
+    if exact is not None and exact * 4 >= min(best, n):
+        return exact
+    for t in _TILE_N_OPTS:
+        if t <= n:
+            return t
+    return exact if exact is not None else (n if n % 128 == 0 else None)
 
 
 def _pallas_ok(qt: QTensor, k: int, b: int) -> bool:
@@ -105,26 +145,12 @@ def _pallas_ok(qt: QTensor, k: int, b: int) -> bool:
         return False
     if _BACKEND == "auto" and jax.default_backend() not in ("tpu",):
         return False
-    if _pick_tile(qt.out_features) is None:
+    if _pick_tile_n(qt.out_features) is None:
         return False
     if qt.layout == "p4":
         return k % qt.pack_tk == 0
     tk = _pick_tile(k, _TILE_K_OPTS)
     return tk is not None and tk % qt.group_size == 0
-
-
-def _group_correction(x2: jnp.ndarray, qt: QTensor, y: jnp.ndarray, dtype):
-    """y -= groupsum(x) @ mins   (mins [K//gs, N])."""
-    if qt.mins is None:
-        return y
-    b, k = x2.shape
-    g = qt.group_size
-    xg = x2.astype(jnp.float32).reshape(b, k // g, g).sum(-1)
-    return y - jax.lax.dot_general(
-        xg.astype(dtype), qt.mins.astype(dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
 
 
 def qmm(
@@ -149,22 +175,34 @@ def qmm(
             pad = (-b) % 8
             if pad:
                 x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-            tile_n = _pick_tile(w.out_features)
-            if w.layout == "p4":
-                # the kernel handles any multiple of the pack stride
-                tile_k = next(
-                    t for t in _TILE_K_OPTS + (w.pack_tk,)
-                    if k % t == 0 and t % w.pack_tk == 0
-                )
+            tuned = _TILE_TABLE.get((k, w.out_features))
+            if tuned is not None:
+                tile_n, tile_k = tuned
             else:
-                tile_k = _pick_tile(k, _TILE_K_OPTS)
+                tile_n = _pick_tile_n(w.out_features)
+                if w.layout == "p4":
+                    # the kernel handles any multiple of the pack stride
+                    tile_k = next(
+                        t for t in _TILE_K_OPTS + (w.pack_tk,)
+                        if k % t == 0 and t % w.pack_tk == 0
+                    )
+                else:
+                    tile_k = _pick_tile(k, _TILE_K_OPTS)
             y = qmm_pallas(
                 x2.astype(dtype), w.qs, w.scales,
+                w.mins if _FUSE_MINS else None,
                 gs=w.group_size, zp=w.zp, layout=w.layout,
                 tile_n=tile_n, tile_k=tile_k, interpret=_INTERPRET,
                 compute_dtype=dtype,
             )
-            y = _group_correction(x2, w, y, dtype)
+            if w.mins is not None and not _FUSE_MINS:
+                g = w.group_size
+                xg = x2.astype(jnp.float32).reshape(b + pad, k // g, g).sum(-1)
+                y = y - jax.lax.dot_general(
+                    xg.astype(dtype), w.mins.astype(dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             if pad:
                 y = y[:b]
         else:
