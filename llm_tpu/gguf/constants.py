@@ -186,6 +186,14 @@ class Keys:
         EXPERT_GATING_FUNC = "{arch}.expert_gating_func"
         VOCAB_SIZE = "{arch}.vocab_size"
 
+    class SSM:  # state-space models (llama-arch.cpp:170-175)
+        CONV_KERNEL = "{arch}.ssm.conv_kernel"
+        INNER_SIZE = "{arch}.ssm.inner_size"
+        STATE_SIZE = "{arch}.ssm.state_size"
+        TIME_STEP_RANK = "{arch}.ssm.time_step_rank"
+        GROUP_COUNT = "{arch}.ssm.group_count"
+        DT_B_C_RMS = "{arch}.ssm.dt_b_c_rms"
+
     class Attention:
         HEAD_COUNT = "{arch}.attention.head_count"
         HEAD_COUNT_KV = "{arch}.attention.head_count_kv"

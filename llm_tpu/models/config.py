@@ -69,6 +69,17 @@ class ModelConfig:
     logit_scale: float = 1.0
     attn_bias: bool = False  # qkv biases present (qwen2)
     context_length: int = 0
+    # state-space models (mamba family; llama-hparams.h ssm_* fields)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
+    ssm_n_group: int = 0
+    ssm_dt_b_c_rms: bool = False
+
+    @property
+    def is_recurrent(self) -> bool:
+        return self.ssm_d_state > 0
 
     @property
     def n_rep(self) -> int:
@@ -89,11 +100,13 @@ def config_from_gguf(reader) -> ModelConfig:
     arch = reader.architecture
     n_embd = int(_ak(reader, Keys.LLM.EMBEDDING_LENGTH))
     n_layers = int(_ak(reader, Keys.LLM.BLOCK_COUNT))
-    n_heads = int(_ak(reader, Keys.Attention.HEAD_COUNT))
-    n_kv = int(_ak(reader, Keys.Attention.HEAD_COUNT_KV, n_heads))
-    head_dim = int(_ak(reader, Keys.Attention.KEY_LENGTH, n_embd // n_heads))
-    head_dim_v = int(_ak(reader, Keys.Attention.VALUE_LENGTH, head_dim))
-    n_ff = int(_ak(reader, Keys.LLM.FEED_FORWARD_LENGTH))
+    n_heads = int(_ak(reader, Keys.Attention.HEAD_COUNT, 0) or 0)
+    n_kv = int(_ak(reader, Keys.Attention.HEAD_COUNT_KV, n_heads) or 0)
+    head_dim = int(
+        _ak(reader, Keys.Attention.KEY_LENGTH, n_embd // n_heads if n_heads else 0) or 0
+    )
+    head_dim_v = int(_ak(reader, Keys.Attention.VALUE_LENGTH, head_dim) or 0)
+    n_ff = int(_ak(reader, Keys.LLM.FEED_FORWARD_LENGTH, 0) or 0)
     vocab = _ak(reader, Keys.LLM.VOCAB_SIZE)
     if vocab is None:
         toks = reader.get(Keys.Tokenizer.LIST)
@@ -164,6 +177,20 @@ def config_from_gguf(reader) -> ModelConfig:
     if arch == "gemma3":
         cfg = replace(cfg, qk_norm=True, swa_pattern=6,
                       attn_scale=float(_ak(reader, Keys.Attention.SCALE, 0.0625) or 0.0625))
+    if arch in ("mamba", "mamba2", "falcon-mamba"):
+        d_inner = int(_ak(reader, Keys.SSM.INNER_SIZE, 2 * n_embd) or 2 * n_embd)
+        cfg = replace(
+            cfg,
+            ssm_d_conv=int(_ak(reader, Keys.SSM.CONV_KERNEL, 4) or 4),
+            ssm_d_inner=d_inner,
+            ssm_d_state=int(_ak(reader, Keys.SSM.STATE_SIZE, 16) or 16),
+            ssm_dt_rank=int(
+                _ak(reader, Keys.SSM.TIME_STEP_RANK, (n_embd + 15) // 16)
+                or (n_embd + 15) // 16
+            ),
+            ssm_n_group=int(_ak(reader, Keys.SSM.GROUP_COUNT, 0) or 0),
+            ssm_dt_b_c_rms=bool(_ak(reader, Keys.SSM.DT_B_C_RMS, False)),
+        )
     explicit_scale = _ak(reader, Keys.Attention.SCALE)
     if explicit_scale is not None and arch not in ("gemma3",):
         cfg = replace(cfg, attn_scale=float(explicit_scale))

@@ -94,7 +94,13 @@ def load_params(
                 key = "attn_qkv_fused"
             elif kind == "weight" and base == "ffn_up" and cfg.arch in ("phi3", "phimoe"):
                 key = "ffn_gateup_fused"  # GGUF phi3 packs [gate; up]
-            if kind == "bias" or len(ti.shape) == 1:
+            if base == "ssm_conv1d" and kind == "weight":
+                # ne (d_conv, d_inner) -> [d_conv, d_inner] dense f32
+                layers[il][key] = _to_dense(reader, name, jnp.float32).T
+            elif base == "ssm_a":
+                # A decay factors stay f32 (they sit inside exp())
+                layers[il][key] = _to_dense(reader, name, jnp.float32)
+            elif kind == "bias" or len(ti.shape) == 1:
                 layers[il][key] = _to_dense(reader, name, jnp.float32)
             elif len(ti.shape) == 3:
                 # expert stacks: dense [n_expert, n_out, K] for the XLA path

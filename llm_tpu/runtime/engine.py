@@ -74,14 +74,23 @@ class Context:
         self.dtype = dtype
         self.kv_dtype = kv_dtype if kv_dtype is not None else dtype
         self.n_ubatch = n_ubatch
-        # +1 trash cell: padding tokens scatter their K/V there; it is never
-        # attended because its seq bit-set stays 0.
-        self.n_cells = n_cells
-        self.cells = CellTable(n_cells)
-        self.kv = new_kv_arrays(
-            self.cfg.n_layers, n_cells + 1, self.cfg.n_kv_heads,
-            self.cfg.head_dim, self.cfg.head_dim_v, self.kv_dtype,
-        )
+        self.rslots = None
+        if self.cfg.is_recurrent:
+            from .recurrent import RecurrentSlots
+
+            self.n_cells = n_cells
+            self.cells = CellTable(0)
+            self.kv = None
+            self.rslots = RecurrentSlots(self.cfg, n_slots=min(MAX_SEQS, n_cells))
+        else:
+            # +1 trash cell: padding tokens scatter their K/V there; it is
+            # never attended because its seq bit-set stays 0.
+            self.n_cells = n_cells
+            self.cells = CellTable(n_cells)
+            self.kv = new_kv_arrays(
+                self.cfg.n_layers, n_cells + 1, self.cfg.n_kv_heads,
+                self.cfg.head_dim, self.cfg.head_dim_v, self.kv_dtype,
+            )
         self._steps: dict = {}
         self._logits: dict[int, np.ndarray] = {}  # batch index -> logits row
         self._embd: dict[int, np.ndarray] = {}  # batch index -> hidden row
@@ -115,6 +124,8 @@ class Context:
             for s in seqs or (0,):
                 if not (0 <= s < MAX_SEQS):
                     return -1
+        if self.rslots is not None:
+            return self._decode_recurrent(batch)
         batch = sanitize(batch, self.cells)
         self._logits.clear()
         self._embd.clear()
@@ -184,6 +195,112 @@ class Context:
                 self.perf.n_decode += 1
         return 0
 
+    # -- recurrent (SSM) decode -------------------------------------------------
+
+    def _get_rstep(self, ns: int, nt: int, O: int):
+        key = ("r", ns, nt, O)
+        if key in self._steps:
+            return self._steps[key]
+        from ..models.ssm import forward_mamba
+
+        cfg, dtype = self.cfg, self.dtype
+
+        def _step(params, conv, ssm, tokens, slots, oidx):
+            return forward_mamba(params, cfg, conv, ssm, tokens, slots, oidx,
+                                 dtype=dtype)
+
+        fn = jax.jit(_step, donate_argnums=(1, 2))
+        self._steps[key] = fn
+        return fn
+
+    def _decode_recurrent(self, batch: Batch) -> int:
+        """Ubatch shape [ns, nt]: equal token counts per seq (the reference's
+        split_equal invariant, llama-batch.h:69-77). Long sequences chop into
+        bucket-sized chunks — exact, since state carries between chunks."""
+        batch = sanitize(batch, self.rslots)
+        self._logits.clear()
+        self._embd.clear()
+
+        # group token indices by primary seq, preserving order
+        per_seq: dict[int, list[int]] = {}
+        for i, seqs in enumerate(batch.seq_ids):
+            per_seq.setdefault(seqs[0], []).append(i)
+
+        work = []  # (seq_id, [batch indices chunk])
+        for sid, idxs in per_seq.items():
+            o = 0
+            while o < len(idxs):
+                take = 1
+                for b in reversed(TOKEN_BUCKETS):
+                    if b <= min(self.n_ubatch, len(idxs) - o):
+                        take = b
+                        break
+                work.append((sid, idxs[o:o + take]))
+                o += take
+
+        # batch all single-token chunks of distinct seqs together
+        singles = [(s, c) for s, c in work if len(c) == 1]
+        multis = [(s, c) for s, c in work if len(c) > 1]
+        groups: list[list[tuple[int, list[int]]]] = [[m] for m in multis]
+        if singles:
+            seen: dict[int, int] = {}
+            gs: list[list] = []
+            for s, c in singles:
+                g = seen.get(s, -1) + 1
+                seen[s] = g
+                while len(gs) <= g:
+                    gs.append([])
+                gs[g].append((s, c))
+            groups.extend(gs)
+
+        for group in groups:
+            ns_real = len(group)
+            nt = len(group[0][1])
+            ns = _bucket(ns_real, (1, 2, 4, 8, 16, 32))
+            t0 = time.perf_counter()
+            tokens = np.zeros((ns, nt), np.int32)
+            slots = np.full(ns, self.rslots.trash_slot, np.int32)
+            out_rows: list[tuple[int, int]] = []  # (flat row, batch index)
+            for si, (sid, idxs) in enumerate(group):
+                slot = self.rslots.slot_of(sid, create=True)
+                if slot is None:
+                    return 1  # no free state slot (recoverable)
+                tokens[si] = [batch.tokens[i] for i in idxs]
+                slots[si] = slot
+                for ti, i in enumerate(idxs):
+                    if batch.logits[i]:
+                        out_rows.append((si * nt + ti, i))
+                self.rslots.pos_max[sid] = max(
+                    self.rslots.pos_max.get(sid, -1),
+                    max(batch.pos[i] for i in idxs),
+                )
+            O = _bucket(max(1, len(out_rows)))
+            oidx = np.zeros(O, np.int32)
+            oidx[: len(out_rows)] = [r for r, _ in out_rows]
+
+            step = self._get_rstep(ns, nt, O)
+            logits, new_conv, new_ssm, hidden = step(
+                self.params, self.rslots.conv, self.rslots.ssm,
+                jnp.asarray(tokens), jnp.asarray(slots), jnp.asarray(oidx),
+            )
+            self.rslots.conv, self.rslots.ssm = list(new_conv), list(new_ssm)
+
+            logits_np = np.asarray(logits[: len(out_rows)])
+            hidden_np = np.asarray(hidden[: len(out_rows)])
+            for j, (_, bi) in enumerate(out_rows):
+                self._logits[int(bi)] = logits_np[j]
+                self._embd[int(bi)] = hidden_np[j]
+
+            n = ns_real * nt
+            dt = (time.perf_counter() - t0) * 1e3
+            if n > 1:
+                self.perf.t_prefill_ms += dt
+                self.perf.n_prefill += n
+            else:
+                self.perf.t_decode_ms += dt
+                self.perf.n_decode += 1
+        return 0
+
     # -- outputs ---------------------------------------------------------------
 
     def get_logits(self, i: int = -1) -> np.ndarray:
@@ -226,12 +343,19 @@ class Context:
     # -- memory (seq) API (llama_memory_* passthrough) --------------------------
 
     def seq_rm(self, seq_id, p0=-1, p1=-1):
+        if self.rslots is not None:
+            return self.rslots.seq_rm(seq_id, p0, p1)
         self.cells.seq_rm(seq_id, p0, p1)
+        return True
 
     def seq_cp(self, src, dst, p0=-1, p1=-1):
+        if self.rslots is not None:
+            return self.rslots.seq_cp(src, dst, p0, p1)
         self.cells.seq_cp(src, dst, p0, p1)
 
     def seq_keep(self, seq_id):
+        if self.rslots is not None:
+            return self.rslots.seq_keep(seq_id)
         self.cells.seq_keep(seq_id)
 
     def seq_add(self, seq_id, p0, p1, delta):
@@ -241,7 +365,12 @@ class Context:
         self.cells.seq_div(seq_id, p0, p1, d)
 
     def seq_pos_max(self, seq_id):
+        if self.rslots is not None:
+            return self.rslots.seq_pos_max(seq_id)
         return self.cells.seq_pos_max(seq_id)
 
     def clear(self):
-        self.cells.clear()
+        if self.rslots is not None:
+            self.rslots.clear()
+        else:
+            self.cells.clear()
