@@ -208,6 +208,100 @@ class ServerApp:
             "usage": {"prompt_tokens": 0, "total_tokens": 0},
         })
 
+    async def infill(self, request):
+        """/infill — fill-in-the-middle completion (server.cpp
+        handle_infill): prompt = FIM_PRE + prefix + FIM_SUF + suffix +
+        FIM_MID (+ optional extra prompt after MID)."""
+        d = await request.json()
+        v = self.tok.vocab
+        if v.fim_pre_id < 0 or v.fim_suf_id < 0 or v.fim_mid_id < 0:
+            return web.json_response(
+                {"error": "model has no FIM tokens"}, status=400)
+        pre = self.tok.encode(str(d.get("input_prefix", "")), add_special=False)
+        suf = self.tok.encode(str(d.get("input_suffix", "")), add_special=False)
+        toks = []
+        if v.add_bos and v.bos_id >= 0:
+            toks.append(v.bos_id)
+        toks += [v.fim_pre_id] + pre + [v.fim_suf_id] + suf + [v.fim_mid_id]
+        if d.get("prompt"):
+            toks += self.tok.encode(str(d["prompt"]), add_special=False)
+        task = GenTask(
+            prompt_tokens=toks,
+            params=_sampling_from_request(d),
+            n_predict=int(d.get("n_predict", d.get("max_tokens", 128)) or 128),
+            stop=list(d.get("stop") or []),
+            stream=False,
+        )
+        self.engine.submit(task)
+        text, meta = await self._collect(task)
+        return web.json_response({
+            "content": text,
+            "stop_reason": meta.get("stop_reason"),
+            "usage": _usage(meta),
+        })
+
+    async def rerank(self, request):
+        """/rerank + /v1/rerank — score documents against a query.
+
+        The reference serves this with a classifier-head reranker model
+        (server.cpp handle_rerank); generative checkpoints have no head, so
+        this endpoint scores by cosine similarity of pooled embeddings —
+        same response shape, weaker ranking signal."""
+        d = await request.json()
+        query = str(d.get("query", ""))
+        docs = d.get("documents", d.get("texts", [])) or []
+        import numpy as np
+
+        loop = asyncio.get_event_loop()
+
+        def embed(text):
+            toks = self.tok.encode(str(text), add_special=True, parse_special=True)
+            with self.engine.ctx_lock:
+                return self.engine.ctx.encode(toks, "mean",
+                                              seq_id=self.engine.n_slots)
+
+        qv = await loop.run_in_executor(None, embed, query)
+        qv = qv / (np.linalg.norm(qv) + 1e-8)
+        results = []
+        for i, doc in enumerate(docs):
+            dv = await loop.run_in_executor(None, embed, doc)
+            dv = dv / (np.linalg.norm(dv) + 1e-8)
+            results.append({"index": i,
+                            "relevance_score": float(np.dot(qv, dv))})
+        results.sort(key=lambda r: -r["relevance_score"])
+        if d.get("top_n"):
+            results = results[: int(d["top_n"])]
+        return web.json_response({
+            "model": self.model_name, "object": "list", "results": results,
+            "usage": {"prompt_tokens": 0, "total_tokens": 0},
+        })
+
+    async def lora_adapters_get(self, request):
+        """GET /lora-adapters (server.cpp handle_lora_adapters_list)."""
+        return web.json_response([
+            {"id": i, "path": l["path"], "scale": l["scale"]}
+            for i, l in enumerate(self.engine.loras)
+        ])
+
+    async def lora_adapters_post(self, request):
+        """POST /lora-adapters: [{"id": n, "scale": s}, ...] — re-applies
+        adapters at the new scales (handle_lora_adapters_apply)."""
+        from ..models.lora import attach_lora
+
+        d = await request.json()
+        if not isinstance(d, list):
+            return web.json_response({"error": "expected a list"}, status=400)
+        for item in d:
+            i = int(item.get("id", -1))
+            if not (0 <= i < len(self.engine.loras)):
+                return web.json_response({"error": f"invalid id {i}"}, status=400)
+            self.engine.loras[i]["scale"] = float(item.get("scale", 1.0))
+        with self.engine.ctx_lock:
+            for l in self.engine.loras:
+                attach_lora(self.engine.ctx.params, l["tensors"], l["alpha"],
+                            scale=l["scale"])
+        return web.json_response({"success": True})
+
     # completions (native + OpenAI) ------------------------------------------------
 
     async def completion(self, request):
@@ -335,6 +429,11 @@ class ServerApp:
         app.router.add_post("/embeddings", self.embeddings)
         app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/detokenize", self.detokenize)
+        app.router.add_post("/infill", self.infill)
+        app.router.add_post("/rerank", self.rerank)
+        app.router.add_post("/v1/rerank", self.rerank)
+        app.router.add_get("/lora-adapters", self.lora_adapters_get)
+        app.router.add_post("/lora-adapters", self.lora_adapters_post)
         app.router.add_post("/completion", self.completion)
         app.router.add_post("/completions", self.completion)
         app.router.add_post("/v1/completions", self.completion)
@@ -382,6 +481,8 @@ def main(argv=None):
     ap.add_argument("--chat-template", default=None,
                     help="builtin template name (chatml/llama2/llama3/gemma/...) "
                          "or a Jinja source string")
+    ap.add_argument("--lora", action="append", default=[],
+                    help="LoRA adapter GGUF (repeatable); optional :scale suffix")
     args = ap.parse_args(argv)
 
     reader = GGUFReader(args.model)
@@ -391,6 +492,15 @@ def main(argv=None):
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
     )
     engine = InferenceServer(ctx, tok, n_slots=args.n_parallel, n_batch=args.n_batch)
+    for spec in args.lora:
+        from ..models.lora import attach_lora, load_lora_gguf
+
+        path, _, sc = spec.partition(":")
+        scale = float(sc) if sc else 1.0
+        tensors, alpha = load_lora_gguf(path)
+        attach_lora(ctx.params, tensors, alpha, scale=scale)
+        engine.loras.append({"path": path, "scale": scale,
+                             "tensors": tensors, "alpha": alpha})
     engine.start()
     name = args.alias or args.model.rsplit("/", 1)[-1]
     app = ServerApp(engine, model_name=name,

@@ -85,6 +85,9 @@ class InferenceServer:
         # Context is not thread-safe; the inference loop and any side-channel
         # users (embeddings endpoint, slot save/restore) must hold this lock.
         self.ctx_lock = threading.Lock()
+        # loaded LoRA adapters: {"path", "scale", "tensors", "alpha"}
+        # (surfaced/updated via the /lora-adapters endpoints)
+        self.loras: list[dict] = []
         self.metrics = {
             "requests_total": 0,
             "tokens_predicted_total": 0,

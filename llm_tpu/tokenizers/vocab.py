@@ -39,6 +39,9 @@ class Vocab:
     unk_id: int = -1
     sep_id: int = -1
     pad_id: int = -1
+    fim_pre_id: int = -1
+    fim_suf_id: int = -1
+    fim_mid_id: int = -1
     add_bos: bool = False
     add_eos: bool = False
     add_space_prefix: bool = True
@@ -142,6 +145,9 @@ def vocab_from_gguf(reader) -> Vocab:
         unk_id=int(_get(reader, K.UNK_ID, 0 if model == "llama" else -1)),
         sep_id=int(_get(reader, K.SEP_ID, -1)),
         pad_id=int(_get(reader, K.PAD_ID, -1)),
+        fim_pre_id=int(_get(reader, K.FIM_PRE_ID, _get(reader, K.PREFIX_ID, -1))),
+        fim_suf_id=int(_get(reader, K.FIM_SUF_ID, _get(reader, K.SUFFIX_ID, -1))),
+        fim_mid_id=int(_get(reader, K.FIM_MID_ID, _get(reader, K.MIDDLE_ID, -1))),
         add_bos=bool(_get(reader, K.ADD_BOS, default_add_bos)),
         add_eos=bool(_get(reader, K.ADD_EOS, False)),
         add_space_prefix=bool(_get(reader, K.ADD_SPACE_PREFIX, model == "llama")),

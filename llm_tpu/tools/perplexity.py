@@ -76,6 +76,135 @@ def perplexity(
     return {"ppl": ppl, "err": err, "nll": nll_mean, "count": count}
 
 
+def _seq_logprobs(ctx: Context, tokens: list[int]) -> np.ndarray:
+    """log P(tokens[j+1] | tokens[:j+1]) for each j (one prefill pass)."""
+    ctx.clear()
+    b = Batch()
+    for j, t in enumerate(tokens):
+        b.add(t, j, (0,), logits=(j < len(tokens) - 1))
+    rc = ctx.decode(b)
+    if rc != 0:
+        raise RuntimeError(f"decode failed with {rc}")
+    logits = np.stack([ctx.get_logits(j) for j in range(len(tokens) - 1)])
+    logp = _log_softmax(logits.astype(np.float64))
+    return logp[np.arange(len(tokens) - 1), tokens[1:]]
+
+
+def hellaswag_score(ctx: Context, tok, text: str, n_tasks: int | None = None,
+                    progress=None) -> dict:
+    """HellaSwag acc_norm over the reference's 6-line-per-task data format
+    (tools/perplexity/perplexity.cpp hellaswag_score:741-: context line,
+    gold label line, four ending lines). Per ending: mean token logprob of
+    the ending given the context; accuracy when the argmax is gold."""
+    lines = text.splitlines()
+    if len(lines) % 6:
+        raise ValueError("hellaswag data: line count not a multiple of 6")
+    tasks = [lines[i:i + 6] for i in range(0, len(lines), 6)]
+    import random
+
+    random.Random(1).shuffle(tasks)
+    if n_tasks:
+        tasks = tasks[:n_tasks]
+
+    acc = 0
+    for i, t in enumerate(tasks):
+        context, gold = t[0], int(t[1])
+        ctx_toks = tok.encode(context, add_special=True)
+        scores = []
+        for ending in t[2:6]:
+            full = tok.encode(context + " " + ending, add_special=True)
+            # common prefix with the context tokenization
+            k = 0
+            while k < min(len(ctx_toks), len(full)) and ctx_toks[k] == full[k]:
+                k += 1
+            lp = _seq_logprobs(ctx, full)
+            ending_lp = lp[max(k - 1, 0):]
+            scores.append(float(np.mean(ending_lp)) if len(ending_lp) else -1e30)
+        if int(np.argmax(scores)) == gold:
+            acc += 1
+        if progress:
+            progress(i + 1, len(tasks), 100.0 * acc / (i + 1))
+    n = max(1, len(tasks))
+    return {"acc": 100.0 * acc / n, "n_tasks": n}
+
+
+def winogrande_score(ctx: Context, tok, csv_text: str,
+                     n_tasks: int | None = None, progress=None) -> dict:
+    """Winogrande accuracy over the reference's CSV format
+    (perplexity.cpp winogrande_score:1098: index,"sentence with _",opt1,
+    opt2,answer). Scores the mean logprob of the trailing context after
+    substituting each choice for the blank."""
+    import csv
+    import io
+    import random
+
+    rows = [r for r in csv.reader(io.StringIO(csv_text)) if len(r) >= 5]
+    tasks = []
+    for r in rows:
+        sent, o1, o2, ans = r[1], r[2], r[3], r[4]
+        if "_" not in sent:
+            continue
+        first, second = sent.split("_", 1)
+        tasks.append((first, second, o1, o2, int(ans)))
+    random.Random(1).shuffle(tasks)
+    if n_tasks:
+        tasks = tasks[:n_tasks]
+
+    acc = 0
+    for i, (first, second, o1, o2, ans) in enumerate(tasks):
+        scores = []
+        for choice in (o1, o2):
+            base = tok.encode(first + choice, add_special=True)
+            full = tok.encode(first + choice + second, add_special=True)
+            lp = _seq_logprobs(ctx, full)
+            tail = lp[len(base) - 1:]
+            scores.append(float(np.mean(tail)) if len(tail) else -1e30)
+        if int(np.argmax(scores)) + 1 == ans:
+            acc += 1
+        if progress:
+            progress(i + 1, len(tasks), 100.0 * acc / (i + 1))
+    n = max(1, len(tasks))
+    return {"acc": 100.0 * acc / n, "n_tasks": n}
+
+
+def multiple_choice_score(ctx: Context, tok, jsonl_text: str,
+                          n_tasks: int | None = None, progress=None) -> dict:
+    """Generic multiple-choice (MMLU-style) accuracy from JSONL tasks:
+    {"question": ..., "choices": [...], "answer": idx}  — the same scoring
+    rule as the reference's multiple_choice_score (perplexity.cpp:1402)."""
+    import json as _json
+
+    tasks = []
+    for line in jsonl_text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        d = _json.loads(line)
+        tasks.append((str(d["question"]), [str(c) for c in d["choices"]],
+                      int(d["answer"])))
+    if n_tasks:
+        tasks = tasks[:n_tasks]
+
+    acc = 0
+    for i, (q, choices, ans) in enumerate(tasks):
+        q_toks = tok.encode(q, add_special=True)
+        scores = []
+        for c in choices:
+            full = tok.encode(q + " " + c, add_special=True)
+            k = 0
+            while k < min(len(q_toks), len(full)) and q_toks[k] == full[k]:
+                k += 1
+            lp = _seq_logprobs(ctx, full)
+            tail = lp[max(k - 1, 0):]
+            scores.append(float(np.mean(tail)) if len(tail) else -1e30)
+        if int(np.argmax(scores)) == ans:
+            acc += 1
+        if progress:
+            progress(i + 1, len(tasks), 100.0 * acc / (i + 1))
+    n = max(1, len(tasks))
+    return {"acc": 100.0 * acc / n, "n_tasks": n}
+
+
 def kl_divergence(
     ctx: Context,
     tokens: list[int],
@@ -139,18 +268,47 @@ def main(argv=None):
     ap.add_argument("--save-logits", default=None, help="write base logits npz")
     ap.add_argument("--kl-divergence-base", default=None, help="compare vs npz")
     ap.add_argument("--f32", action="store_true", help="compute in float32")
+    ap.add_argument("--hellaswag", action="store_true",
+                    help="score HellaSwag acc (6-line-per-task file)")
+    ap.add_argument("--hellaswag-tasks", type=int, default=400)
+    ap.add_argument("--winogrande", action="store_true",
+                    help="score Winogrande acc (csv file)")
+    ap.add_argument("--winogrande-tasks", type=int, default=0)
+    ap.add_argument("--multiple-choice", action="store_true",
+                    help="score multiple-choice acc (jsonl file)")
+    ap.add_argument("--multiple-choice-tasks", type=int, default=0)
     args = ap.parse_args(argv)
 
     reader = GGUFReader(args.model)
     tok = tokenizer_from_gguf(reader)
     text = open(args.file, encoding="utf-8").read()
-    tokens = tok.encode(text, add_special=False)
-    print(f"tokenized {len(tokens)} tokens")
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     ctx = Context(reader, n_cells=args.ctx_size, n_ubatch=args.ctx_size, dtype=dtype)
     bos = tok.vocab.bos_id if tok.vocab.bos_id >= 0 else 1
     add_bos = tok.vocab.add_bos
+
+    def acc_progress(i, n, acc):
+        print(f"{i}\t{acc:.8f}%", flush=True)
+
+    if args.hellaswag:
+        res = hellaswag_score(ctx, tok, text, args.hellaswag_tasks or None,
+                              acc_progress)
+        print(f"hellaswag acc = {res['acc']:.4f}% ({res['n_tasks']} tasks)")
+        return
+    if args.winogrande:
+        res = winogrande_score(ctx, tok, text, args.winogrande_tasks or None,
+                               acc_progress)
+        print(f"winogrande acc = {res['acc']:.4f}% ({res['n_tasks']} tasks)")
+        return
+    if args.multiple_choice:
+        res = multiple_choice_score(
+            ctx, tok, text, args.multiple_choice_tasks or None, acc_progress)
+        print(f"multiple-choice acc = {res['acc']:.4f}% ({res['n_tasks']} tasks)")
+        return
+
+    tokens = tok.encode(text, add_special=False)
+    print(f"tokenized {len(tokens)} tokens")
 
     def progress(i, n, ppl):
         print(f"[{i}/{n}] ppl={ppl:.4f}", flush=True)

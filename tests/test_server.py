@@ -176,3 +176,60 @@ def test_http_streaming(client):
         return True
 
     assert asyncio.run(_with_client(client, run))
+
+
+def test_http_rerank_and_lora_endpoints(client):
+    async def run(c):
+        # rerank: shape + self-similarity ranks highest
+        r = await c.post("/v1/rerank", json={
+            "query": "hello world",
+            "documents": ["hello world", "completely different text 123"],
+        })
+        assert r.status == 200
+        d = await r.json()
+        assert len(d["results"]) == 2
+        assert d["results"][0]["relevance_score"] >= d["results"][1]["relevance_score"]
+        assert d["results"][0]["index"] == 0  # identical doc ranks first
+
+        # lora-adapters: empty registry round-trips
+        r = await c.get("/lora-adapters")
+        assert await r.json() == []
+        r = await c.post("/lora-adapters", json=[{"id": 0, "scale": 1.0}])
+        assert r.status == 400  # no adapter 0 loaded
+
+        # infill without FIM tokens -> clean 400
+        r = await c.post("/infill", json={"input_prefix": "a", "input_suffix": "b"})
+        assert r.status == 400
+    asyncio.run(_with_client(client, run))
+
+
+def test_infill_with_fim_tokens(tmp_path):
+    """A vocab carrying FIM ids serves /infill (format_infill parity)."""
+    model = _tiny_hf_llama(hidden=64, layers=2, vocab=97)
+    path = str(tmp_path / "fim.gguf")
+    vocab = _test_vocab(97)
+    from llm_tpu.gguf.constants import Keys
+    vocab[Keys.Tokenizer.FIM_PRE_ID] = np.uint32(90)
+    vocab[Keys.Tokenizer.FIM_SUF_ID] = np.uint32(91)
+    vocab[Keys.Tokenizer.FIM_MID_ID] = np.uint32(92)
+    convert_hf_llama(model, path, vocab=vocab)
+    reader = GGUFReader(path)
+    tok = tokenizer_from_gguf(reader)
+    assert tok.vocab.fim_pre_id == 90
+    ctx = Context(reader, n_cells=128, n_ubatch=32, dtype=jnp.float32)
+    eng = InferenceServer(ctx, tok, n_slots=2, n_batch=32)
+    eng.start()
+    try:
+        app = ServerApp(eng, model_name="fim").build()
+
+        async def run(c):
+            r = await c.post("/infill", json={
+                "input_prefix": "def add(a, b):", "input_suffix": "return c",
+                "n_predict": 4, "temperature": 0.0,
+            })
+            assert r.status == 200
+            d = await r.json()
+            assert "content" in d and d["usage"]["completion_tokens"] <= 4
+        asyncio.run(_with_client(app, run))
+    finally:
+        eng.stop()

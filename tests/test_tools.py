@@ -162,3 +162,35 @@ def test_quantize_iq_end_to_end(tmp_path):
     # the ftype recipe upgraded the value/output projections
     assert tensor_type_for("blk.0.attn_v.weight", (256, 256), "IQ2_XS", 1, n_gqa=4) == GGMLType.Q4_K
     assert tensor_type_for("output.weight", (256, 97), "IQ2_XS", 1) == GGMLType.Q5_K
+
+
+def test_eval_scoring(tiny_f32, tmp_path):
+    """HellaSwag / Winogrande / multiple-choice scorers run and a task whose
+    gold ending exactly repeats the context scores deterministically."""
+    from llm_tpu.tools.perplexity import (
+        hellaswag_score, multiple_choice_score, winogrande_score)
+    from llm_tpu.tokenizers import tokenizer_from_gguf
+
+    reader = GGUFReader(tiny_f32)
+    tok = tokenizer_from_gguf(reader)
+    ctx = Context(reader, n_cells=128, n_ubatch=64, dtype=jnp.float32)
+
+    hs = "\n".join([
+        "the cat sat on", "0", "the mat", "zq zq zq", "a b c", "x y z",
+        "hello world says", "1", "qqq", "hello", "zzz", "aaa",
+    ])
+    res = hellaswag_score(ctx, tok, hs)
+    assert res["n_tasks"] == 2 and 0.0 <= res["acc"] <= 100.0
+
+    wg = '\n'.join([
+        '1,"the dog chased the _ up a tree",cat,car,1',
+        '2,"she poured the _ into a cup",tea,rock,1',
+    ])
+    res = winogrande_score(ctx, tok, wg)
+    assert res["n_tasks"] == 2
+
+    mc = "\n".join([
+        '{"question": "two plus two is", "choices": ["four", "banana"], "answer": 0}',
+    ])
+    res = multiple_choice_score(ctx, tok, mc)
+    assert res["n_tasks"] == 1
