@@ -119,6 +119,8 @@ def make_synthetic_model(
     on_device: bool = False,
     scales_dtype=jnp.float32,
     fuse: bool = True,
+    n_expert: int = 0,
+    n_expert_used: int = 0,
 ) -> tuple[dict, ModelConfig]:
     """Build (params, cfg) for a llama-shaped model with random weights."""
     import jax
@@ -140,6 +142,9 @@ def make_synthetic_model(
         rope=RopeParams(n_dims=head_dim, mode=ROPE_TYPE_NORM),
         tie_embeddings=True,
         context_length=4096,
+        n_expert=n_expert,
+        n_expert_used=n_expert_used,
+        expert_weights_norm=n_expert > 0,
     )
 
     def mat(n, k):
@@ -168,11 +173,25 @@ def make_synthetic_model(
                 "attn_v": mat(n_kv_heads * head_dim, n_embd),
                 "attn_output": mat(n_embd, n_heads * head_dim),
                 "ffn_norm": vec(n_embd),
-                "ffn_gate": mat(n_ff, n_embd),
-                "ffn_up": mat(n_ff, n_embd),
-                "ffn_down": mat(n_embd, n_ff),
             }
         )
+        if n_expert > 0:
+            # dense expert stacks [E, N, K] (mixtral-style MoE)
+            layers[-1]["ffn_gate_inp"] = jnp.asarray(
+                rng.normal(size=(n_expert, n_embd)).astype(np.float32) * 0.02)
+            def stack(n, k):
+                # expert stacks are dense [E, N, K] (the loader dequantizes
+                # quantized stacks to dense for the XLA/EP path)
+                return jnp.asarray(
+                    rng.normal(size=(n_expert, n, k)).astype(np.float32) * 0.02,
+                    dtype if qtype is None else jnp.float32)
+            layers[-1]["ffn_gate_exps"] = stack(n_ff, n_embd)
+            layers[-1]["ffn_up_exps"] = stack(n_ff, n_embd)
+            layers[-1]["ffn_down_exps"] = stack(n_embd, n_ff)
+        else:
+            layers[-1]["ffn_gate"] = mat(n_ff, n_embd)
+            layers[-1]["ffn_up"] = mat(n_ff, n_embd)
+            layers[-1]["ffn_down"] = mat(n_embd, n_ff)
     def embd_mat():
         if on_device or qtype is None:
             # dense path / on-device: qembed accepts dense rows; for the

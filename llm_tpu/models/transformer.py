@@ -120,6 +120,20 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
     # gather expert weights per (token, k): dense einsum over gathered planes
     act = ACTIVATIONS[cfg.act]
 
+    from ..parallel.moe import ep_mesh, moe_ffn_ep
+
+    mesh, axis = ep_mesh()
+    if (
+        mesh is not None
+        and not isinstance(layer["ffn_up_exps"], tuple)
+        and cfg.n_expert % mesh.shape[axis] == 0
+    ):
+        return moe_ffn_ep(
+            h, layer["ffn_up_exps"], layer.get("ffn_gate_exps"),
+            layer["ffn_down_exps"], topi, topw.astype(jnp.float32), act,
+            mesh, axis,
+        ).astype(h.dtype)
+
     def expert_mm(stack, x_tk):
         # stack: QTensor with rows [n_expert * n_out, K] viewed per expert
         w = stack  # dense [n_expert, n_out, K] jnp array (loader dequantizes stacks)

@@ -27,12 +27,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..quant.qtensor import QTensor
 
 
-def make_mesh(n_tp: int | None = None, n_dp: int = 1, devices=None) -> Mesh:
+def make_mesh(n_tp: int | None = None, n_dp: int = 1, n_sp: int = 1,
+              devices=None) -> Mesh:
+    """Mesh over (dp, sp, tp): data replicas x sequence (KV cells) x tensor.
+
+    The sp axis is the sequence/context-parallel dimension — KV cache cells
+    shard over it and attention reduces across shards (the TPU answer to
+    the long-context scaling the reference reaches with SWA/ctx-shift;
+    SURVEY.md §5.7)."""
     devices = devices if devices is not None else jax.devices()
     if n_tp is None:
-        n_tp = len(devices) // n_dp
-    devs = np.asarray(devices[: n_dp * n_tp]).reshape(n_dp, n_tp)
-    return Mesh(devs, axis_names=("dp", "tp"))
+        n_tp = len(devices) // (n_dp * n_sp)
+    devs = np.asarray(devices[: n_dp * n_sp * n_tp]).reshape(n_dp, n_sp, n_tp)
+    return Mesh(devs, axis_names=("dp", "sp", "tp"))
 
 
 # param key -> logical [N, K] partition spec
@@ -123,9 +130,15 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
     return out
 
 
-def kv_shardings(n_layers: int, mesh: Mesh):
-    """KV lists: heads sharded over tp."""
-    s = NamedSharding(mesh, P(None, "tp", None))
+def kv_shardings(n_layers: int, mesh: Mesh, seq_shard: bool = None):
+    """KV lists [S, Hkv, D]: cells sharded over sp (when the mesh has one),
+    heads over tp. Attention over the cell-sharded cache is blockwise-exact:
+    the softmax statistics and the V-weighted sum reduce across sp shards
+    via XLA collectives (ring/sequence parallelism by sharding alone)."""
+    sp = "sp" if ("sp" in mesh.axis_names and mesh.shape.get("sp", 1) > 1) else None
+    if seq_shard is False:
+        sp = None
+    s = NamedSharding(mesh, P(sp, "tp", None))
     return [s] * n_layers, [s] * n_layers
 
 

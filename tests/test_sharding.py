@@ -79,4 +79,65 @@ def test_param_shardings_structure():
 
 def test_dp_axis_mesh():
     mesh = make_mesh(n_tp=4, n_dp=2)
-    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert dict(mesh.shape) == {"dp": 2, "sp": 1, "tp": 4}
+
+
+def test_sequence_parallel_kv_matches_single_device():
+    """KV cells sharded over the sp axis: attention reduces across shards
+    (context parallelism) and must match the unsharded forward exactly."""
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
+        vocab=256, qtype=None, dtype=jnp.float32, fuse=False,
+    )
+    inputs = _inputs(cfg)
+    kv_k, kv_v = _fresh_kv(cfg)
+    ref = np.asarray(
+        forward(params, cfg, kv_k, kv_v, *inputs, dtype=jnp.float32)[0])
+
+    mesh = make_mesh(n_tp=2, n_sp=4)
+    sparams = shard_params(params, mesh)
+    kss_k, kss_v = kv_shardings(cfg.n_layers, mesh)
+    kv_k2, kv_v2 = _fresh_kv(cfg)
+    kv_k2 = [jax.device_put(a, s) for a, s in zip(kv_k2, kss_k)]
+    kv_v2 = [jax.device_put(a, s) for a, s in zip(kv_v2, kss_v)]
+
+    def step(p, kk, vv, *ins):
+        return forward(p, cfg, kk, vv, *ins, dtype=jnp.float32)
+
+    with mesh:
+        out = jax.jit(step)(sparams, kv_k2, kv_v2, *inputs)
+    np.testing.assert_allclose(np.asarray(out[0]), ref, atol=2e-4, rtol=2e-4)
+    assert tuple(out[1][0].sharding.spec)[:2] == ("sp", "tp")
+
+
+def test_expert_parallel_moe_matches_dense():
+    """shard_map EP dispatch == the single-device dense top-k MoE path."""
+    from llm_tpu.parallel.moe import set_ep_mesh
+
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
+        vocab=256, qtype=None, dtype=jnp.float32, fuse=False,
+        n_expert=8, n_expert_used=2,
+    )
+    inputs = _inputs(cfg)
+    kv_k, kv_v = _fresh_kv(cfg)
+    ref = np.asarray(
+        forward(params, cfg, kv_k, kv_v, *inputs, dtype=jnp.float32)[0])
+
+    mesh = make_mesh(n_tp=8)
+    sparams = shard_params(params, mesh)
+    kss_k, kss_v = kv_shardings(cfg.n_layers, mesh)
+    kv_k2, kv_v2 = _fresh_kv(cfg)
+    kv_k2 = [jax.device_put(a, s) for a, s in zip(kv_k2, kss_k)]
+    kv_v2 = [jax.device_put(a, s) for a, s in zip(kv_v2, kss_v)]
+
+    def step(p, kk, vv, *ins):
+        return forward(p, cfg, kk, vv, *ins, dtype=jnp.float32)
+
+    set_ep_mesh(mesh)
+    try:
+        with mesh:
+            out = jax.jit(step)(sparams, kv_k2, kv_v2, *inputs)
+        np.testing.assert_allclose(np.asarray(out[0]), ref, atol=2e-4, rtol=2e-4)
+    finally:
+        set_ep_mesh(None)
