@@ -69,3 +69,59 @@ def attach_lora(params: dict, lora: dict, alpha: float, scale: float = 1.0,
         elif base == "token_embd":
             continue  # embedding lora unsupported (rare)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Control vectors (llama_adapter_cvec, /root/reference/src/llama-adapter.h:17
+# + apply :93-133): per-layer additive steering directions, stored in GGUF
+# as tensors "direction.N" (N = 1-based layer; layer 0 never present),
+# added to the hidden state at the end of each layer within [start, end).
+# ---------------------------------------------------------------------------
+
+_DIR_RE = re.compile(r"^direction\.(\d+)$")
+
+
+def load_control_vector_gguf(path: str) -> dict[int, np.ndarray]:
+    """Read a control-vector GGUF: {1-based layer: direction vector}."""
+    r = GGUFReader(path)
+    out: dict[int, np.ndarray] = {}
+    for name, ti in r.tensors.items():
+        m = _DIR_RE.match(name)
+        if not m:
+            continue
+        arr = dequantize_tensor(r.data(name), ti.ggml_type, ti.shape)
+        out[int(m.group(1))] = np.asarray(arr, np.float32).reshape(-1)
+    return out
+
+
+def apply_control_vector(
+    params: dict,
+    directions: dict[int, np.ndarray],
+    scale: float = 1.0,
+    il_start: int = 1,
+    il_end: int = -1,
+    dtype=jnp.float32,
+) -> int:
+    """Attach scaled steering vectors to params (layer["cvec"]); vectors on
+    layers outside [il_start, il_end] are skipped. Cumulative: calling again
+    adds to existing vectors (the reference sums multiple cvec files).
+    Returns #layers steered."""
+    n_layers = len(params["layers"])
+    if il_end < 0:
+        il_end = n_layers
+    n = 0
+    for il_1b, vec in directions.items():
+        il = il_1b - 1  # tensors are 1-based; layer 0 has no direction
+        if not (0 <= il < n_layers) or not (il_start <= il_1b <= il_end):
+            continue
+        layer = params["layers"][il]
+        add = jnp.asarray(vec * scale, dtype)
+        prev = layer.get("cvec")
+        layer["cvec"] = add if prev is None else prev + add
+        n += 1
+    return n
+
+
+def clear_control_vector(params: dict) -> None:
+    for layer in params["layers"]:
+        layer.pop("cvec", None)

@@ -166,6 +166,7 @@ def forward(
     out_idx: jnp.ndarray,  # [O] int32 rows for which to compute logits
     dtype=jnp.bfloat16,
     collect_acts: bool = False,
+    collect_hidden: bool = False,
 ):
     """One decode/prefill step. Returns (logits [O, vocab] f32, kv_k, kv_v,
     hidden [O, E] f32). With collect_acts=True a 5th element is returned:
@@ -173,6 +174,7 @@ def forward(
     reference's imatrix collector gathers via its eval callback
     (tools/imatrix/imatrix.cpp:42-83)."""
     acts: list = []
+    hiddens: list = []  # per-layer hidden rows (cvector-generator input)
 
     def _collect(store, name, val):
         if collect_acts:
@@ -269,7 +271,11 @@ def forward(
         if "ffn_post_norm" in layer:
             ffn_out = _norm(ffn_out, layer["ffn_post_norm"], cfg)
         x = x + ffn_out
+        if "cvec" in layer:  # control-vector steering (build_cvec parity)
+            x = x + layer["cvec"].astype(x.dtype)
         acts.append(layer_acts)
+        if collect_hidden:
+            hiddens.append(jnp.take(x, out_idx, axis=0).astype(jnp.float32))
 
     x = _norm(x, params.get("output_norm"), cfg)
     hs = jnp.take(x, out_idx, axis=0)
@@ -282,6 +288,8 @@ def forward(
         logits = logits * cfg.logit_scale
     if cfg.final_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+    if collect_hidden:
+        return logits, new_k, new_v, hs.astype(jnp.float32), hiddens
     if collect_acts:
         return logits, new_k, new_v, hs.astype(jnp.float32), acts
     return logits, new_k, new_v, hs.astype(jnp.float32)

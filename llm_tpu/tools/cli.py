@@ -30,14 +30,17 @@ def generate(
     antiprompts: tuple[str, ...] = (),
     stream=None,
     prompt_prefix: int = 0,
+    pos_start: int = 0,
 ):
     """Prompt eval + generation loop with context shifting. Returns
-    (tokens, text). prompt_prefix: tokens already in cache (session reuse)."""
+    (tokens, text). prompt_prefix: tokens already in cache (session reuse);
+    pos_start: cache position offset (interactive follow-up turns)."""
     chain = build_chain(sampling, ctx.cfg.vocab_size)
     n_ctx = ctx.n_cells
 
     todo = prompt_tokens[prompt_prefix:]
-    rc = ctx.decode(Batch.text(todo, seq_id=seq_id, pos_start=prompt_prefix))
+    rc = ctx.decode(Batch.text(todo, seq_id=seq_id,
+                               pos_start=pos_start + prompt_prefix))
     if rc != 0:
         raise RuntimeError(f"prompt decode failed: rc={rc}")
     for t in prompt_tokens:
@@ -45,7 +48,7 @@ def generate(
 
     out_tokens: list[int] = []
     text_parts: list[str] = []
-    n_past = len(prompt_tokens)
+    n_past = pos_start + len(prompt_tokens)
     for _ in range(n_predict):
         logits = ctx.get_logits()
         tid = chain.sample(logits)
@@ -102,6 +105,14 @@ def main(argv=None):
     ap.add_argument("--prompt-cache", default=None,
                     help="session file: restore matching prompt prefix, save on exit")
     ap.add_argument("--verbose-prompt", action="store_true")
+    ap.add_argument("--lora", action="append", default=[],
+                    help="LoRA adapter GGUF (repeatable); optional :scale")
+    ap.add_argument("--control-vector", action="append", default=[],
+                    help="control-vector GGUF (repeatable); optional :scale")
+    ap.add_argument("--control-vector-layer-range", nargs=2, type=int,
+                    default=None, metavar=("START", "END"))
+    ap.add_argument("-i", "--interactive", action="store_true",
+                    help="interactive mode: read follow-up input after each turn")
     args = ap.parse_args(argv)
 
     t0 = time.perf_counter()
@@ -113,6 +124,23 @@ def main(argv=None):
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         use_planes=not args.no_planes,
     )
+    for spec in args.lora:
+        from ..models.lora import attach_lora, load_lora_gguf
+
+        path, _, sc = spec.partition(":")
+        tensors, alpha = load_lora_gguf(path)
+        n = attach_lora(ctx.params, tensors, alpha,
+                        scale=float(sc) if sc else 1.0)
+        print(f"lora {path}: {n} tensors", file=sys.stderr)
+    for spec in args.control_vector:
+        from ..models.lora import apply_control_vector, load_control_vector_gguf
+
+        path, _, sc = spec.partition(":")
+        rng_ = args.control_vector_layer_range or (1, -1)
+        n = apply_control_vector(ctx.params, load_control_vector_gguf(path),
+                                 scale=float(sc) if sc else 1.0,
+                                 il_start=rng_[0], il_end=rng_[1])
+        print(f"control vector {path}: {n} layers", file=sys.stderr)
     print(f"model loaded in {time.perf_counter()-t0:.1f}s "
           f"({ctx.cfg.arch}, {ctx.cfg.n_layers} layers, vocab {ctx.cfg.vocab_size})",
           file=sys.stderr)
@@ -161,6 +189,28 @@ def main(argv=None):
         prompt_prefix=session_prefix,
     )
     print()
+
+    # interactive mode (llama-cli -i, main.cpp interactive loop): alternate
+    # user input / generation on the same sequence, continuing the cache
+    n_past = len(ptoks) + len(out_toks)
+    while args.interactive:
+        try:
+            line = input("\n> ")
+        except EOFError:
+            break
+        if not line.strip():
+            continue
+        if line.strip() in ("/exit", "/quit"):
+            break
+        turn = tok.encode(line + "\n", add_special=False, parse_special=True)
+        more, _ = generate(
+            ctx, tok, turn, args.n_predict, sampling,
+            n_keep=args.n_keep, antiprompts=tuple(args.reverse_prompt),
+            stream=lambda s: (sys.stdout.write(s), sys.stdout.flush()),
+            prompt_prefix=0, pos_start=n_past,
+        )
+        n_past += len(turn) + len(more)
+        print()
     print(ctx.perf.summary(), file=sys.stderr)
     if args.prompt_cache:
         from ..runtime.state import state_save

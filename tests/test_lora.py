@@ -69,3 +69,73 @@ def test_lora_changes_logits_proportionally(tmp_path):
     d1 = np.abs(mod - base).mean()
     dh = np.abs(half - base).mean()
     assert 0.2 * d1 < dh < 0.8 * d1
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    mp = str(tmp_path_factory.mktemp("xl") / "m.gguf")
+    convert_hf_llama(_tiny_hf_llama(), mp)
+    return mp
+
+
+@pytest.fixture(scope="module")
+def adapter_path(tmp_path_factory):
+    ap = str(tmp_path_factory.mktemp("xl") / "adapter.gguf")
+    _write_adapter(ap, K=64, N=64)
+    return ap
+
+
+def test_export_lora_merges(tiny_model, adapter_path, tmp_path):
+    """Merged GGUF == base + runtime-attached adapter (logit parity)."""
+    from llm_tpu.models.lora import attach_lora, load_lora_gguf
+    from llm_tpu.tools.export_lora import export_lora
+
+    out = str(tmp_path / "merged.gguf")
+    stats = export_lora(tiny_model, [(adapter_path, 1.0)], out)
+    assert stats["n_merged"] > 0
+
+    toks = [1, 5, 9, 13]
+    # runtime attach on the base
+    ctx1 = Context(GGUFReader(tiny_model), n_cells=32, dtype=jnp.float32,
+                   use_planes=False)
+    tensors, alpha = load_lora_gguf(adapter_path)
+    attach_lora(ctx1.params, tensors, alpha, dtype=jnp.float32)
+    assert ctx1.decode(Batch.text(toks)) == 0
+    want = ctx1.get_logits()
+
+    ctx2 = Context(GGUFReader(out), n_cells=32, dtype=jnp.float32)
+    assert ctx2.decode(Batch.text(toks)) == 0
+    np.testing.assert_allclose(ctx2.get_logits(), want, rtol=2e-3, atol=2e-3)
+
+
+def test_control_vector_steers(tiny_model, tmp_path):
+    """Control vectors: generator writes direction.N tensors; applying them
+    shifts logits, scale 0 is a no-op, and clear restores baseline."""
+    from llm_tpu.models.lora import (
+        apply_control_vector, clear_control_vector, load_control_vector_gguf)
+    from llm_tpu.tools.cvector_generator import generate_control_vector
+
+    cv = generate_control_vector(
+        tiny_model, ["a b c", "x y"], ["z z z", "q"],
+        str(tmp_path / "cv.gguf"), method="mean", ctx_size=32)
+    dirs = load_control_vector_gguf(cv)
+    assert dirs and all(v.ndim == 1 for v in dirs.values())
+
+    ctx = Context(GGUFReader(tiny_model), n_cells=32, dtype=jnp.float32)
+    toks = [1, 5, 9]
+    assert ctx.decode(Batch.text(toks)) == 0
+    base = ctx.get_logits().copy()
+
+    n = apply_control_vector(ctx.params, dirs, scale=5.0)
+    assert n > 0
+    ctx._steps.clear()
+    ctx.clear()
+    assert ctx.decode(Batch.text(toks)) == 0
+    steered = ctx.get_logits().copy()
+    assert not np.allclose(steered, base)
+
+    clear_control_vector(ctx.params)
+    ctx._steps.clear()
+    ctx.clear()
+    assert ctx.decode(Batch.text(toks)) == 0
+    np.testing.assert_allclose(ctx.get_logits(), base, rtol=1e-5, atol=1e-5)
