@@ -232,3 +232,62 @@ def convert_hf_mamba(
 
     w.write()
     return path
+
+
+def convert_hf_clip_mmproj(
+    vision_model,
+    path: str,
+    proj_w0=None, proj_b0=None, proj_w2=None, proj_b2=None,
+):
+    """HF CLIPVisionModel (+ llava MLP projector weights) -> mmproj GGUF
+    (tensor/key names: /root/reference/tools/mtmd/clip-impl.h:19-96)."""
+    import numpy as np
+
+    cfg = vision_model.config
+    w = GGUFWriter(path, arch="clip")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "mlp")
+    w.add_kv("clip.use_gelu", False)  # original CLIP uses quick-gelu
+    w.add_kv("clip.vision.image_size", int(cfg.image_size))
+    w.add_kv("clip.vision.patch_size", int(cfg.patch_size))
+    w.add_kv("clip.vision.embedding_length", int(cfg.hidden_size))
+    w.add_kv("clip.vision.block_count", int(cfg.num_hidden_layers))
+    w.add_kv("clip.vision.attention.head_count", int(cfg.num_attention_heads))
+    w.add_kv("clip.vision.feed_forward_length", int(cfg.intermediate_size))
+    w.add_kv("clip.vision.projection_dim", int(getattr(cfg, "projection_dim", 768)))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", float(cfg.layer_norm_eps))
+    w.add_kv("clip.vision.image_mean", [0.48145466, 0.4578275, 0.40821073])
+    w.add_kv("clip.vision.image_std", [0.26862954, 0.26130258, 0.27577711])
+
+    sd = {k: v.detach().cpu().float().numpy()
+          for k, v in vision_model.state_dict().items()}
+    pre = "vision_model."
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    put("v.patch_embd.weight", sd[pre + "embeddings.patch_embedding.weight"])
+    put("v.class_embd", sd[pre + "embeddings.class_embedding"])
+    put("v.position_embd.weight", sd[pre + "embeddings.position_embedding.weight"])
+    put("v.pre_ln.weight", sd[pre + "pre_layrnorm.weight"])
+    put("v.pre_ln.bias", sd[pre + "pre_layrnorm.bias"])
+    put("v.post_ln.weight", sd[pre + "post_layernorm.weight"])
+    put("v.post_ln.bias", sd[pre + "post_layernorm.bias"])
+    for il in range(cfg.num_hidden_layers):
+        b = f"{pre}encoder.layers.{il}."
+        g = f"v.blk.{il}."
+        for hf, gg in (
+            ("self_attn.q_proj", "attn_q"), ("self_attn.k_proj", "attn_k"),
+            ("self_attn.v_proj", "attn_v"), ("self_attn.out_proj", "attn_out"),
+            ("mlp.fc1", "ffn_up"), ("mlp.fc2", "ffn_down"),
+            ("layer_norm1", "ln1"), ("layer_norm2", "ln2"),
+        ):
+            put(g + gg + ".weight", sd[b + hf + ".weight"])
+            put(g + gg + ".bias", sd[b + hf + ".bias"])
+    if proj_w0 is not None:
+        put("mm.0.weight", proj_w0)
+        put("mm.0.bias", proj_b0)
+        put("mm.2.weight", proj_w2)
+        put("mm.2.bias", proj_b2)
+    w.write()
+    return path

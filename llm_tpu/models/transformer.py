@@ -167,6 +167,7 @@ def forward(
     dtype=jnp.bfloat16,
     collect_acts: bool = False,
     collect_hidden: bool = False,
+    input_embd=None,  # [T, E] rows that REPLACE token embeddings (multimodal)
 ):
     """One decode/prefill step. Returns (logits [O, vocab] f32, kv_k, kv_v,
     hidden [O, E] f32). With collect_acts=True a 5th element is returned:
@@ -184,7 +185,10 @@ def forward(
     cfg_rope = cfg.rope
     ff = params.get("rope_freqs")
 
-    x = qembed(params["tok_embd"], tokens, dtype=dtype)
+    if input_embd is not None:
+        x = input_embd.astype(dtype)
+    else:
+        x = qembed(params["tok_embd"], tokens, dtype=dtype)
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(dtype)
 

@@ -195,6 +195,73 @@ class Context:
                 self.perf.n_decode += 1
         return 0
 
+    # -- embedding-input decode (multimodal chunks) -------------------------------
+
+    def _get_embd_step(self, T: int, O: int):
+        key = ("e", T, O)
+        if key in self._steps:
+            return self._steps[key]
+        cfg, dtype = self.cfg, self.dtype
+
+        def _step(params, kv_k, kv_v, embd, pos, seq, widx, cpos, cbits, oidx):
+            tokens = jnp.zeros(embd.shape[0], jnp.int32)
+            return forward(
+                params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos, cbits,
+                oidx, dtype=dtype, input_embd=embd,
+            )
+
+        fn = jax.jit(_step, donate_argnums=(1, 2))
+        self._steps[key] = fn
+        return fn
+
+    def decode_embd(self, embd: np.ndarray, seq_id: int = 0,
+                    pos_start: int | None = None) -> int:
+        """Decode a run of embedding rows (multimodal image/audio chunks —
+        the analogue of llama_batch.embd, llama.h batch docs). Rows occupy
+        KV cells at consecutive positions; no logits are produced."""
+        n = embd.shape[0]
+        if n == 0:
+            return -1
+        if pos_start is None:
+            pos_start = self.cells.seq_pos_max(seq_id) + 1
+        slots = self.cells.find_slots(n)
+        if slots is None:
+            return 1
+        t0 = time.perf_counter()
+        T = _bucket(n)
+        pos_np = np.arange(pos_start, pos_start + n, dtype=np.int32)
+        rows = np.zeros((T, embd.shape[1]), np.float32)
+        rows[:n] = np.asarray(embd, np.float32)
+        pos = np.zeros(T, np.int32)
+        seq = np.full(T, seq_id, np.int32)
+        widx = np.full(T, self.n_cells, np.int32)
+        pos[:n] = pos_np
+        widx[:n] = slots
+
+        self.cells.pos[slots] = pos_np
+        self.cells.seq_bits[slots] = np.uint32(1) << np.uint32(seq_id)
+
+        cpos = np.zeros(self.n_cells + 1, np.int32)
+        cpos[: self.n_cells] = self.cells.pos
+        cbits = np.zeros(self.n_cells + 1, np.uint32)
+        cbits[: self.n_cells] = self.cells.seq_bits
+
+        step = self._get_embd_step(T, 1)
+        try:
+            _, new_k, new_v, _ = step(
+                self.params, self.kv.k, self.kv.v,
+                jnp.asarray(rows, self.dtype), jnp.asarray(pos),
+                jnp.asarray(seq), jnp.asarray(widx), jnp.asarray(cpos),
+                jnp.asarray(cbits), jnp.zeros(1, jnp.int32),
+            )
+        except Exception:
+            self.cells.release(slots)
+            raise
+        self.kv.k, self.kv.v = new_k, new_v
+        self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1e3
+        self.perf.n_prefill += n
+        return 0
+
     # -- recurrent (SSM) decode -------------------------------------------------
 
     def _get_rstep(self, ns: int, nt: int, O: int):
