@@ -49,6 +49,40 @@ _HF_PHI3_MAP = {
     "mlp.down_proj.weight": "ffn_down.weight",
 }
 
+_HF_OLMO2_MAP = {
+    # olmo2 is post-norm: norms apply AFTER attn/mlp, before the residual
+    "post_attention_layernorm.weight": "attn_post_norm.weight",
+    "post_feedforward_layernorm.weight": "ffn_post_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
+_HF_STARCODER2_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.bias": "attn_output.bias",
+    "mlp.c_fc.weight": "ffn_up.weight",
+    "mlp.c_fc.bias": "ffn_up.bias",
+    "mlp.c_proj.weight": "ffn_down.weight",
+    "mlp.c_proj.bias": "ffn_down.bias",
+}
+
 _HF_LAYER_MAP = {
     "input_layernorm.weight": "attn_norm.weight",
     "self_attn.q_proj.weight": "attn_q.weight",
@@ -90,6 +124,10 @@ def convert_hf_llama(
         layer_map = _HF_GEMMA2_MAP
     elif arch == "phi3":
         layer_map = _HF_PHI3_MAP
+    elif arch == "olmo2":
+        layer_map = _HF_OLMO2_MAP
+    elif arch == "starcoder2":
+        layer_map = _HF_STARCODER2_MAP
 
     w = GGUFWriter(path, arch=arch)
     a = arch
@@ -102,7 +140,12 @@ def convert_hf_llama(
     w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), int(n_kv))
     w.add_kv(Keys.Attention.KEY_LENGTH.format(arch=a), int(head_dim))
     w.add_kv(Keys.Attention.VALUE_LENGTH.format(arch=a), int(head_dim))
-    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), float(hf_cfg.rms_norm_eps))
+    eps = getattr(hf_cfg, "rms_norm_eps", None)
+    if eps is None:
+        eps = getattr(hf_cfg, "layer_norm_eps", None) or getattr(
+            hf_cfg, "norm_epsilon", None) or getattr(
+            hf_cfg, "layer_norm_epsilon", 1e-5)
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), float(eps))
     w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(getattr(hf_cfg, "rope_theta", 10000.0)))
     w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), int(head_dim))
     w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
@@ -115,6 +158,15 @@ def convert_hf_llama(
                  int(getattr(hf_cfg, "sliding_window", 4096)))
         qpas = float(getattr(hf_cfg, "query_pre_attn_scalar", head_dim))
         w.add_kv(Keys.Attention.SCALE.format(arch=a), qpas ** -0.5)
+
+    if arch == "granite":
+        w.add_kv("granite.embedding_scale", float(hf_cfg.embedding_multiplier))
+        w.add_kv("granite.residual_scale", float(hf_cfg.residual_multiplier))
+        w.add_kv("granite.logit_scale", float(hf_cfg.logits_scaling))
+        w.add_kv(Keys.Attention.SCALE.format(arch=a),
+                 float(hf_cfg.attention_multiplier))
+    if arch in ("command-r", "cohere"):
+        w.add_kv(f"{a}.logit_scale", float(getattr(hf_cfg, "logit_scale", 1.0)))
 
     n_expert = int(getattr(hf_cfg, "num_local_experts", 0) or 0)
     if n_expert:
@@ -135,6 +187,8 @@ def convert_hf_llama(
 
     put("token_embd.weight", sd["model.embed_tokens.weight"])
     put("output_norm.weight", sd["model.norm.weight"])
+    if "model.norm.bias" in sd:
+        put("output_norm.bias", sd["model.norm.bias"])
     if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", False):
         put("output.weight", sd["lm_head.weight"])
 

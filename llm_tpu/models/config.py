@@ -33,6 +33,8 @@ _ROPE_MODE = {
     "starcoder2": ROPE_TYPE_NEOX,
     "olmo2": ROPE_TYPE_NEOX,
     "mixtral": ROPE_TYPE_NORM,
+    "command-r": ROPE_TYPE_NORM,
+    "cohere2": ROPE_TYPE_NORM,
 }
 
 
@@ -61,6 +63,9 @@ class ModelConfig:
     n_ff_expert: int = 0
     # attention extras
     qk_norm: bool = False  # qwen3/gemma3-style per-head RMS norm on q/k
+    qk_norm_full: bool = False  # olmo2-style norm over the FULL q/k vector
+    residual_scale: float = 1.0  # granite residual_multiplier / minicpm depth scale
+    parallel_residual: bool = False  # command-r: attn + ffn share the input norm
     attn_softcap: float = 0.0
     final_softcap: float = 0.0
     swa_window: int = 0
@@ -177,6 +182,40 @@ def config_from_gguf(reader) -> ModelConfig:
     if arch == "gemma3":
         cfg = replace(cfg, qk_norm=True, swa_pattern=6,
                       attn_scale=float(_ak(reader, Keys.Attention.SCALE, 0.0625) or 0.0625))
+    if arch == "granite":
+        # granite multipliers (llama-model.cpp granite case: f_embedding_scale,
+        # f_residual_scale, f_attention_scale, f_logit_scale)
+        cfg = replace(
+            cfg,
+            embedding_scale=float(_ak(reader, "{arch}.embedding_scale", 1.0) or 1.0),
+            residual_scale=float(_ak(reader, "{arch}.residual_scale", 1.0) or 1.0),
+            logit_scale=1.0 / float(_ak(reader, "{arch}.logit_scale", 1.0) or 1.0),
+            attn_scale=float(_ak(reader, Keys.Attention.SCALE, 0.0) or 0.0) or None,
+        )
+    if arch == "minicpm":
+        # minicpm: embeddings scaled by scale_emb, residuals by
+        # scale_depth/sqrt(n_layer), logits by 1/(n_embd/dim_model_base)
+        cfg = replace(
+            cfg,
+            embedding_scale=float(_ak(reader, "{arch}.embedding_scale", 12.0) or 12.0),
+            residual_scale=float(_ak(reader, "{arch}.residual_scale", 0.0) or 0.0)
+            or 1.4 / (n_layers ** 0.5),
+            logit_scale=float(_ak(reader, "{arch}.logit_scale", 0.0) or 0.0) or 1.0,
+        )
+    if arch == "olmo2":
+        # post-norm block: no input norms, RMS over the full q/k vectors
+        cfg = replace(cfg, qk_norm_full=True)
+    if arch == "starcoder2":
+        cfg = replace(cfg, norm_kind="ln", act="gelu", attn_bias=True)
+    if arch in ("command-r", "cohere"):
+        cfg = replace(
+            cfg,
+            norm_kind="ln",
+            parallel_residual=True,
+            logit_scale=float(_ak(reader, "{arch}.logit_scale", 1.0) or 1.0),
+        )
+    if arch == "stablelm":
+        cfg = replace(cfg, norm_kind="ln", attn_bias=True)
     if arch in ("mamba", "mamba2", "falcon-mamba"):
         d_inner = int(_ak(reader, Keys.SSM.INNER_SIZE, 2 * n_embd) or 2 * n_embd)
         cfg = replace(

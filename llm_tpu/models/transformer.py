@@ -208,7 +208,9 @@ def forward(
     new_k, new_v = [], []
     for il, layer in enumerate(params["layers"]):
         layer_acts: dict = {}
-        h = _norm(x, layer.get("attn_norm"), cfg)
+        # post-norm archs (olmo2) carry no input norms: attend over x directly
+        h = _norm(x, layer["attn_norm"], cfg, layer.get("attn_norm_b")) \
+            if "attn_norm" in layer else x
         _collect(layer_acts, "attn_qkv", h)
 
         if "attn_qkv_fused" in layer:
@@ -226,7 +228,13 @@ def forward(
         k = k.reshape(T, Hkv, Dk)
         v = v.reshape(T, Hkv, Dv)
 
-        if cfg.qk_norm:
+        if cfg.qk_norm_full:
+            # olmo2: RMS over the full flattened q/k vector (not per head)
+            q = rms_norm(q.reshape(T, -1), layer.get("attn_q_norm"),
+                         cfg.rms_eps).reshape(T, H, Dk)
+            k = rms_norm(k.reshape(T, -1), layer.get("attn_k_norm"),
+                         cfg.rms_eps).reshape(T, Hkv, Dk)
+        elif cfg.qk_norm:
             q = rms_norm(q, layer.get("attn_q_norm"), cfg.rms_eps)
             k = rms_norm(k, layer.get("attn_k_norm"), cfg.rms_eps)
 
@@ -248,11 +256,19 @@ def forward(
         att = att.reshape(T, H * Dv)
         _collect(layer_acts, "attn_output", att)
         attn_out = _proj(att, layer, "attn_output", dtype)
-        if "attn_post_norm" in layer:  # gemma2-style post-norm before residual
+        attn_out = _maybe_add(attn_out, layer.get("attn_output_b"))
+        if "attn_post_norm" in layer:  # gemma2/olmo2 post-norm before residual
             attn_out = _norm(attn_out, layer["attn_post_norm"], cfg)
-        x = x + attn_out
-
-        h2 = _norm(x, layer.get("ffn_norm"), cfg)
+        if cfg.residual_scale != 1.0:
+            attn_out = attn_out * cfg.residual_scale
+        if cfg.parallel_residual:
+            # command-r: ffn reads the SAME normed input; one residual add
+            ffn_in = h
+        else:
+            x = x + attn_out
+            ffn_in = _norm(x, layer["ffn_norm"], cfg, layer.get("ffn_norm_b")) \
+                if "ffn_norm" in layer else x
+        h2 = ffn_in
         _collect(layer_acts, "ffn_gateup", h2)
         if cfg.n_expert > 0 and "ffn_gate_inp" in layer:
             ffn_out = _moe_ffn(h2, layer, cfg)
@@ -274,7 +290,9 @@ def forward(
             )
         if "ffn_post_norm" in layer:
             ffn_out = _norm(ffn_out, layer["ffn_post_norm"], cfg)
-        x = x + ffn_out
+        if cfg.residual_scale != 1.0:
+            ffn_out = ffn_out * cfg.residual_scale
+        x = x + ffn_out + attn_out if cfg.parallel_residual else x + ffn_out
         if "cvec" in layer:  # control-vector steering (build_cvec parity)
             x = x + layer["cvec"].astype(x.dtype)
         acts.append(layer_acts)

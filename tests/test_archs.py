@@ -92,3 +92,53 @@ def test_mixtral_moe(tmp_path):
     torch.manual_seed(0)
     m = transformers.MixtralForCausalLM(cfg).eval()
     _check(m, "llama", tmp_path, atol=5e-3)
+
+
+def test_olmo2(tmp_path):
+    cfg = transformers.Olmo2Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.Olmo2ForCausalLM(cfg).eval()
+    _check(m, "olmo2", tmp_path)
+
+
+def test_granite(tmp_path):
+    cfg = transformers.GraniteConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        embedding_multiplier=12.0, residual_multiplier=0.22,
+        logits_scaling=8.0, attention_multiplier=0.0078125,
+    )
+    torch.manual_seed(0)
+    m = transformers.GraniteForCausalLM(cfg).eval()
+    _check(m, "granite", tmp_path)
+
+
+def test_starcoder2(tmp_path):
+    cfg = transformers.Starcoder2Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, use_bias=True,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.Starcoder2ForCausalLM(cfg).eval()
+    _check(m, "starcoder2", tmp_path)
+
+
+def test_command_r(tmp_path):
+    cfg = transformers.CohereConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        logit_scale=0.25, tie_word_embeddings=True, use_qk_norm=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.CohereForCausalLM(cfg).eval()
+    _check(m, "command-r", tmp_path)
