@@ -205,6 +205,23 @@ def forward(
     H, Hkv, Dk, Dv = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.head_dim_v
     T = tokens.shape[0]
 
+    # fused decode-attention path (ops/pallas_attn.py): small T, full
+    # rotation, dense bf16/f32 cache
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and T <= 8
+        and cfg_rope.n_dims == Dk == Dv
+        and Dk % 128 == 0
+        and cfg_rope.mode in (0, 2)
+        and not isinstance(kv_k[0], tuple)
+    )
+    if use_flash:
+        from ..ops.pallas_attn import expand_tables, flash_decode, rope_companion
+
+        cos_cf, sin_cf = expand_tables(cos_c, sin_c, cfg_rope.mode, Dk)
+        cos_cf = cos_cf.astype(dtype)
+        sin_cf = sin_cf.astype(dtype)
+
     new_k, new_v = [], []
     for il, layer in enumerate(params["layers"]):
         layer_acts: dict = {}
@@ -245,14 +262,21 @@ def forward(
         new_k.append(k_cache)
         new_v.append(v_cache)
 
-        k_all = apply_rope(
-            _kv_read(k_cache, dtype), cos_c, sin_c, cfg_rope.mode, cfg_rope.n_dims
-        )
         layer_bias = bias_swa if (bias_swa is not None and cfg.layer_is_swa(il)) else bias
-        att = attention(
-            q, k_all, _kv_read(v_cache, dtype), layer_bias, scale,
-            softcap=cfg.attn_softcap,
-        )
+        if use_flash:
+            att = flash_decode(
+                q, rope_companion(q, cfg_rope.mode), k_cache, v_cache,
+                cos_cf, sin_cf, layer_bias, scale, softcap=cfg.attn_softcap,
+            )
+        else:
+            k_all = apply_rope(
+                _kv_read(k_cache, dtype), cos_c, sin_c, cfg_rope.mode,
+                cfg_rope.n_dims,
+            )
+            att = attention(
+                q, k_all, _kv_read(v_cache, dtype), layer_bias, scale,
+                softcap=cfg.attn_softcap,
+            )
         att = att.reshape(T, H * Dv)
         _collect(layer_acts, "attn_output", att)
         attn_out = _proj(att, layer, "attn_output", dtype)

@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: fused decode attention over the unified KV cache.
+
+The replacement for the reference's decode flash-attention kernels
+(CUDA fattn-vec, /root/reference/ggml/src/ggml-cuda/fattn-vec-f16.cuh;
+dispatch fattn.cu:271): online-softmax attention of a few query tokens
+against the whole cache, streamed block-by-block from HBM.
+
+TPU-first design points:
+  * K is cached UNROPED (see ops/attention.py). The kernel folds the
+    on-read rotation into the score matmuls using the identity
+
+        (R(p_s) k_s) . q  =  (k_s * cos_s) . q  +  (k_s * sin_s) . q_rot
+
+    where q_rot is the rope "rotate" companion of q (built once per step,
+    cheap) and cos/sin are the full-width per-cell tables. This costs two
+    VPU multiplies per K element and one extra MXU dot — and removes the
+    reference-design alternative of a separate rope pass that would
+    round-trip the whole cache through HBM.
+  * The seq/causal/SWA mask arrives as an additive f32 bias row [T, S]
+    (built in-jit from cell metadata), so one kernel serves all mask
+    shapes; cache cells beyond S are masked with an in-kernel iota guard
+    (the last S-block may be ragged).
+  * Grouped-query heads are unrolled: per KV head, scores for its G query
+    heads ride one (T*G, D) x (D, Sblk) MXU dot.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
+            o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, s_real, sblk):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    t, hkv_g, d = q_ref.shape  # (T, Hkv*G, D)
+    _, hkv, dv = v_ref.shape
+    g = hkv_g // hkv
+    tg = t * g
+
+    cos = cos_ref[...].astype(jnp.float32)  # (Sblk, D)
+    sin = sin_ref[...].astype(jnp.float32)
+    # clamp -inf from the mask builder so masked rows stay NaN-free
+    bias = jnp.maximum(b_ref[...], NEG)  # (T, Sblk) f32
+    # ragged tail: cells past the real cache end hold undefined K/V bytes;
+    # their scores must be REPLACED (a where), not biased (NaN + c = NaN)
+    si = j * sblk + jax.lax.broadcasted_iota(jnp.int32, bias.shape, 1)
+    tail_ok = si < s_real
+    # V rows in the tail are undefined too: 0-prob x NaN = NaN, so zero them
+    row_i = j * sblk + jax.lax.broadcasted_iota(jnp.int32, (sblk, 1), 0)
+    row_ok = row_i < s_real
+
+    q = q_ref[...].astype(jnp.float32)
+    qr = qr_ref[...].astype(jnp.float32)
+
+    for h in range(hkv):
+        kh = k_ref[:, h, :].astype(jnp.float32)  # (Sblk, D)
+        qh = q.reshape(t, hkv, g, d)[:, h].reshape(tg, d)
+        qrh = qr.reshape(t, hkv, g, d)[:, h].reshape(tg, d)
+        # scores = q.(k*cos) + q_rot.(k*sin)  — rope folded into the dots
+        s1 = jax.lax.dot_general(
+            qh, kh * cos, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(
+            qrh, kh * sin, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = (s1 + s2) * scale  # (TG, Sblk)
+        if softcap > 0.0:
+            scores = jnp.tanh(scores / softcap) * softcap
+        scores = scores + jnp.broadcast_to(
+            bias[:, None, :], (t, g, scores.shape[-1])).reshape(tg, -1)
+        scores = jnp.where(
+            jnp.broadcast_to(tail_ok[:, None, :], (t, g, scores.shape[-1])
+                             ).reshape(tg, -1),
+            scores, NEG)
+
+        m_old = m_ref[h]  # (TG, 1)
+        l_old = l_ref[h]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[h] = l_old * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[h] = m_new
+        vh = jnp.where(row_ok, v_ref[:, h, :].astype(jnp.float32), 0.0)
+        pv = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[h] = acc_ref[h] * alpha + pv
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        for h in range(hkv):
+            denom = jnp.maximum(l_ref[h], 1e-30)
+            o_ref[h] = (acc_ref[h] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "sblk", "interpret"),
+)
+def flash_decode(
+    q: jnp.ndarray,  # [T, H, D] roped queries
+    q_rot: jnp.ndarray,  # [T, H, D] rope companion of q
+    k: jnp.ndarray,  # [S, Hkv, D] UNROPED key cache
+    v: jnp.ndarray,  # [S, Hkv, Dv]
+    cos: jnp.ndarray,  # [S, D] full-width per-cell cos
+    sin: jnp.ndarray,  # [S, D]
+    bias: jnp.ndarray,  # [T, S] additive f32 mask
+    scale: float,
+    softcap: float = 0.0,
+    sblk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [T, H, Dv] f32."""
+    T, H, D = q.shape
+    S, Hkv, Dv = v.shape
+    G = H // Hkv
+    TG = T * G
+    sblk = min(sblk, S)
+    grid = (pl.cdiv(S, sblk),)
+
+    kernel = functools.partial(
+        _kernel, scale=scale, softcap=softcap, s_real=S, sblk=sblk)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, H, D), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, H, D), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, sblk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, Hkv, D), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, Hkv, Dv), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Hkv, TG, Dv), lambda j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hkv, TG, Dv), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, TG, Dv), jnp.float32),
+            pltpu.VMEM((Hkv, TG, 1), jnp.float32),
+            pltpu.VMEM((Hkv, TG, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * H * S * D + 2 * T * H * S * Dv,
+            bytes_accessed=k.size * k.dtype.itemsize + v.size * v.dtype.itemsize
+            + (cos.size + sin.size) * 2 + bias.size * 4,
+            transcendentals=T * H * S,
+        ),
+        interpret=interpret,
+    )(q, q_rot, bias, k, v, cos, sin)
+    # (Hkv, T*G, Dv) -> (T, H, Dv)
+    return out.reshape(Hkv, T, G, Dv).transpose(1, 0, 2, 3).reshape(T, H, Dv)
+
+
+def rope_companion(q: jnp.ndarray, mode: int) -> jnp.ndarray:
+    """q_rot such that R(p)k . q == (k*cos_p).q + (k*sin_p).q_rot.
+
+    NEOX halves: q_rot = [q_hi, -q_lo]; NORM pairs: q_rot = [q1, -q0]
+    interleaved (derived from the rotation acting on k instead of q)."""
+    from .rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM
+
+    if mode == ROPE_TYPE_NEOX:
+        half = q.shape[-1] // 2
+        return jnp.concatenate([q[..., half:], -q[..., :half]], axis=-1)
+    if mode == ROPE_TYPE_NORM:
+        q0 = q[..., 0::2]
+        q1 = q[..., 1::2]
+        return jnp.stack([q1, -q0], axis=-1).reshape(q.shape)
+    raise ValueError(f"unsupported rope mode {mode}")
+
+
+def expand_tables(cos_h: jnp.ndarray, sin_h: jnp.ndarray, mode: int, d: int):
+    """Half-width [S, D/2] rope tables -> full-width [S, D] per layout."""
+    from .rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM
+
+    if mode == ROPE_TYPE_NEOX:
+        return (jnp.concatenate([cos_h, cos_h], -1),
+                jnp.concatenate([sin_h, sin_h], -1))
+    if mode == ROPE_TYPE_NORM:
+        c = jnp.stack([cos_h, cos_h], -1).reshape(*cos_h.shape[:-1], d)
+        s = jnp.stack([sin_h, sin_h], -1).reshape(*sin_h.shape[:-1], d)
+        return c, s
+    raise ValueError(f"unsupported rope mode {mode}")

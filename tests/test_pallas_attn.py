@@ -1,0 +1,72 @@
+"""Fused decode-attention kernel vs the XLA attention reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llm_tpu.ops.attention import attention, build_attn_bias
+from llm_tpu.ops.pallas_attn import expand_tables, flash_decode, rope_companion
+from llm_tpu.ops.rope import (ROPE_TYPE_NEOX, ROPE_TYPE_NORM, RopeParams,
+                              apply_rope, rope_angles)
+
+
+@pytest.mark.parametrize("mode", [ROPE_TYPE_NEOX, ROPE_TYPE_NORM],
+                         ids=["neox", "norm"])
+@pytest.mark.parametrize("shape", [
+    (1, 8, 2, 256, 256),   # decode, exact blocks
+    (2, 8, 2, 300, 250),   # ragged tail + masked cells
+    (8, 4, 4, 384, 384),   # MHA, multi-token
+], ids=["decode", "ragged", "mha"])
+def test_flash_decode_matches_xla(mode, shape):
+    T, H, Hkv, S, nvalid = shape
+    D = 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    tok_pos = jnp.asarray(np.arange(T) + 5, jnp.int32)
+    tok_seq = jnp.zeros(T, jnp.int32)
+    cell_pos = jnp.asarray(np.arange(S) % 9, jnp.int32)
+    cbits = jnp.asarray((np.arange(S) < nvalid).astype(np.uint32))
+    rp = RopeParams(n_dims=D, mode=mode)
+    cos_t, sin_t = rope_angles(tok_pos, rp)
+    cos_c, sin_c = rope_angles(cell_pos, rp)
+    bias = build_attn_bias(tok_pos, tok_seq, cell_pos, cbits)
+    scale = D ** -0.5
+
+    qro = apply_rope(q, cos_t, sin_t, mode, D)
+    kro = apply_rope(k, cos_c, sin_c, mode, D)
+    want = np.asarray(attention(qro, kro, v, bias, scale))
+
+    cf, sf = expand_tables(cos_c, sin_c, mode, D)
+    got = np.asarray(flash_decode(
+        qro, rope_companion(qro, mode), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        sf.astype(jnp.bfloat16), bias, scale, sblk=256, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_flash_decode_softcap():
+    T, H, Hkv, S, D = 1, 4, 2, 256, 128
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    tok_pos = jnp.asarray([9], jnp.int32)
+    cell_pos = jnp.asarray(np.arange(S) % 11, jnp.int32)
+    cbits = jnp.ones(S, jnp.uint32)
+    rp = RopeParams(n_dims=D, mode=ROPE_TYPE_NEOX)
+    cos_t, sin_t = rope_angles(tok_pos, rp)
+    cos_c, sin_c = rope_angles(cell_pos, rp)
+    bias = build_attn_bias(tok_pos, jnp.zeros(T, jnp.int32), cell_pos, cbits)
+    qro = apply_rope(q, cos_t, sin_t, ROPE_TYPE_NEOX, D)
+    kro = apply_rope(k, cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    want = np.asarray(attention(qro, kro, v, bias, D ** -0.5, softcap=30.0))
+    cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    got = np.asarray(flash_decode(
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        sf.astype(jnp.bfloat16), bias, D ** -0.5, softcap=30.0,
+        sblk=128, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
