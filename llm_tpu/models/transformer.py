@@ -213,7 +213,10 @@ def forward(
         and cfg_rope.n_dims == Dk == Dv
         and Dk % 128 == 0
         and cfg_rope.mode in (0, 2)
-        and not isinstance(kv_k[0], tuple)
+        and (
+            not isinstance(kv_k[0], tuple)
+            or kv_k[0][1].shape[-1] == 1  # q8 cache with per-head scales
+        )
     )
     if use_flash:
         from ..ops.pallas_attn import expand_tables, flash_decode, rope_companion

@@ -36,8 +36,42 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
+def _kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
+               cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref, *,
+               scale, softcap, s_real, sblk):
+    """Quantized-KV variant: K/V are int8 with ONE bf16 scale per head row
+    (the fattn-vec quantized-cache analogue, fattn-common.cuh:481-496);
+    dequant is an in-register lane-broadcast multiply."""
+
+    def kh_fn(h):
+        return (k_ref[:, h, :].astype(jnp.float32)
+                * ks_ref[:, h, :].astype(jnp.float32))
+
+    def vh_fn(h):
+        return (v_ref[:, h, :].astype(jnp.float32)
+                * vs_ref[:, h, :].astype(jnp.float32))
+
+    _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, v_ref.shape[-1],
+                cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref,
+                scale=scale, softcap=softcap, s_real=s_real, sblk=sblk)
+
+
 def _kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
             o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, s_real, sblk):
+
+    def kh_fn(h):
+        return k_ref[:, h, :].astype(jnp.float32)
+
+    def vh_fn(h):
+        return v_ref[:, h, :].astype(jnp.float32)
+
+    _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, v_ref.shape[-1],
+                cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref,
+                scale=scale, softcap=softcap, s_real=s_real, sblk=sblk)
+
+
+def _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, dv, cos_ref, sin_ref,
+                o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, s_real, sblk):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -47,7 +81,7 @@ def _kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
 
     t, hkv_g, d = q_ref.shape  # (T, Hkv*G, D)
-    _, hkv, dv = v_ref.shape
+    hkv = acc_ref.shape[0]
     g = hkv_g // hkv
     tg = t * g
 
@@ -67,7 +101,7 @@ def _kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
     qr = qr_ref[...].astype(jnp.float32)
 
     for h in range(hkv):
-        kh = k_ref[:, h, :].astype(jnp.float32)  # (Sblk, D)
+        kh = kh_fn(h)  # (Sblk, D)
         qh = q.reshape(t, hkv, g, d)[:, h].reshape(tg, d)
         qrh = qr.reshape(t, hkv, g, d)[:, h].reshape(tg, d)
         # scores = q.(k*cos) + q_rot.(k*sin)  — rope folded into the dots
@@ -94,7 +128,7 @@ def _kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
         p = jnp.exp(scores - m_new)
         l_ref[h] = l_old * alpha + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[h] = m_new
-        vh = jnp.where(row_ok, v_ref[:, h, :].astype(jnp.float32), 0.0)
+        vh = jnp.where(row_ok, vh_fn(h), 0.0)
         pv = jax.lax.dot_general(
             p, vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -124,28 +158,38 @@ def flash_decode(
     sblk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns [T, H, Dv] f32."""
+    """Returns [T, H, Dv] f32. k/v may be (int8, per-head-scale) tuples —
+    the quantized-cache path (scales [S, Hkv, 1])."""
+    quantized = isinstance(k, tuple)
+    kq, ks = k if quantized else (k, None)
+    vq, vs = v if quantized else (v, None)
     T, H, D = q.shape
-    S, Hkv, Dv = v.shape
+    S, Hkv, Dv = vq.shape
     G = H // Hkv
     TG = T * G
     sblk = min(sblk, S)
     grid = (pl.cdiv(S, sblk),)
 
+    kfn = _kernel_q8 if quantized else _kernel
     kernel = functools.partial(
-        _kernel, scale=scale, softcap=softcap, s_real=S, sblk=sblk)
+        kfn, scale=scale, softcap=softcap, s_real=S, sblk=sblk)
+    qspec = pl.BlockSpec((T, H, D), lambda j: (0, 0, 0), memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((sblk, Hkv, D), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((sblk, Hkv, Dv), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((sblk, Hkv, 1), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((sblk, D), lambda j: (j, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((T, sblk), lambda j: (0, j), memory_space=pltpu.VMEM)
+    if quantized:
+        in_specs = [qspec, qspec, bspec, kspec, sspec, vspec, sspec, tspec, tspec]
+        args = (q, q_rot, bias, kq, ks, vq, vs, cos, sin)
+    else:
+        in_specs = [qspec, qspec, bspec, kspec, vspec, tspec, tspec]
+        args = (q, q_rot, bias, kq, vq, cos, sin)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((T, H, D), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, H, D), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, sblk), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, Hkv, D), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, Hkv, Dv), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((Hkv, TG, Dv), lambda j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hkv, TG, Dv), jnp.float32),
@@ -159,12 +203,13 @@ def flash_decode(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * T * H * S * D + 2 * T * H * S * Dv,
-            bytes_accessed=k.size * k.dtype.itemsize + v.size * v.dtype.itemsize
+            bytes_accessed=kq.size * kq.dtype.itemsize
+            + vq.size * vq.dtype.itemsize
             + (cos.size + sin.size) * 2 + bias.size * 4,
             transcendentals=T * H * S,
         ),
         interpret=interpret,
-    )(q, q_rot, bias, k, v, cos, sin)
+    )(*args)
     # (Hkv, T*G, Dv) -> (T, H, Dv)
     return out.reshape(Hkv, T, G, Dv).transpose(1, 0, 2, 3).reshape(T, H, Dv)
 

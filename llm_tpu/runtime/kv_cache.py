@@ -61,7 +61,13 @@ def new_kv_arrays(n_layers, n_cells, n_kv_heads, head_dim_k, head_dim_v,
     if dtype == "q8_0":
 
         def mk(d):
-            g = KV_QUANT_GROUP if d % KV_QUANT_GROUP == 0 else d
+            # flash-capable head dims (multiples of 128) use ONE scale per
+            # head row — the fused attention kernel dequantizes in-register
+            # with a lane-broadcast; other dims use the reference's 32-group
+            if d % 128 == 0:
+                g = d
+            else:
+                g = KV_QUANT_GROUP if d % KV_QUANT_GROUP == 0 else d
             return [
                 (
                     jnp.zeros((n_cells, n_kv_heads, d), jnp.int8),

@@ -70,3 +70,41 @@ def test_flash_decode_softcap():
         sf.astype(jnp.bfloat16), bias, D ** -0.5, softcap=30.0,
         sblk=128, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_flash_decode_q8_cache():
+    """Quantized KV (int8 + per-head scales) matches the dense-cache path."""
+    T, H, Hkv, S, D = 2, 8, 2, 300, 128
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
+    kf = rng.normal(size=(S, Hkv, D)).astype(np.float32)
+    vf = rng.normal(size=(S, Hkv, D)).astype(np.float32)
+
+    def q8(x):
+        amax = np.abs(x).max(axis=-1, keepdims=True)
+        sc = amax / 127.0
+        qv = np.clip(np.round(x / np.maximum(sc, 1e-9)), -127, 127).astype(np.int8)
+        return jnp.asarray(qv), jnp.asarray(sc.astype(np.float32), jnp.bfloat16)
+
+    kq, ksc = q8(kf)
+    vq, vsc = q8(vf)
+    kd = np.asarray(kq, np.float32) * np.asarray(ksc, np.float32)
+    vd = np.asarray(vq, np.float32) * np.asarray(vsc, np.float32)
+
+    tok_pos = jnp.asarray([7, 8], jnp.int32)
+    cell_pos = jnp.asarray(np.arange(S) % 9, jnp.int32)
+    cbits = jnp.asarray((np.arange(S) < 280).astype(np.uint32))
+    rp = RopeParams(n_dims=D, mode=ROPE_TYPE_NEOX)
+    cos_t, sin_t = rope_angles(tok_pos, rp)
+    cos_c, sin_c = rope_angles(cell_pos, rp)
+    bias = build_attn_bias(tok_pos, jnp.zeros(T, jnp.int32), cell_pos, cbits)
+    qro = apply_rope(q, cos_t, sin_t, ROPE_TYPE_NEOX, D)
+    kro = apply_rope(jnp.asarray(kd), cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    want = np.asarray(attention(qro, kro, jnp.asarray(vd), bias, D ** -0.5))
+
+    cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    got = np.asarray(flash_decode(
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), (kq, ksc), (vq, vsc),
+        cf.astype(jnp.bfloat16), sf.astype(jnp.bfloat16), bias, D ** -0.5,
+        sblk=256, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
