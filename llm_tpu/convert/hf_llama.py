@@ -118,9 +118,13 @@ def convert_hf_llama(
     n_kv = getattr(hf_cfg, "num_key_value_heads", n_head)
     head_dim = getattr(hf_cfg, "head_dim", None) or hf_cfg.hidden_size // n_head
 
-    is_gemma2 = arch == "gemma2"
+    is_gemma2 = arch in ("gemma2", "gemma3")  # gemma stores (1+w) norms
     layer_map = _HF_LAYER_MAP
-    if is_gemma2:
+    if arch == "gemma3":
+        layer_map = dict(_HF_GEMMA2_MAP)
+        layer_map["self_attn.q_norm.weight"] = "attn_q_norm.weight"
+        layer_map["self_attn.k_norm.weight"] = "attn_k_norm.weight"
+    elif is_gemma2:
         layer_map = _HF_GEMMA2_MAP
     elif arch == "phi3":
         layer_map = _HF_PHI3_MAP
@@ -149,7 +153,7 @@ def convert_hf_llama(
     w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(getattr(hf_cfg, "rope_theta", 10000.0)))
     w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), int(head_dim))
     w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
-    if is_gemma2:
+    if arch == "gemma2":
         w.add_kv("gemma2.attn_logit_softcapping",
                  float(getattr(hf_cfg, "attn_logit_softcapping", 50.0)))
         w.add_kv("gemma2.final_logit_softcapping",
@@ -159,6 +163,11 @@ def convert_hf_llama(
         qpas = float(getattr(hf_cfg, "query_pre_attn_scalar", head_dim))
         w.add_kv(Keys.Attention.SCALE.format(arch=a), qpas ** -0.5)
 
+    if arch == "gemma3":
+        w.add_kv(Keys.Attention.SLIDING_WINDOW.format(arch=a),
+                 int(getattr(hf_cfg, "sliding_window", 1024)))
+        qpas = float(getattr(hf_cfg, "query_pre_attn_scalar", 256))
+        w.add_kv(Keys.Attention.SCALE.format(arch=a), qpas ** -0.5)
     if arch == "granite":
         w.add_kv("granite.embedding_scale", float(hf_cfg.embedding_multiplier))
         w.add_kv("granite.residual_scale", float(hf_cfg.residual_multiplier))
@@ -168,7 +177,8 @@ def convert_hf_llama(
     if arch in ("command-r", "cohere"):
         w.add_kv(f"{a}.logit_scale", float(getattr(hf_cfg, "logit_scale", 1.0)))
 
-    n_expert = int(getattr(hf_cfg, "num_local_experts", 0) or 0)
+    n_expert = int(getattr(hf_cfg, "num_local_experts", 0)
+                   or getattr(hf_cfg, "num_experts", 0) or 0)
     if n_expert:
         w.add_kv(Keys.LLM.EXPERT_COUNT.format(arch=a), n_expert)
         w.add_kv(Keys.LLM.EXPERT_USED_COUNT.format(arch=a),
@@ -209,6 +219,29 @@ def convert_hf_llama(
             elif permute and hf_suffix == "self_attn.k_proj.bias":
                 arr = permute_qk(arr, n_kv)
             put(f"blk.{il}.{gg_suffix}", arr)
+
+        # MoE (qwen2moe-style): router + experts + gated shared expert
+        q2_gate = pre + "mlp.gate.weight"
+        if q2_gate in sd:
+            put(f"blk.{il}.ffn_gate_inp.weight", sd[q2_gate])
+            n_exp = int(hf_cfg.num_experts)
+            for hf_w, gg in (("gate_proj", "ffn_gate_exps"),
+                             ("up_proj", "ffn_up_exps"),
+                             ("down_proj", "ffn_down_exps")):
+                stack = np.stack([
+                    sd[f"{pre}mlp.experts.{e}.{hf_w}.weight"]
+                    for e in range(n_exp)
+                ])
+                w.add_tensor(f"blk.{il}.{gg}.weight", stack,
+                             ggml_type=GGMLType.F32)
+            put(f"blk.{il}.ffn_gate_shexp.weight",
+                sd[pre + "mlp.shared_expert.gate_proj.weight"])
+            put(f"blk.{il}.ffn_up_shexp.weight",
+                sd[pre + "mlp.shared_expert.up_proj.weight"])
+            put(f"blk.{il}.ffn_down_shexp.weight",
+                sd[pre + "mlp.shared_expert.down_proj.weight"])
+            put(f"blk.{il}.ffn_gate_inp_shexp.weight",
+                sd[pre + "mlp.shared_expert_gate.weight"])
 
         # MoE (mixtral-style): router + stacked expert tensors
         gate_key = pre + "block_sparse_moe.gate.weight"

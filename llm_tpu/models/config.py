@@ -70,6 +70,7 @@ class ModelConfig:
     final_softcap: float = 0.0
     swa_window: int = 0
     swa_pattern: int = 0  # every Nth layer is full-attention (0 = no SWA)
+    rope_swa: RopeParams | None = None  # separate rope for SWA layers (gemma3)
     embedding_scale: float = 1.0
     logit_scale: float = 1.0
     attn_bias: bool = False  # qkv biases present (qwen2)
@@ -180,8 +181,15 @@ def config_from_gguf(reader) -> ModelConfig:
             attn_scale=attn_scale,
         )
     if arch == "gemma3":
-        cfg = replace(cfg, qk_norm=True, swa_pattern=6,
-                      attn_scale=float(_ak(reader, Keys.Attention.SCALE, 0.0625) or 0.0625))
+        # SWA layers rope at base 10000/scale 1 (llama-model.cpp:1008);
+        # global layers use the checkpoint's rope base (typically 1e6)
+        cfg = replace(
+            cfg, qk_norm=True, swa_pattern=6,
+            swa_window=int(_ak(reader, Keys.Attention.SLIDING_WINDOW, 1024) or 1024),
+            attn_scale=float(_ak(reader, Keys.Attention.SCALE, 0.0625) or 0.0625),
+            rope_swa=replace(rope, freq_base=10000.0, freq_scale=1.0,
+                             ext_factor=0.0),
+        )
     if arch == "granite":
         # granite multipliers (llama-model.cpp granite case: f_embedding_scale,
         # f_residual_scale, f_attention_scale, f_logit_scale)

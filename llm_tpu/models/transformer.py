@@ -194,6 +194,9 @@ def forward(
 
     cos_t, sin_t = rope_angles(tok_pos, cfg_rope, ff)
     cos_c, sin_c = rope_angles(cell_pos, cfg_rope, ff)
+    if cfg.rope_swa is not None:  # gemma3: SWA layers rope at their own base
+        cos_t2, sin_t2 = rope_angles(tok_pos, cfg.rope_swa, ff)
+        cos_c2, sin_c2 = rope_angles(cell_pos, cfg.rope_swa, ff)
     bias = build_attn_bias(tok_pos, tok_seq, cell_pos, cell_seq_bits)
     bias_swa = None
     if cfg.swa_window > 0:
@@ -224,6 +227,10 @@ def forward(
         cos_cf, sin_cf = expand_tables(cos_c, sin_c, cfg_rope.mode, Dk)
         cos_cf = cos_cf.astype(dtype)
         sin_cf = sin_cf.astype(dtype)
+        if cfg.rope_swa is not None:
+            cos_cf2, sin_cf2 = expand_tables(cos_c2, sin_c2, cfg_rope.mode, Dk)
+            cos_cf2 = cos_cf2.astype(dtype)
+            sin_cf2 = sin_cf2.astype(dtype)
 
     new_k, new_v = [], []
     for il, layer in enumerate(params["layers"]):
@@ -258,23 +265,31 @@ def forward(
             q = rms_norm(q, layer.get("attn_q_norm"), cfg.rms_eps)
             k = rms_norm(k, layer.get("attn_k_norm"), cfg.rms_eps)
 
-        q = apply_rope(q, cos_t, sin_t, cfg_rope.mode, cfg_rope.n_dims)
+        is_swa = cfg.layer_is_swa(il)
+        swa_rope = cfg.rope_swa is not None and is_swa
+        q = apply_rope(q, cos_t2 if swa_rope else cos_t,
+                       sin_t2 if swa_rope else sin_t,
+                       cfg_rope.mode, cfg_rope.n_dims)
         # K enters the cache UNROPED; rotated on read with cell positions.
         k_cache = _kv_write(kv_k[il], write_idx, k)
         v_cache = _kv_write(kv_v[il], write_idx, v)
         new_k.append(k_cache)
         new_v.append(v_cache)
 
-        layer_bias = bias_swa if (bias_swa is not None and cfg.layer_is_swa(il)) else bias
+        layer_bias = bias_swa if (bias_swa is not None and is_swa) else bias
         if use_flash:
             att = flash_decode(
                 q, rope_companion(q, cfg_rope.mode), k_cache, v_cache,
-                cos_cf, sin_cf, layer_bias, scale, softcap=cfg.attn_softcap,
+                cos_cf2 if swa_rope else cos_cf,
+                sin_cf2 if swa_rope else sin_cf,
+                layer_bias, scale, softcap=cfg.attn_softcap,
             )
         else:
             k_all = apply_rope(
-                _kv_read(k_cache, dtype), cos_c, sin_c, cfg_rope.mode,
-                cfg_rope.n_dims,
+                _kv_read(k_cache, dtype),
+                cos_c2 if swa_rope else cos_c,
+                sin_c2 if swa_rope else sin_c,
+                cfg_rope.mode, cfg_rope.n_dims,
             )
             att = attention(
                 q, k_all, _kv_read(v_cache, dtype), layer_bias, scale,
@@ -300,7 +315,7 @@ def forward(
         if cfg.n_expert > 0 and "ffn_gate_inp" in layer:
             ffn_out = _moe_ffn(h2, layer, cfg)
             if "ffn_up_shexp" in layer:  # shared expert (qwen2moe-style)
-                ffn_out = ffn_out + _ffn(
+                shared = _ffn(
                     h2,
                     {
                         "ffn_gate": layer.get("ffn_gate_shexp"),
@@ -309,6 +324,12 @@ def forward(
                     },
                     cfg,
                 )
+                if "ffn_gate_inp_shexp" in layer:
+                    # sigmoid gate on the shared expert (llm_build_qwen2moe)
+                    gate = jax.nn.sigmoid(
+                        qmm(h2, layer["ffn_gate_inp_shexp"]).astype(jnp.float32))
+                    shared = (shared.astype(jnp.float32) * gate).astype(shared.dtype)
+                ffn_out = ffn_out + shared
         else:
             ffn_out = _ffn(
                 h2, layer, cfg,

@@ -142,3 +142,34 @@ def test_command_r(tmp_path):
     torch.manual_seed(0)
     m = transformers.CohereForCausalLM(cfg).eval()
     _check(m, "command-r", tmp_path)
+
+
+def test_gemma3(tmp_path):
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=7, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256,
+        rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        sliding_window=8, sliding_window_pattern=6,
+        query_pre_attn_scalar=16, tie_word_embeddings=True,
+        attn_logit_softcapping=None, final_logit_softcapping=None,
+    )
+    torch.manual_seed(0)
+    m = transformers.Gemma3ForCausalLM(cfg).eval()
+    # 7 layers + pattern 6 exercises both local (SWA, base 1e4) and global
+    # (base 1e6) rope paths; T > window exercises the sliding mask
+    _check(m, "gemma3", tmp_path, T=12)
+
+
+def test_qwen2moe(tmp_path):
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        moe_intermediate_size=48, shared_expert_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False, decoder_sparse_step=1,
+    )
+    torch.manual_seed(0)
+    m = transformers.Qwen2MoeForCausalLM(cfg).eval()
+    _check(m, "qwen2moe", tmp_path)
