@@ -234,14 +234,15 @@ def convert_hf_llama(
                 ])
                 w.add_tensor(f"blk.{il}.{gg}.weight", stack,
                              ggml_type=GGMLType.F32)
-            put(f"blk.{il}.ffn_gate_shexp.weight",
-                sd[pre + "mlp.shared_expert.gate_proj.weight"])
-            put(f"blk.{il}.ffn_up_shexp.weight",
-                sd[pre + "mlp.shared_expert.up_proj.weight"])
-            put(f"blk.{il}.ffn_down_shexp.weight",
-                sd[pre + "mlp.shared_expert.down_proj.weight"])
-            put(f"blk.{il}.ffn_gate_inp_shexp.weight",
-                sd[pre + "mlp.shared_expert_gate.weight"])
+            if pre + "mlp.shared_expert.gate_proj.weight" in sd:  # qwen2moe
+                put(f"blk.{il}.ffn_gate_shexp.weight",
+                    sd[pre + "mlp.shared_expert.gate_proj.weight"])
+                put(f"blk.{il}.ffn_up_shexp.weight",
+                    sd[pre + "mlp.shared_expert.up_proj.weight"])
+                put(f"blk.{il}.ffn_down_shexp.weight",
+                    sd[pre + "mlp.shared_expert.down_proj.weight"])
+                put(f"blk.{il}.ffn_gate_inp_shexp.weight",
+                    sd[pre + "mlp.shared_expert_gate.weight"])
 
         # MoE (mixtral-style): router + stacked expert tensors
         gate_key = pre + "block_sparse_moe.gate.weight"

@@ -160,8 +160,9 @@ def config_from_gguf(reader) -> ModelConfig:
     # /root/reference/src/llama-model.cpp)
     if arch in ("qwen2", "qwen2moe"):
         cfg = replace(cfg, attn_bias=True)
-    if cfg.n_expert > 0 and arch in ("llama", "mixtral"):
-        # mixtral-style MoE normalizes the top-k router weights
+    if cfg.n_expert > 0 and arch in ("llama", "mixtral", "qwen3moe"):
+        # mixtral/qwen3moe normalize the top-k router weights (qwen2moe
+        # does not: norm_topk_prob=false)
         cfg = replace(cfg, expert_weights_norm=True)
     if arch in ("qwen3", "qwen3moe"):
         cfg = replace(cfg, qk_norm=True)

@@ -469,13 +469,16 @@ def main(argv=None):
     from ..runtime.engine import Context
     from ..tokenizers import tokenizer_from_gguf
 
+    from ..tools.args import env_default as ed, required_unless_env
+
     ap = argparse.ArgumentParser(description="llm-tpu OpenAI-compatible server")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("-c", "--ctx-size", type=int, default=4096)
-    ap.add_argument("-np", "--n-parallel", type=int, default=4)
-    ap.add_argument("-b", "--n-batch", type=int, default=256)
+    ap.add_argument("-m", "--model", default=ed("model", None),
+                    required=required_unless_env("model"))
+    ap.add_argument("--host", default=ed("host", "127.0.0.1"))
+    ap.add_argument("--port", type=int, default=ed("port", 8080))
+    ap.add_argument("-c", "--ctx-size", type=int, default=ed("ctx-size", 4096))
+    ap.add_argument("-np", "--n-parallel", type=int, default=ed("n-parallel", 4))
+    ap.add_argument("-b", "--n-batch", type=int, default=ed("n-batch", 256))
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--alias", default=None, help="model name served")
     ap.add_argument("--chat-template", default=None,

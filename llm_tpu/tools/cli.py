@@ -86,15 +86,18 @@ def main(argv=None):
     import jax.numpy as jnp
 
     ap = argparse.ArgumentParser(description="llm-tpu text generation")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("-p", "--prompt", default="")
+    from .args import env_default as ed, required_unless_env
+
+    ap.add_argument("-m", "--model", default=ed("model", None),
+                    required=required_unless_env("model"))
+    ap.add_argument("-p", "--prompt", default=ed("prompt", ""))
     ap.add_argument("-f", "--file", default=None, help="prompt from file")
-    ap.add_argument("-n", "--n-predict", type=int, default=128)
-    ap.add_argument("-c", "--ctx-size", type=int, default=4096)
+    ap.add_argument("-n", "--n-predict", type=int, default=ed("n-predict", 128))
+    ap.add_argument("-c", "--ctx-size", type=int, default=ed("ctx-size", 4096))
     ap.add_argument("--n-keep", type=int, default=0)
-    ap.add_argument("--temp", type=float, default=0.8)
-    ap.add_argument("--top-k", type=int, default=40)
-    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--temp", type=float, default=ed("temp", 0.8))
+    ap.add_argument("--top-k", type=int, default=ed("top-k", 40))
+    ap.add_argument("--top-p", type=float, default=ed("top-p", 0.95))
     ap.add_argument("--min-p", type=float, default=0.05)
     ap.add_argument("--repeat-penalty", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=-1)

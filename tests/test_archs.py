@@ -173,3 +173,17 @@ def test_qwen2moe(tmp_path):
     torch.manual_seed(0)
     m = transformers.Qwen2MoeForCausalLM(cfg).eval()
     _check(m, "qwen2moe", tmp_path)
+
+
+def test_qwen3moe(tmp_path):
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False, decoder_sparse_step=1,
+    )
+    torch.manual_seed(0)
+    m = transformers.Qwen3MoeForCausalLM(cfg).eval()
+    _check(m, "qwen3moe", tmp_path)
