@@ -82,10 +82,13 @@ class ModelConfig:
     ssm_dt_rank: int = 0
     ssm_n_group: int = 0
     ssm_dt_b_c_rms: bool = False
+    # rwkv6 (llama-hparams wkv_head_size / rescale_every_n_layers)
+    wkv_head_size: int = 0
+    rescale_every_n: int = 0
 
     @property
     def is_recurrent(self) -> bool:
-        return self.ssm_d_state > 0
+        return self.ssm_d_state > 0 or self.wkv_head_size > 0
 
     @property
     def n_rep(self) -> int:
@@ -225,6 +228,13 @@ def config_from_gguf(reader) -> ModelConfig:
         )
     if arch == "stablelm":
         cfg = replace(cfg, norm_kind="ln", attn_bias=True)
+    if arch == "rwkv6":
+        cfg = replace(
+            cfg,
+            norm_kind="ln",
+            wkv_head_size=int(_ak(reader, "{arch}.wkv.head_size", 64) or 64),
+            rescale_every_n=int(_ak(reader, "{arch}.rescale_every_n_layers", 6) or 6),
+        )
     if arch in ("mamba", "mamba2", "falcon-mamba"):
         d_inner = int(_ak(reader, Keys.SSM.INNER_SIZE, 2 * n_embd) or 2 * n_embd)
         cfg = replace(

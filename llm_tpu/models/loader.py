@@ -94,7 +94,25 @@ def load_params(
                 key = "attn_qkv_fused"
             elif kind == "weight" and base == "ffn_up" and cfg.arch in ("phi3", "phimoe"):
                 key = "ffn_gateup_fused"  # GGUF phi3 packs [gate; up]
-            if base == "ssm_conv1d" and kind == "weight":
+            if base.startswith(("time_mix_", "channel_mix_")):
+                # rwkv6 tensors: big projections as matrices, everything
+                # else (lerps, decay, first, w2, ln) dense f32
+                rwkv_mats = {
+                    "time_mix_key", "time_mix_value", "time_mix_receptance",
+                    "time_mix_gate", "time_mix_output", "time_mix_w1",
+                    "time_mix_decay_w1", "channel_mix_key",
+                    "channel_mix_value", "channel_mix_receptance",
+                }
+                if base in rwkv_mats and kind == "weight":
+                    layers[il][key] = _load_matrix(reader, name, dense_dtype, use_planes)
+                else:
+                    arr = np.asarray(
+                        dequantize_tensor(reader.data(name), ti.ggml_type, ti.shape),
+                        np.float32)
+                    if base != "time_mix_w2":
+                        arr = np.squeeze(arr)
+                    layers[il][key] = jnp.asarray(arr)
+            elif base == "ssm_conv1d" and kind == "weight":
                 # ne (d_conv, d_inner) -> [d_conv, d_inner] dense f32
                 layers[il][key] = _to_dense(reader, name, jnp.float32).T
             elif base == "ssm_a":
@@ -119,6 +137,12 @@ def load_params(
             params["output"] = _load_matrix(reader, name, dense_dtype, use_planes)
         elif name == "output_norm.weight":
             params["output_norm"] = _to_dense(reader, name, jnp.float32)
+        elif name == "output_norm.bias":
+            params["output_norm_b"] = _to_dense(reader, name, jnp.float32)
+        elif name == "token_embd_norm.weight":
+            params["tok_norm"] = _to_dense(reader, name, jnp.float32)
+        elif name == "token_embd_norm.bias":
+            params["tok_norm_b"] = _to_dense(reader, name, jnp.float32)
         elif name == "rope_freqs.weight":
             params["rope_freqs"] = np.asarray(
                 dequantize_tensor(reader.data(name), ti.ggml_type, ti.shape), np.float32

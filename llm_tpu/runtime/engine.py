@@ -268,13 +268,15 @@ class Context:
         key = ("r", ns, nt, O)
         if key in self._steps:
             return self._steps[key]
-        from ..models.ssm import forward_mamba
-
         cfg, dtype = self.cfg, self.dtype
+        if cfg.wkv_head_size > 0:
+            from ..models.rwkv import forward_rwkv6 as fwd
+        else:
+            from ..models.ssm import forward_mamba as fwd
 
         def _step(params, conv, ssm, tokens, slots, oidx):
-            return forward_mamba(params, cfg, conv, ssm, tokens, slots, oidx,
-                                 dtype=dtype)
+            return fwd(params, cfg, conv, ssm, tokens, slots, oidx,
+                       dtype=dtype)
 
         fn = jax.jit(_step, donate_argnums=(1, 2))
         self._steps[key] = fn

@@ -22,14 +22,22 @@ class RecurrentSlots:
         self.n_slots = n_slots
         self.seq_slot: dict[int, int] = {}
         self.pos_max: dict[int, int] = {}
-        di, dc, ds = cfg.ssm_d_inner, cfg.ssm_d_conv, cfg.ssm_d_state
-        self.conv = [
-            jnp.zeros((n_slots + 1, max(dc - 1, 1), di), dtype)
-            for _ in range(cfg.n_layers)
-        ]
-        self.ssm = [
-            jnp.zeros((n_slots + 1, di, ds), dtype) for _ in range(cfg.n_layers)
-        ]
+        if cfg.wkv_head_size > 0:  # rwkv6: token-shift rows + wkv state
+            E, D = cfg.n_embd, cfg.wkv_head_size
+            H = E // D
+            self.conv = [jnp.zeros((n_slots + 1, 2, E), dtype)
+                         for _ in range(cfg.n_layers)]
+            self.ssm = [jnp.zeros((n_slots + 1, H, D, D), dtype)
+                        for _ in range(cfg.n_layers)]
+        else:  # mamba: conv shift state + ssm state
+            di, dc, ds = cfg.ssm_d_inner, cfg.ssm_d_conv, cfg.ssm_d_state
+            self.conv = [
+                jnp.zeros((n_slots + 1, max(dc - 1, 1), di), dtype)
+                for _ in range(cfg.n_layers)
+            ]
+            self.ssm = [
+                jnp.zeros((n_slots + 1, di, ds), dtype) for _ in range(cfg.n_layers)
+            ]
 
     @property
     def trash_slot(self) -> int:
