@@ -354,7 +354,14 @@ class ServerApp:
 
     async def chat_completions(self, request):
         d = await request.json()
-        prompt = self._render_chat(d.get("messages", []))
+        messages = list(d.get("messages", []))
+        tools = d.get("tools") or []
+        if tools:
+            from .toolcall import render_tools_prompt
+
+            messages = [{"role": "system",
+                         "content": render_tools_prompt(tools)}] + messages
+        prompt = self._render_chat(messages)
         task = self.engine.submit(self._make_task(d, prompt_text=prompt))
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
 
@@ -394,13 +401,23 @@ class ServerApp:
             return resp
 
         text, meta = await self._collect(task)
+        message = {"role": "assistant", "content": text}
+        finish = _finish_reason(meta)
+        if tools:
+            from .toolcall import extract_tool_calls
+
+            calls, content = extract_tool_calls(text)
+            if calls:
+                message = {"role": "assistant",
+                           "content": content or None, "tool_calls": calls}
+                finish = "tool_calls"
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": self.model_name,
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": text},
-                "finish_reason": _finish_reason(meta),
+                "message": message,
+                "finish_reason": finish,
             }],
             "usage": _usage(meta),
         })

@@ -233,3 +233,50 @@ def test_infill_with_fim_tokens(tmp_path):
         asyncio.run(_with_client(app, run))
     finally:
         eng.stop()
+
+
+def test_partial_json_and_tool_call_parsing():
+    from llm_tpu.server.toolcall import (extract_tool_calls,
+                                         parse_partial_json,
+                                         tool_call_in_progress)
+
+    v, done = parse_partial_json('{"a": 1, "b": [2, 3]}')
+    assert done and v == {"a": 1, "b": [2, 3]}
+    # healed truncations (streaming)
+    v, done = parse_partial_json('{"name": "get_weather", "arguments": {"city": "Par')
+    assert not done and v["name"] == "get_weather"
+    v, done = parse_partial_json('{"name": "f", "arguments":')
+    assert not done and v == {"name": "f"}
+
+    calls, content = extract_tool_calls(
+        'thinking...<tool_call>{"name": "add", "arguments": {"a": 1}}</tool_call>')
+    assert len(calls) == 1
+    assert calls[0]["function"]["name"] == "add"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"a": 1}
+    assert content == "thinking..."
+
+    calls, _ = extract_tool_calls(
+        '[TOOL_CALLS][{"name": "mul", "arguments": {"x": 2}}]')
+    assert calls and calls[0]["function"]["name"] == "mul"
+
+    calls, content = extract_tool_calls('{"name": "solo", "arguments": {}}')
+    assert calls and content == ""
+
+    assert tool_call_in_progress('<tool_call>{"name": "a"')
+    assert not tool_call_in_progress("plain text answer")
+
+
+def test_chat_completions_with_tools(client):
+    async def run(c):
+        r = await c.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "add 1 and 2"}],
+            "tools": [{"type": "function", "function": {
+                "name": "add", "parameters": {"type": "object"}}}],
+            "max_tokens": 4, "temperature": 0.0,
+        })
+        assert r.status == 200
+        d = await r.json()
+        msg = d["choices"][0]["message"]
+        # random-weight model won't emit a call; the schema must still hold
+        assert "content" in msg or "tool_calls" in msg
+    asyncio.run(_with_client(client, run))
