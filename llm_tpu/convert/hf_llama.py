@@ -85,6 +85,8 @@ _HF_STARCODER2_MAP = {
 
 _HF_LAYER_MAP = {
     "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
     "self_attn.q_proj.weight": "attn_q.weight",
     "self_attn.k_proj.weight": "attn_k.weight",
     "self_attn.v_proj.weight": "attn_v.weight",
@@ -151,7 +153,9 @@ def convert_hf_llama(
             hf_cfg, "layer_norm_epsilon", 1e-5)
     w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), float(eps))
     w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(getattr(hf_cfg, "rope_theta", 10000.0)))
-    w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), int(head_dim))
+    rot_pct = float(getattr(hf_cfg, "partial_rotary_factor",
+                            getattr(hf_cfg, "rotary_pct", 1.0)) or 1.0)
+    w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), int(head_dim * rot_pct))
     w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
     if arch == "gemma2":
         w.add_kv("gemma2.attn_logit_softcapping",
@@ -377,5 +381,57 @@ def convert_hf_clip_mmproj(
         put("mm.0.bias", proj_b0)
         put("mm.2.weight", proj_w2)
         put("mm.2.bias", proj_b2)
+    w.write()
+    return path
+
+
+def convert_hf_whisper_mmproj(
+    encoder,
+    path: str,
+    fc_w=None, fc_b=None,
+):
+    """HF WhisperEncoder -> audio mmproj GGUF with a qwen2a fc projector
+    (tensor names: /root/reference/tools/mtmd/clip-impl.h:107-112)."""
+    import numpy as np
+
+    cfg = encoder.config
+    w = GGUFWriter(path, arch="clip")
+    w.add_kv("clip.has_audio_encoder", True)
+    w.add_kv("clip.projector_type", "qwen2a")
+    w.add_kv("clip.audio.num_mel_bins", int(cfg.num_mel_bins))
+    w.add_kv("clip.audio.embedding_length", int(cfg.d_model))
+    w.add_kv("clip.audio.block_count", int(cfg.encoder_layers))
+    w.add_kv("clip.audio.attention.head_count", int(cfg.encoder_attention_heads))
+    w.add_kv("clip.audio.feed_forward_length", int(cfg.encoder_ffn_dim))
+    w.add_kv("clip.audio.attention.layer_norm_epsilon", 1e-5)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in encoder.state_dict().items()}
+    pre = "" if "conv1.weight" in sd else "encoder."
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    put("a.conv1d.1.weight", sd[pre + "conv1.weight"])  # [out, in, k]
+    put("a.conv1d.1.bias", sd[pre + "conv1.bias"])
+    put("a.conv1d.2.weight", sd[pre + "conv2.weight"])
+    put("a.conv1d.2.bias", sd[pre + "conv2.bias"])
+    put("a.position_embd.weight", sd[pre + "embed_positions.weight"])
+    put("a.post_ln.weight", sd[pre + "layer_norm.weight"])
+    put("a.post_ln.bias", sd[pre + "layer_norm.bias"])
+    for il in range(cfg.encoder_layers):
+        b = f"{pre}layers.{il}."
+        g = f"a.blk.{il}."
+        for hf, gg in (
+            ("self_attn.q_proj", "attn_q"), ("self_attn.k_proj", "attn_k"),
+            ("self_attn.v_proj", "attn_v"), ("self_attn.out_proj", "attn_out"),
+            ("fc1", "ffn_up"), ("fc2", "ffn_down"),
+            ("self_attn_layer_norm", "ln1"), ("final_layer_norm", "ln2"),
+        ):
+            put(g + gg + ".weight", sd[b + hf + ".weight"])
+            if b + hf + ".bias" in sd:
+                put(g + gg + ".bias", sd[b + hf + ".bias"])
+    if fc_w is not None:
+        put("mm.a.fc.weight", fc_w)
+        put("mm.a.fc.bias", fc_b)
     w.write()
     return path

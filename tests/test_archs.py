@@ -187,3 +187,16 @@ def test_qwen3moe(tmp_path):
     torch.manual_seed(0)
     m = transformers.Qwen3MoeForCausalLM(cfg).eval()
     _check(m, "qwen3moe", tmp_path)
+
+
+def test_stablelm(tmp_path):
+    cfg = transformers.StableLmConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, max_position_embeddings=128,
+        rope_theta=10000.0, use_qkv_bias=True, tie_word_embeddings=False,
+        use_parallel_residual=False, layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(0)
+    m = transformers.StableLmForCausalLM(cfg).eval()
+    _check(m, "stablelm", tmp_path)
