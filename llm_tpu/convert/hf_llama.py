@@ -435,3 +435,126 @@ def convert_hf_whisper_mmproj(
         put("mm.a.fc.bias", fc_b)
     w.write()
     return path
+
+
+def _deinterleave_pe(w: "np.ndarray", rope_dim: int, n_groups: int):
+    """Reorder rope-part output rows from HF deepseek's interleaved pair
+    layout to split halves, so standard NEOX rotation reproduces HF's
+    pair-transposed rotary (modeling_deepseek.apply_rotary_pos_emb)."""
+    import numpy as np
+
+    w = w.copy()
+    rows_per = w.shape[0] // n_groups
+    for g in range(n_groups):
+        blk = w[g * rows_per: g * rows_per + rope_dim]
+        w[g * rows_per: g * rows_per + rope_dim] = np.concatenate(
+            [blk[0::2], blk[1::2]])
+    return w
+
+
+def convert_hf_deepseek2(model, path: str, out_type: GGMLType = GGMLType.F32,
+                         vocab: dict | None = None):
+    """HF DeepseekV2ForCausalLM -> GGUF (deepseek2 arch): MLA projections
+    with [rope|nope] head layout, leading dense layers, routed+shared MoE."""
+    import numpy as np
+
+    hf_cfg = model.config
+    a = "deepseek2"
+    n_head = int(hf_cfg.num_attention_heads)
+    rope_dim = int(hf_cfg.qk_rope_head_dim)
+    nope_dim = int(hf_cfg.qk_nope_head_dim)
+    v_dim = int(hf_cfg.v_head_dim)
+    qk_dim = rope_dim + nope_dim
+
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), int(hf_cfg.max_position_embeddings))
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.hidden_size))
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.num_hidden_layers))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), int(hf_cfg.intermediate_size))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), n_head)
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), n_head)
+    w.add_kv(Keys.Attention.KEY_LENGTH.format(arch=a), qk_dim)
+    w.add_kv(Keys.Attention.VALUE_LENGTH.format(arch=a), v_dim)
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), float(hf_cfg.rms_norm_eps))
+    w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(getattr(hf_cfg, "rope_theta", 10000.0)))
+    w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), rope_dim)
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    w.add_kv(f"{a}.attention.kv_lora_rank", int(hf_cfg.kv_lora_rank))
+    if getattr(hf_cfg, "q_lora_rank", None):
+        w.add_kv(f"{a}.attention.q_lora_rank", int(hf_cfg.q_lora_rank))
+    w.add_kv(f"{a}.leading_dense_block_count", int(getattr(hf_cfg, "first_k_dense_replace", 0)))
+    n_expert = int(getattr(hf_cfg, "n_routed_experts", 0) or 0)
+    if n_expert:
+        w.add_kv(Keys.LLM.EXPERT_COUNT.format(arch=a), n_expert)
+        w.add_kv(Keys.LLM.EXPERT_USED_COUNT.format(arch=a),
+                 int(hf_cfg.num_experts_per_tok))
+        w.add_kv(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH.format(arch=a),
+                 int(hf_cfg.moe_intermediate_size))
+        w.add_kv(f"{a}.expert_shared_count", int(getattr(hf_cfg, "n_shared_experts", 0)))
+        w.add_kv(f"{a}.expert_weights_scale",
+                 float(getattr(hf_cfg, "routed_scaling_factor", 1.0)))
+        w.add_kv(f"{a}.expert_weights_norm",
+                 bool(getattr(hf_cfg, "norm_topk_prob", False)))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32),
+                     ggml_type=out_type if np.asarray(arr).ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["model.embed_tokens.weight"])
+    put("output_norm.weight", sd["model.norm.weight"])
+    if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", False):
+        put("output.weight", sd["lm_head.weight"])
+
+    for il in range(hf_cfg.num_hidden_layers):
+        pre = f"model.layers.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[pre + "input_layernorm.weight"])
+        put(b + "ffn_norm.weight", sd[pre + "post_attention_layernorm.weight"])
+        if pre + "self_attn.q_a_proj.weight" in sd:
+            qb = sd[pre + "self_attn.q_b_proj.weight"]  # [H*qk_dim, q_rank]
+            # reorder each head to [rope|nope] and de-interleave the pe rows
+            qb = qb.reshape(n_head, qk_dim, -1)
+            qb = np.concatenate([qb[:, nope_dim:], qb[:, :nope_dim]], axis=1)
+            qb = qb.reshape(n_head * qk_dim, -1)
+            qb = _deinterleave_pe(qb, rope_dim, n_head)
+            put(b + "attn_q_a.weight", sd[pre + "self_attn.q_a_proj.weight"])
+            put(b + "attn_q_a_norm.weight", sd[pre + "self_attn.q_a_layernorm.weight"])
+            put(b + "attn_q_b.weight", qb)
+        else:
+            q = sd[pre + "self_attn.q_proj.weight"].reshape(n_head, qk_dim, -1)
+            q = np.concatenate([q[:, nope_dim:], q[:, :nope_dim]], axis=1)
+            q = q.reshape(n_head * qk_dim, -1)
+            q = _deinterleave_pe(q, rope_dim, n_head)
+            put(b + "attn_q.weight", q)
+        kva = sd[pre + "self_attn.kv_a_proj_with_mqa.weight"]  # [rank+rope, E]
+        rank = int(hf_cfg.kv_lora_rank)
+        pe = kva[rank:]
+        pe = np.concatenate([pe[0::2], pe[1::2]])  # de-interleave
+        put(b + "attn_kv_a_mqa.weight", np.concatenate([kva[:rank], pe]))
+        put(b + "attn_kv_a_norm.weight", sd[pre + "self_attn.kv_a_layernorm.weight"])
+        put(b + "attn_kv_b.weight", sd[pre + "self_attn.kv_b_proj.weight"])
+        put(b + "attn_output.weight", sd[pre + "self_attn.o_proj.weight"])
+
+        if pre + "mlp.gate.weight" in sd:  # routed MoE layer
+            put(b + "ffn_gate_inp.weight", sd[pre + "mlp.gate.weight"])
+            for hf_w, gg in (("gate_proj", "ffn_gate_exps"),
+                             ("up_proj", "ffn_up_exps"),
+                             ("down_proj", "ffn_down_exps")):
+                stack = np.stack([sd[f"{pre}mlp.experts.{e}.{hf_w}.weight"]
+                                  for e in range(n_expert)])
+                w.add_tensor(b + gg + ".weight", stack, ggml_type=GGMLType.F32)
+            put(b + "ffn_gate_shexp.weight", sd[pre + "mlp.shared_experts.gate_proj.weight"])
+            put(b + "ffn_up_shexp.weight", sd[pre + "mlp.shared_experts.up_proj.weight"])
+            put(b + "ffn_down_shexp.weight", sd[pre + "mlp.shared_experts.down_proj.weight"])
+        else:  # leading dense layer
+            put(b + "ffn_gate.weight", sd[pre + "mlp.gate_proj.weight"])
+            put(b + "ffn_up.weight", sd[pre + "mlp.up_proj.weight"])
+            put(b + "ffn_down.weight", sd[pre + "mlp.down_proj.weight"])
+
+    w.write()
+    return path

@@ -85,6 +85,11 @@ class ModelConfig:
     # rwkv6 (llama-hparams wkv_head_size / rescale_every_n_layers)
     wkv_head_size: int = 0
     rescale_every_n: int = 0
+    # deepseek2 MLA (llama-hparams n_lora_q/n_lora_kv; head layout
+    # [rope | nope] after the converter's pe de-interleave)
+    kv_lora_rank: int = 0
+    q_lora_rank: int = 0
+    qk_rope_dim: int = 0
 
     @property
     def is_recurrent(self) -> bool:
@@ -228,6 +233,22 @@ def config_from_gguf(reader) -> ModelConfig:
         )
     if arch == "stablelm":
         cfg = replace(cfg, norm_kind="ln", attn_bias=True)
+    if arch == "deepseek2":
+        rope_dim = int(_ak(reader, Keys.Rope.DIMENSION_COUNT, 64) or 64)
+        mscale_all = float(_ak(reader, "{arch}.rope.scaling.yarn_log_multiplier", 0.0) or 0.0)
+        cfg = replace(
+            cfg,
+            kv_lora_rank=int(_ak(reader, "{arch}.attention.kv_lora_rank", 512) or 512),
+            q_lora_rank=int(_ak(reader, "{arch}.attention.q_lora_rank", 0) or 0),
+            qk_rope_dim=rope_dim,
+            n_expert_used=int(_ak(reader, Keys.LLM.EXPERT_USED_COUNT, 0) or 0),
+            expert_weights_scale=float(_ak(reader, "{arch}.expert_weights_scale", 1.0) or 1.0),
+            expert_weights_norm=bool(_ak(reader, "{arch}.expert_weights_norm", False)),
+            rope=replace(rope, mode=ROPE_TYPE_NEOX, n_dims=rope_dim),
+            attn_scale=(head_dim ** -0.5),
+            # non-MLA-cache mode: K/V expand to full heads (llm_build_deepseek2)
+            n_kv_heads=n_heads,
+        )
     if arch == "rwkv6":
         cfg = replace(
             cfg,

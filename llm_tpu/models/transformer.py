@@ -240,7 +240,32 @@ def forward(
             if "attn_norm" in layer else x
         _collect(layer_acts, "attn_qkv", h)
 
-        if "attn_qkv_fused" in layer:
+        if cfg.kv_lora_rank > 0:
+            # deepseek2 MLA (llm_build_deepseek2): low-rank Q/KV projections;
+            # K/Q are laid out [rope_pe | nope] so the shared rope machinery
+            # rotates the leading qk_rope_dim dims
+            rope_d = cfg.qk_rope_dim
+            nope_d = Dk - rope_d
+            if "attn_q_a" in layer:
+                qa = rms_norm(qmm(h, layer["attn_q_a"], out_dtype=dtype),
+                              layer.get("attn_q_a_norm"), cfg.rms_eps)
+                q = qmm(qa, layer["attn_q_b"], out_dtype=dtype)
+            else:  # lite: direct q projection
+                q = qmm(h, layer["attn_q"], out_dtype=dtype)
+            q = q.reshape(T, H, Dk)
+
+            kvc_pe = qmm(h, layer["attn_kv_a_mqa"], out_dtype=dtype)
+            kvc = rms_norm(kvc_pe[:, : cfg.kv_lora_rank],
+                           layer.get("attn_kv_a_norm"), cfg.rms_eps)
+            k_pe = kvc_pe[:, cfg.kv_lora_rank:]  # [T, rope_d], 1 shared head
+            kvb = qmm(kvc, layer["attn_kv_b"], out_dtype=dtype)
+            kvb = kvb.reshape(T, H, nope_d + Dv)
+            k_nope, v = kvb[..., :nope_d], kvb[..., nope_d:]
+            k = jnp.concatenate(
+                [jnp.broadcast_to(k_pe[:, None, :], (T, H, rope_d)), k_nope],
+                axis=-1)
+            v = v.reshape(T, H, Dv)
+        elif "attn_qkv_fused" in layer:
             qkv = qmm(h, layer["attn_qkv_fused"], out_dtype=dtype)
             nq, nk = H * Dk, Hkv * Dk
             q, k, v = qkv[:, :nq], qkv[:, nq : nq + nk], qkv[:, nq + nk :]

@@ -200,3 +200,30 @@ def test_stablelm(tmp_path):
     torch.manual_seed(0)
     m = transformers.StableLmForCausalLM(cfg).eval()
     _check(m, "stablelm", tmp_path)
+
+
+def test_deepseek2(tmp_path):
+    from llm_tpu.convert.hf_llama import convert_hf_deepseek2
+
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=24,
+        qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=1.0,
+        norm_topk_prob=False, max_position_embeddings=128,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attention_bias=False, use_cache=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.DeepseekV2ForCausalLM(cfg).eval()
+    path = str(tmp_path / "ds2.gguf")
+    convert_hf_deepseek2(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
