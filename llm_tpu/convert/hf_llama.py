@@ -120,13 +120,13 @@ def convert_hf_llama(
     n_kv = getattr(hf_cfg, "num_key_value_heads", n_head)
     head_dim = getattr(hf_cfg, "head_dim", None) or hf_cfg.hidden_size // n_head
 
-    is_gemma2 = arch in ("gemma2", "gemma3")  # gemma stores (1+w) norms
+    is_gemma2 = arch in ("gemma", "gemma2", "gemma3")  # gemma stores (1+w) norms
     layer_map = _HF_LAYER_MAP
     if arch == "gemma3":
         layer_map = dict(_HF_GEMMA2_MAP)
         layer_map["self_attn.q_norm.weight"] = "attn_q_norm.weight"
         layer_map["self_attn.k_norm.weight"] = "attn_k_norm.weight"
-    elif is_gemma2:
+    elif arch == "gemma2":
         layer_map = _HF_GEMMA2_MAP
     elif arch == "phi3":
         layer_map = _HF_PHI3_MAP

@@ -32,6 +32,7 @@ _ROPE_MODE = {
     "stablelm": ROPE_TYPE_NEOX,
     "starcoder2": ROPE_TYPE_NEOX,
     "olmo2": ROPE_TYPE_NEOX,
+    "olmoe": ROPE_TYPE_NEOX,
     "mixtral": ROPE_TYPE_NORM,
     "command-r": ROPE_TYPE_NORM,
     "cohere2": ROPE_TYPE_NORM,
@@ -174,6 +175,8 @@ def config_from_gguf(reader) -> ModelConfig:
         cfg = replace(cfg, expert_weights_norm=True)
     if arch in ("qwen3", "qwen3moe"):
         cfg = replace(cfg, qk_norm=True)
+    if arch == "olmoe":
+        cfg = replace(cfg, qk_norm_full=True, expert_weights_norm=True)
     if arch in ("gemma", "gemma2", "gemma3"):
         cfg = replace(cfg, act="gelu", embedding_scale=float(n_embd) ** 0.5)
     if arch == "gemma2":

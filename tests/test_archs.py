@@ -227,3 +227,28 @@ def test_deepseek2(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([tokens])).logits[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_gemma_v1(tmp_path):
+    cfg = transformers.GemmaConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=True, hidden_activation="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(0)
+    m = transformers.GemmaForCausalLM(cfg).eval()
+    _check(m, "gemma", tmp_path)
+
+
+def test_olmoe(tmp_path):
+    cfg = transformers.OlmoeConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.OlmoeForCausalLM(cfg).eval()
+    _check(m, "olmoe", tmp_path)
