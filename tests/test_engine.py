@@ -156,3 +156,31 @@ def test_quantized_kv_cache_close_to_bf16(tiny_gguf):
     # greedy continuation works
     nxt = int(np.argmax(got))
     assert qctx.decode(Batch.one(nxt)) == 0
+
+
+def test_passkey_style_long_context(tiny_gguf):
+    """Functional analogue of examples/passkey (passkey.cpp:46-105): feed a
+    stream several times the cache size using context shifting (n_keep +
+    discard-half), then keep decoding — the cells stay bounded and logits
+    finite through every shift."""
+    path, _ = tiny_gguf
+    n_ctx = 32
+    ctx = Context(GGUFReader(path), n_cells=n_ctx, dtype=jnp.float32, n_ubatch=16)
+    n_keep = 4
+    n_past = 0
+    shifts = 0
+    for tok in range(1, 100):  # ~3x the cache size
+        if ctx.cells.n_seq_cells(0) + 1 > n_ctx - 1:
+            n_left = n_past - n_keep
+            n_discard = n_left // 2
+            ctx.seq_rm(0, n_keep, n_keep + n_discard)
+            ctx.seq_add(0, n_keep + n_discard, n_past, -n_discard)
+            n_past -= n_discard
+            shifts += 1
+        assert ctx.decode(Batch.one(tok % 90, pos=n_past)) == 0
+        n_past += 1
+    assert shifts >= 3
+    assert ctx.cells.n_seq_cells(0) <= n_ctx
+    assert np.isfinite(ctx.get_logits()).all()
+    # position metadata stays contiguous-ish: max pos == n_past - 1
+    assert ctx.cells.seq_pos_max(0) == n_past - 1
