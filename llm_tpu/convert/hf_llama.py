@@ -558,3 +558,57 @@ def convert_hf_deepseek2(model, path: str, out_type: GGMLType = GGMLType.F32,
 
     w.write()
     return path
+
+
+def convert_hf_bert(model, path: str, vocab: dict | None = None,
+                    cls_w=None, cls_b=None, cls_out_w=None, cls_out_b=None):
+    """HF BertModel -> GGUF (bert arch tensor names, llama-arch.cpp BERT)."""
+    import numpy as np
+
+    hf_cfg = model.config
+    a = "bert"
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), int(hf_cfg.max_position_embeddings))
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.hidden_size))
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.num_hidden_layers))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), int(hf_cfg.intermediate_size))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), int(hf_cfg.num_attention_heads))
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), float(hf_cfg.layer_norm_eps))
+    w.add_kv(f"{a}.attention.causal", False)
+    w.add_kv(f"{a}.pooling_type", 1)  # LLAMA_POOLING_TYPE_MEAN
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    pre = "" if "embeddings.word_embeddings.weight" in sd else "bert."
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    put("token_embd.weight", sd[pre + "embeddings.word_embeddings.weight"])
+    put("token_types.weight", sd[pre + "embeddings.token_type_embeddings.weight"])
+    put("position_embd.weight", sd[pre + "embeddings.position_embeddings.weight"])
+    put("token_embd_norm.weight", sd[pre + "embeddings.LayerNorm.weight"])
+    put("token_embd_norm.bias", sd[pre + "embeddings.LayerNorm.bias"])
+    for il in range(hf_cfg.num_hidden_layers):
+        b = f"{pre}encoder.layer.{il}."
+        g = f"blk.{il}."
+        for hf, gg in (
+            ("attention.self.query", "attn_q"), ("attention.self.key", "attn_k"),
+            ("attention.self.value", "attn_v"),
+            ("attention.output.dense", "attn_output"),
+            ("attention.output.LayerNorm", "attn_output_norm"),
+            ("intermediate.dense", "ffn_up"), ("output.dense", "ffn_down"),
+            ("output.LayerNorm", "layer_output_norm"),
+        ):
+            put(g + gg + ".weight", sd[b + hf + ".weight"])
+            put(g + gg + ".bias", sd[b + hf + ".bias"])
+    if cls_w is not None:
+        put("cls.weight", cls_w)
+        put("cls.bias", cls_b)
+        put("cls.output.weight", cls_out_w)
+        put("cls.output.bias", cls_out_b)
+    w.write()
+    return path
