@@ -178,8 +178,11 @@ def convert_hf_llama(
         w.add_kv("granite.logit_scale", float(hf_cfg.logits_scaling))
         w.add_kv(Keys.Attention.SCALE.format(arch=a),
                  float(hf_cfg.attention_multiplier))
-    if arch in ("command-r", "cohere"):
+    if arch in ("command-r", "cohere", "cohere2"):
         w.add_kv(f"{a}.logit_scale", float(getattr(hf_cfg, "logit_scale", 1.0)))
+    if arch == "cohere2":
+        w.add_kv(Keys.Attention.SLIDING_WINDOW.format(arch=a),
+                 int(getattr(hf_cfg, "sliding_window", 4096)))
 
     n_expert = int(getattr(hf_cfg, "num_local_experts", 0)
                    or getattr(hf_cfg, "num_experts", 0) or 0)

@@ -72,6 +72,7 @@ class ModelConfig:
     swa_window: int = 0
     swa_pattern: int = 0  # every Nth layer is full-attention (0 = no SWA)
     rope_swa: RopeParams | None = None  # separate rope for SWA layers (gemma3)
+    nope_global_layers: bool = False  # cohere2: global layers skip rope
     embedding_scale: float = 1.0
     logit_scale: float = 1.0
     attn_bias: bool = False  # qkv biases present (qwen2)
@@ -227,6 +228,18 @@ def config_from_gguf(reader) -> ModelConfig:
         cfg = replace(cfg, qk_norm_full=True)
     if arch == "starcoder2":
         cfg = replace(cfg, norm_kind="ln", act="gelu", attn_bias=True)
+    if arch == "cohere2":
+        # iSWA pattern 4; global (every 4th) layers have NO positional
+        # encoding (llama-model.cpp:1139-1151, build_cohere2_iswa)
+        cfg = replace(
+            cfg,
+            norm_kind="ln",
+            parallel_residual=True,
+            swa_pattern=4,
+            swa_window=int(_ak(reader, Keys.Attention.SLIDING_WINDOW, 4096) or 4096),
+            logit_scale=float(_ak(reader, "{arch}.logit_scale", 1.0) or 1.0),
+            nope_global_layers=True,
+        )
     if arch in ("command-r", "cohere"):
         cfg = replace(
             cfg,

@@ -292,9 +292,11 @@ def forward(
 
         is_swa = cfg.layer_is_swa(il)
         swa_rope = cfg.rope_swa is not None and is_swa
-        q = apply_rope(q, cos_t2 if swa_rope else cos_t,
-                       sin_t2 if swa_rope else sin_t,
-                       cfg_rope.mode, cfg_rope.n_dims)
+        nope = cfg.nope_global_layers and not is_swa  # cohere2 NoPE layers
+        if not nope:
+            q = apply_rope(q, cos_t2 if swa_rope else cos_t,
+                           sin_t2 if swa_rope else sin_t,
+                           cfg_rope.mode, cfg_rope.n_dims)
         # K enters the cache UNROPED; rotated on read with cell positions.
         k_cache = _kv_write(kv_k[il], write_idx, k)
         v_cache = _kv_write(kv_v[il], write_idx, v)
@@ -303,15 +305,23 @@ def forward(
 
         layer_bias = bias_swa if (bias_swa is not None and is_swa) else bias
         if use_flash:
-            att = flash_decode(
-                q, rope_companion(q, cfg_rope.mode), k_cache, v_cache,
-                cos_cf2 if swa_rope else cos_cf,
-                sin_cf2 if swa_rope else sin_cf,
-                layer_bias, scale, softcap=cfg.attn_softcap,
-            )
+            if nope:
+                c_id = jnp.ones_like(cos_cf)
+                s_id = jnp.zeros_like(sin_cf)
+                att = flash_decode(q, jnp.zeros_like(q), k_cache, v_cache,
+                                   c_id, s_id, layer_bias, scale,
+                                   softcap=cfg.attn_softcap)
+            else:
+                att = flash_decode(
+                    q, rope_companion(q, cfg_rope.mode), k_cache, v_cache,
+                    cos_cf2 if swa_rope else cos_cf,
+                    sin_cf2 if swa_rope else sin_cf,
+                    layer_bias, scale, softcap=cfg.attn_softcap,
+                )
         else:
-            k_all = apply_rope(
-                _kv_read(k_cache, dtype),
+            k_raw = _kv_read(k_cache, dtype)
+            k_all = k_raw if nope else apply_rope(
+                k_raw,
                 cos_c2 if swa_rope else cos_c,
                 sin_c2 if swa_rope else sin_c,
                 cfg_rope.mode, cfg_rope.n_dims,

@@ -252,3 +252,18 @@ def test_olmoe(tmp_path):
     torch.manual_seed(0)
     m = transformers.OlmoeForCausalLM(cfg).eval()
     _check(m, "olmoe", tmp_path)
+
+
+def test_cohere2(tmp_path):
+    cfg = transformers.Cohere2Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=5, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        sliding_window=6, sliding_window_pattern=4, logit_scale=0.25,
+        tie_word_embeddings=True, layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(0)
+    m = transformers.Cohere2ForCausalLM(cfg).eval()
+    # 5 layers @ pattern 4 covers NoPE-global and roped-SWA layers;
+    # T > window exercises the sliding mask
+    _check(m, "cohere2", tmp_path, T=10)
