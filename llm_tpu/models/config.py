@@ -76,6 +76,7 @@ class ModelConfig:
     embedding_scale: float = 1.0
     logit_scale: float = 1.0
     attn_bias: bool = False  # qkv biases present (qwen2)
+    alibi_max_bias: float = 0.0  # ALiBi slopes (mpt; ggml soft_max_ext max_bias)
     context_length: int = 0
     # state-space models (mamba family; llama-hparams.h ssm_* fields)
     ssm_d_conv: int = 0
@@ -226,6 +227,20 @@ def config_from_gguf(reader) -> ModelConfig:
     if arch == "olmo2":
         # post-norm block: no input norms, RMS over the full q/k vectors
         cfg = replace(cfg, qk_norm_full=True)
+    if arch == "gpt2":
+        from ..ops.rope import ROPE_TYPE_NONE
+
+        cfg = replace(cfg, norm_kind="ln", act="gelu",
+                      rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0))
+    if arch == "mpt":
+        from ..ops.rope import ROPE_TYPE_NONE
+
+        cfg = replace(
+            cfg, norm_kind="ln", act="gelu",
+            rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0),
+            alibi_max_bias=float(
+                _ak(reader, "{arch}.attention.max_alibi_bias", 8.0) or 8.0),
+        )
     if arch == "starcoder2":
         cfg = replace(cfg, norm_kind="ln", act="gelu", attn_bias=True)
     if arch == "cohere2":

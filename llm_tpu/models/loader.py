@@ -90,8 +90,8 @@ def load_params(
             if il >= cfg.n_layers:
                 continue
             key = base if kind == "weight" else base + "_b"
-            if kind == "weight" and base == "attn_qkv":
-                key = "attn_qkv_fused"
+            if base == "attn_qkv":
+                key = "attn_qkv_fused" if kind == "weight" else "attn_qkv_fused_b"
             elif kind == "weight" and base == "ffn_up" and cfg.arch in ("phi3", "phimoe"):
                 key = "ffn_gateup_fused"  # GGUF phi3 packs [gate; up]
             if base.startswith(("time_mix_", "channel_mix_")):
@@ -143,6 +143,8 @@ def load_params(
             params["tok_norm"] = _to_dense(reader, name, jnp.float32)
         elif name == "token_embd_norm.bias":
             params["tok_norm_b"] = _to_dense(reader, name, jnp.float32)
+        elif name == "position_embd.weight":
+            params["pos_embd"] = _to_dense(reader, name, jnp.float32)
         elif name == "rope_freqs.weight":
             params["rope_freqs"] = np.asarray(
                 dequantize_tensor(reader.data(name), ti.ggml_type, ti.shape), np.float32

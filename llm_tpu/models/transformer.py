@@ -94,15 +94,17 @@ def _ffn(h, layer, cfg: ModelConfig, collect=None):
         cur = (act(g) * up).astype(h.dtype)
     else:
         gate = layer.get("ffn_gate")
-        up = _proj(h, layer, "ffn_up", h.dtype)
+        up = _maybe_add(_proj(h, layer, "ffn_up", h.dtype), layer.get("ffn_up_b"))
         if gate is not None:
-            g = act(_proj(h, layer, "ffn_gate"))
+            g = act(_maybe_add(_proj(h, layer, "ffn_gate"),
+                               layer.get("ffn_gate_b")))
             cur = (g * up.astype(jnp.float32)).astype(h.dtype)
         else:
             cur = act(up.astype(jnp.float32)).astype(h.dtype)
     if collect is not None:
         collect("ffn_down", cur)
-    return _proj(cur, layer, "ffn_down", h.dtype)
+    return _maybe_add(_proj(cur, layer, "ffn_down", h.dtype),
+                      layer.get("ffn_down_b"))
 
 
 def _moe_ffn(h, layer, cfg: ModelConfig):
@@ -191,6 +193,8 @@ def forward(
         x = qembed(params["tok_embd"], tokens, dtype=dtype)
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(dtype)
+    if "pos_embd" in params:  # learned absolute positions (gpt2-style)
+        x = x + jnp.take(params["pos_embd"], tok_pos, axis=0).astype(dtype)
 
     cos_t, sin_t = rope_angles(tok_pos, cfg_rope, ff)
     cos_c, sin_c = rope_angles(cell_pos, cfg_rope, ff)
@@ -208,10 +212,23 @@ def forward(
     H, Hkv, Dk, Dv = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.head_dim_v
     T = tokens.shape[0]
 
+    alibi = None
+    if cfg.alibi_max_bias > 0.0:
+        # ggml soft_max_ext max_bias slope schedule (ggml-cpu ops soft_max)
+        import math
+
+        n2 = 2 ** math.floor(math.log2(H))
+        m0 = 2.0 ** (-cfg.alibi_max_bias / n2)
+        m1 = 2.0 ** (-cfg.alibi_max_bias / 2.0 / n2)
+        slopes = [m0 ** (h + 1) if h < n2 else m1 ** (2 * (h - n2) + 1)
+                  for h in range(H)]
+        alibi = jnp.asarray(slopes, jnp.float32)
+
     # fused decode-attention path (ops/pallas_attn.py): small T, full
     # rotation, dense bf16/f32 cache
     use_flash = (
         jax.default_backend() == "tpu"
+        and cfg.alibi_max_bias == 0.0
         and T <= 8
         and cfg_rope.n_dims == Dk == Dv
         and Dk % 128 == 0
@@ -240,7 +257,13 @@ def forward(
             if "attn_norm" in layer else x
         _collect(layer_acts, "attn_qkv", h)
 
-        if cfg.kv_lora_rank > 0:
+        if "attn_qkv_fused" in layer and "attn_qkv_fused_b" in layer:
+            # gpt2/bloom-style fused qkv with a fused bias
+            qkv = qmm(h, layer["attn_qkv_fused"], out_dtype=dtype)
+            qkv = qkv + layer["attn_qkv_fused_b"].astype(qkv.dtype)
+            nq, nk = H * Dk, Hkv * Dk
+            q, k, v = qkv[:, :nq], qkv[:, nq : nq + nk], qkv[:, nq + nk :]
+        elif cfg.kv_lora_rank > 0:
             # deepseek2 MLA (llm_build_deepseek2): low-rank Q/KV projections;
             # K/Q are laid out [rope_pe | nope] so the shared rope machinery
             # rotates the leading qk_rope_dim dims
@@ -328,7 +351,8 @@ def forward(
             )
             att = attention(
                 q, k_all, _kv_read(v_cache, dtype), layer_bias, scale,
-                softcap=cfg.attn_softcap,
+                softcap=cfg.attn_softcap, alibi_slopes=alibi,
+                cell_pos=cell_pos, tok_pos=tok_pos,
             )
         att = att.reshape(T, H * Dv)
         _collect(layer_acts, "attn_output", att)
@@ -382,7 +406,7 @@ def forward(
         if collect_hidden:
             hiddens.append(jnp.take(x, out_idx, axis=0).astype(jnp.float32))
 
-    x = _norm(x, params.get("output_norm"), cfg)
+    x = _norm(x, params.get("output_norm"), cfg, params.get("output_norm_b"))
     hs = jnp.take(x, out_idx, axis=0)
     out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
     logits = qmm(hs, out_w)  # f32

@@ -129,6 +129,10 @@ def test_starcoder2(tmp_path):
     )
     torch.manual_seed(0)
     m = transformers.Starcoder2ForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for n, prm in m.named_parameters():
+            if n.endswith(".bias"):
+                prm.normal_(0, 0.05)
     _check(m, "starcoder2", tmp_path)
 
 
@@ -267,3 +271,48 @@ def test_cohere2(tmp_path):
     # 5 layers @ pattern 4 covers NoPE-global and roped-SWA layers;
     # T > window exercises the sliding mask
     _check(m, "cohere2", tmp_path, T=10)
+
+
+def test_gpt2(tmp_path):
+    from llm_tpu.convert.hf_llama import convert_hf_gpt2
+
+    cfg = transformers.GPT2Config(
+        vocab_size=97, n_positions=128, n_embd=64, n_layer=2, n_head=4,
+        activation_function="gelu_new",
+    )
+    torch.manual_seed(0)
+    m = transformers.GPT2LMHeadModel(cfg).eval()
+    with torch.no_grad():  # HF zero-inits biases; randomize to verify them
+        for n, prm in m.named_parameters():
+            if n.endswith(".bias"):
+                prm.normal_(0, 0.05)
+    path = str(tmp_path / "gpt2.gguf")
+    convert_hf_gpt2(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_mpt_alibi(tmp_path):
+    from llm_tpu.convert.hf_llama import convert_hf_mpt
+
+    cfg = transformers.MptConfig(
+        vocab_size=97, d_model=64, n_heads=4, n_layers=2,
+        expansion_ratio=2, max_seq_len=128,
+        attn_config=transformers.models.mpt.configuration_mpt.MptAttentionConfig(
+            alibi=True, alibi_bias_max=8),
+        no_bias=True,
+    )
+    torch.manual_seed(0)
+    m = transformers.MptForCausalLM(cfg).eval()
+    path = str(tmp_path / "mpt.gguf")
+    convert_hf_mpt(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
