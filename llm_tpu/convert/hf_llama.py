@@ -708,3 +708,58 @@ def convert_hf_mpt(model, path: str, vocab: dict | None = None):
         put(g + "ffn_down.weight", sd[b + "ffn.down_proj.weight"])
     w.write()
     return path
+
+
+def convert_hf_phi2(model, path: str, vocab: dict | None = None):
+    """HF PhiForCausalLM (phi-2) -> GGUF: parallel residual, partial rotary,
+    LN + biases everywhere, lm_head with bias folded? (phi2 lm_head has bias
+    — stored as output.bias)."""
+    import numpy as np
+
+    hf_cfg = model.config
+    a = "phi2"
+    n_head = int(hf_cfg.num_attention_heads)
+    head_dim = hf_cfg.hidden_size // n_head
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), int(hf_cfg.max_position_embeddings))
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.hidden_size))
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.num_hidden_layers))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), int(hf_cfg.intermediate_size))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), n_head)
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a),
+             int(getattr(hf_cfg, "num_key_value_heads", n_head)))
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a),
+             float(hf_cfg.layer_norm_eps))
+    w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(hf_cfg.rope_theta))
+    w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a),
+             int(head_dim * float(getattr(hf_cfg, "partial_rotary_factor", 0.4))))
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    put("token_embd.weight", sd["model.embed_tokens.weight"])
+    put("output_norm.weight", sd["model.final_layernorm.weight"])
+    put("output_norm.bias", sd["model.final_layernorm.bias"])
+    put("output.weight", sd["lm_head.weight"])
+    if "lm_head.bias" in sd:
+        put("output.bias", sd["lm_head.bias"])
+    for il in range(hf_cfg.num_hidden_layers):
+        b = f"model.layers.{il}."
+        g = f"blk.{il}."
+        put(g + "attn_norm.weight", sd[b + "input_layernorm.weight"])
+        put(g + "attn_norm.bias", sd[b + "input_layernorm.bias"])
+        for hf, gg in (("self_attn.q_proj", "attn_q"),
+                       ("self_attn.k_proj", "attn_k"),
+                       ("self_attn.v_proj", "attn_v"),
+                       ("self_attn.dense", "attn_output"),
+                       ("mlp.fc1", "ffn_up"), ("mlp.fc2", "ffn_down")):
+            put(g + gg + ".weight", sd[b + hf + ".weight"])
+            put(g + gg + ".bias", sd[b + hf + ".bias"])
+    w.write()
+    return path

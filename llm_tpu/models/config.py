@@ -35,6 +35,7 @@ _ROPE_MODE = {
     "olmoe": ROPE_TYPE_NEOX,
     "mixtral": ROPE_TYPE_NORM,
     "command-r": ROPE_TYPE_NORM,
+    "phi2": ROPE_TYPE_NEOX,
     "cohere2": ROPE_TYPE_NORM,
 }
 
@@ -262,6 +263,9 @@ def config_from_gguf(reader) -> ModelConfig:
             parallel_residual=True,
             logit_scale=float(_ak(reader, "{arch}.logit_scale", 1.0) or 1.0),
         )
+    if arch == "phi2":
+        cfg = replace(cfg, norm_kind="ln", act="gelu", parallel_residual=True,
+                      attn_bias=True)
     if arch == "stablelm":
         cfg = replace(cfg, norm_kind="ln", attn_bias=True)
     if arch == "deepseek2":

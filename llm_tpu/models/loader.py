@@ -135,6 +135,8 @@ def load_params(
                 reader, name, dense_dtype, use_planes, kmajor=False)
         elif name == "output.weight":
             params["output"] = _load_matrix(reader, name, dense_dtype, use_planes)
+        elif name == "output.bias":
+            params["output_b"] = _to_dense(reader, name, jnp.float32)
         elif name == "output_norm.weight":
             params["output_norm"] = _to_dense(reader, name, jnp.float32)
         elif name == "output_norm.bias":

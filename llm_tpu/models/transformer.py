@@ -410,6 +410,8 @@ def forward(
     hs = jnp.take(x, out_idx, axis=0)
     out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
     logits = qmm(hs, out_w)  # f32
+    if "output_b" in params:
+        logits = logits + params["output_b"]
     if "output.lora" in params:
         a, b, s = params["output.lora"]
         logits = logits + s * qmm(qmm(hs, a), b)

@@ -316,3 +316,29 @@ def test_mpt_alibi(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([tokens])).logits[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_phi2(tmp_path):
+    cfg = transformers.PhiConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        partial_rotary_factor=0.5, max_position_embeddings=128,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        hidden_act="gelu_new", layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(0)
+    m = transformers.PhiForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for n, prm in m.named_parameters():
+            if n.endswith(".bias"):
+                prm.normal_(0, 0.05)
+    from llm_tpu.convert.hf_llama import convert_hf_phi2
+
+    path = str(tmp_path / "phi2.gguf")
+    convert_hf_phi2(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
