@@ -763,3 +763,55 @@ def convert_hf_phi2(model, path: str, vocab: dict | None = None):
             put(g + gg + ".bias", sd[b + hf + ".bias"])
     w.write()
     return path
+
+
+def convert_hf_falcon(model, path: str, vocab: dict | None = None):
+    """HF FalconForCausalLM (7B-style: multi_query, parallel_attn,
+    new_decoder_architecture=False) -> GGUF falcon arch."""
+    import numpy as np
+
+    hf_cfg = model.config
+    assert not getattr(hf_cfg, "new_decoder_architecture", False), \
+        "only the falcon-7b decoder layout is supported"
+    a = "falcon"
+    n_head = int(hf_cfg.num_attention_heads)
+    n_kv = 1 if hf_cfg.multi_query else n_head
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), 2048)
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.hidden_size))
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.num_hidden_layers))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), 4 * int(hf_cfg.hidden_size))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), n_head)
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), n_kv)
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a),
+             float(hf_cfg.layer_norm_epsilon))
+    w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(getattr(hf_cfg, "rope_theta", 10000.0)))
+    w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a),
+             int(hf_cfg.hidden_size // n_head))
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    pre = "transformer." if "transformer.word_embeddings.weight" in sd else ""
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    put("token_embd.weight", sd[pre + "word_embeddings.weight"])
+    put("output_norm.weight", sd[pre + "ln_f.weight"])
+    put("output_norm.bias", sd[pre + "ln_f.bias"])
+    if "lm_head.weight" in sd:
+        put("output.weight", sd["lm_head.weight"])
+    for il in range(hf_cfg.num_hidden_layers):
+        b = f"{pre}h.{il}."
+        g = f"blk.{il}."
+        put(g + "attn_norm.weight", sd[b + "input_layernorm.weight"])
+        put(g + "attn_norm.bias", sd[b + "input_layernorm.bias"])
+        put(g + "attn_qkv.weight", sd[b + "self_attention.query_key_value.weight"])
+        put(g + "attn_output.weight", sd[b + "self_attention.dense.weight"])
+        put(g + "ffn_up.weight", sd[b + "mlp.dense_h_to_4h.weight"])
+        put(g + "ffn_down.weight", sd[b + "mlp.dense_4h_to_h.weight"])
+    w.write()
+    return path

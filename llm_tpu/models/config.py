@@ -263,6 +263,8 @@ def config_from_gguf(reader) -> ModelConfig:
             parallel_residual=True,
             logit_scale=float(_ak(reader, "{arch}.logit_scale", 1.0) or 1.0),
         )
+    if arch == "falcon":
+        cfg = replace(cfg, norm_kind="ln", act="gelu", parallel_residual=True)
     if arch == "phi2":
         cfg = replace(cfg, norm_kind="ln", act="gelu", parallel_residual=True,
                       attn_bias=True)

@@ -342,3 +342,24 @@ def test_phi2(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([tokens])).logits[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_falcon(tmp_path):
+    from llm_tpu.convert.hf_llama import convert_hf_falcon
+
+    cfg = transformers.FalconConfig(
+        vocab_size=97, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False,
+        rope_theta=10000.0, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.FalconForCausalLM(cfg).eval()
+    path = str(tmp_path / "falcon.gguf")
+    convert_hf_falcon(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
