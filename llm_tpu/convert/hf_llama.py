@@ -815,3 +815,66 @@ def convert_hf_falcon(model, path: str, vocab: dict | None = None):
         put(g + "ffn_down.weight", sd[b + "mlp.dense_4h_to_h.weight"])
     w.write()
     return path
+
+
+def convert_hf_bloom(model, path: str, vocab: dict | None = None):
+    """HF BloomForCausalLM -> GGUF (bloom arch): ALiBi, embedding LN,
+    fused QKV de-interleaved from HF's [H, 3, D] row layout."""
+    import numpy as np
+
+    hf_cfg = model.config
+    a = "bloom"
+    H = int(hf_cfg.n_head)
+    E = int(hf_cfg.hidden_size)
+    D = E // H
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), 2048)
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), E)
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.n_layer))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), 4 * E)
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), H)
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a),
+             float(hf_cfg.layer_norm_epsilon))
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    pre = "transformer." if "transformer.word_embeddings.weight" in sd else ""
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    def split_qkv(wm):
+        # rows [H, 3, D, ...] -> [q(H*D); k(H*D); v(H*D)]
+        x = wm.reshape(H, 3, D, *wm.shape[1:])
+        return np.concatenate([x[:, 0], x[:, 1], x[:, 2]]).reshape(
+            3 * H * D, *wm.shape[1:])
+
+    put("token_embd.weight", sd[pre + "word_embeddings.weight"])
+    put("token_embd_norm.weight", sd[pre + "word_embeddings_layernorm.weight"])
+    put("token_embd_norm.bias", sd[pre + "word_embeddings_layernorm.bias"])
+    put("output_norm.weight", sd[pre + "ln_f.weight"])
+    put("output_norm.bias", sd[pre + "ln_f.bias"])
+    if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", True):
+        put("output.weight", sd["lm_head.weight"])
+    for il in range(hf_cfg.n_layer):
+        b = f"{pre}h.{il}."
+        g = f"blk.{il}."
+        put(g + "attn_norm.weight", sd[b + "input_layernorm.weight"])
+        put(g + "attn_norm.bias", sd[b + "input_layernorm.bias"])
+        put(g + "attn_qkv.weight",
+            split_qkv(sd[b + "self_attention.query_key_value.weight"]))
+        put(g + "attn_qkv.bias",
+            split_qkv(sd[b + "self_attention.query_key_value.bias"]))
+        put(g + "attn_output.weight", sd[b + "self_attention.dense.weight"])
+        put(g + "attn_output.bias", sd[b + "self_attention.dense.bias"])
+        put(g + "ffn_norm.weight", sd[b + "post_attention_layernorm.weight"])
+        put(g + "ffn_norm.bias", sd[b + "post_attention_layernorm.bias"])
+        put(g + "ffn_up.weight", sd[b + "mlp.dense_h_to_4h.weight"])
+        put(g + "ffn_up.bias", sd[b + "mlp.dense_h_to_4h.bias"])
+        put(g + "ffn_down.weight", sd[b + "mlp.dense_4h_to_h.weight"])
+        put(g + "ffn_down.bias", sd[b + "mlp.dense_4h_to_h.bias"])
+    w.write()
+    return path

@@ -233,6 +233,14 @@ def config_from_gguf(reader) -> ModelConfig:
 
         cfg = replace(cfg, norm_kind="ln", act="gelu",
                       rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0))
+    if arch == "bloom":
+        from ..ops.rope import ROPE_TYPE_NONE
+
+        cfg = replace(
+            cfg, norm_kind="ln", act="gelu",
+            rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0),
+            alibi_max_bias=8.0,
+        )
     if arch == "mpt":
         from ..ops.rope import ROPE_TYPE_NONE
 

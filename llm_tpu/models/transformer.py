@@ -195,6 +195,8 @@ def forward(
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(dtype)
     if "pos_embd" in params:  # learned absolute positions (gpt2-style)
         x = x + jnp.take(params["pos_embd"], tok_pos, axis=0).astype(dtype)
+    if "tok_norm" in params:  # embedding layer norm (bloom-style)
+        x = _norm(x, params["tok_norm"], cfg, params.get("tok_norm_b"))
 
     cos_t, sin_t = rope_angles(tok_pos, cfg_rope, ff)
     cos_c, sin_c = rope_angles(cell_pos, cfg_rope, ff)

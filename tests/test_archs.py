@@ -363,3 +363,26 @@ def test_falcon(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([tokens])).logits[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_bloom(tmp_path):
+    from llm_tpu.convert.hf_llama import convert_hf_bloom
+
+    cfg = transformers.BloomConfig(
+        vocab_size=97, hidden_size=64, n_head=4, n_layer=2,
+        layer_norm_epsilon=1e-5, tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    m = transformers.BloomForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for n, prm in m.named_parameters():
+            if n.endswith(".bias"):
+                prm.normal_(0, 0.05)
+    path = str(tmp_path / "bloom.gguf")
+    convert_hf_bloom(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
