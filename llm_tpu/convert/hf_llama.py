@@ -878,3 +878,116 @@ def convert_hf_bloom(model, path: str, vocab: dict | None = None):
         put(g + "ffn_down.bias", sd[b + "mlp.dense_4h_to_h.bias"])
     w.write()
     return path
+
+
+def convert_hf_gptneox(model, path: str, vocab: dict | None = None):
+    """HF GPTNeoXForCausalLM -> GGUF (gptneox arch): partial rotary,
+    parallel residual, fused QKV de-interleaved from [H, 3, D] rows."""
+    import numpy as np
+
+    hf_cfg = model.config
+    a = "gptneox"
+    H = int(hf_cfg.num_attention_heads)
+    E = int(hf_cfg.hidden_size)
+    D = E // H
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), int(hf_cfg.max_position_embeddings))
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), E)
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.num_hidden_layers))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), int(hf_cfg.intermediate_size))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), H)
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a),
+             float(hf_cfg.layer_norm_eps))
+    w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(getattr(hf_cfg, "rope_theta", 10000.0)))
+    w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a),
+             int(D * float(getattr(hf_cfg, "rotary_pct", 0.25))))
+    w.add_kv(f"{a}.use_parallel_residual",
+             bool(getattr(hf_cfg, "use_parallel_residual", True)))
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    pre = "gpt_neox." if "gpt_neox.embed_in.weight" in sd else ""
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    def split_qkv(wm):
+        x = wm.reshape(H, 3, D, *wm.shape[1:])
+        return np.concatenate([x[:, 0], x[:, 1], x[:, 2]]).reshape(
+            3 * H * D, *wm.shape[1:])
+
+    put("token_embd.weight", sd[pre + "embed_in.weight"])
+    put("output_norm.weight", sd[pre + "final_layer_norm.weight"])
+    put("output_norm.bias", sd[pre + "final_layer_norm.bias"])
+    put("output.weight", sd["embed_out.weight"])
+    for il in range(hf_cfg.num_hidden_layers):
+        b = f"{pre}layers.{il}."
+        g = f"blk.{il}."
+        put(g + "attn_norm.weight", sd[b + "input_layernorm.weight"])
+        put(g + "attn_norm.bias", sd[b + "input_layernorm.bias"])
+        put(g + "ffn_norm.weight", sd[b + "post_attention_layernorm.weight"])
+        put(g + "ffn_norm.bias", sd[b + "post_attention_layernorm.bias"])
+        put(g + "attn_qkv.weight", split_qkv(sd[b + "attention.query_key_value.weight"]))
+        put(g + "attn_qkv.bias", split_qkv(sd[b + "attention.query_key_value.bias"]))
+        put(g + "attn_output.weight", sd[b + "attention.dense.weight"])
+        put(g + "attn_output.bias", sd[b + "attention.dense.bias"])
+        put(g + "ffn_up.weight", sd[b + "mlp.dense_h_to_4h.weight"])
+        put(g + "ffn_up.bias", sd[b + "mlp.dense_h_to_4h.bias"])
+        put(g + "ffn_down.weight", sd[b + "mlp.dense_4h_to_h.weight"])
+        put(g + "ffn_down.bias", sd[b + "mlp.dense_4h_to_h.bias"])
+    w.write()
+    return path
+
+
+def convert_hf_gptj(model, path: str, vocab: dict | None = None):
+    """HF GPTJForCausalLM -> GGUF (gptj arch): interleaved partial rotary,
+    shared-norm parallel residual, biased lm_head."""
+    import numpy as np
+
+    hf_cfg = model.config
+    a = "gptj"
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), int(hf_cfg.n_positions))
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.n_embd))
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.n_layer))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a),
+             int(getattr(hf_cfg, "n_inner", None) or 4 * hf_cfg.n_embd))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), int(hf_cfg.n_head))
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a),
+             float(hf_cfg.layer_norm_epsilon))
+    w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), int(hf_cfg.rotary_dim))
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    pre = "transformer." if "transformer.wte.weight" in sd else ""
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    put("token_embd.weight", sd[pre + "wte.weight"])
+    put("output_norm.weight", sd[pre + "ln_f.weight"])
+    put("output_norm.bias", sd[pre + "ln_f.bias"])
+    put("output.weight", sd["lm_head.weight"])
+    if "lm_head.bias" in sd:
+        put("output.bias", sd["lm_head.bias"])
+    for il in range(hf_cfg.n_layer):
+        b = f"{pre}h.{il}."
+        g = f"blk.{il}."
+        put(g + "attn_norm.weight", sd[b + "ln_1.weight"])
+        put(g + "attn_norm.bias", sd[b + "ln_1.bias"])
+        put(g + "attn_q.weight", sd[b + "attn.q_proj.weight"])
+        put(g + "attn_k.weight", sd[b + "attn.k_proj.weight"])
+        put(g + "attn_v.weight", sd[b + "attn.v_proj.weight"])
+        put(g + "attn_output.weight", sd[b + "attn.out_proj.weight"])
+        put(g + "ffn_up.weight", sd[b + "mlp.fc_in.weight"])
+        put(g + "ffn_up.bias", sd[b + "mlp.fc_in.bias"])
+        put(g + "ffn_down.weight", sd[b + "mlp.fc_out.weight"])
+        put(g + "ffn_down.bias", sd[b + "mlp.fc_out.bias"])
+    w.write()
+    return path

@@ -36,6 +36,8 @@ _ROPE_MODE = {
     "mixtral": ROPE_TYPE_NORM,
     "command-r": ROPE_TYPE_NORM,
     "phi2": ROPE_TYPE_NEOX,
+    "gptneox": ROPE_TYPE_NEOX,
+    "gptj": ROPE_TYPE_NORM,
     "cohere2": ROPE_TYPE_NORM,
 }
 
@@ -233,6 +235,13 @@ def config_from_gguf(reader) -> ModelConfig:
 
         cfg = replace(cfg, norm_kind="ln", act="gelu",
                       rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0))
+    if arch == "gptj":
+        cfg = replace(cfg, norm_kind="ln", act="gelu", parallel_residual=True)
+    if arch == "gptneox":
+        # use_parallel_residual is the common case (pythia); the converter
+        # records the flag
+        par = bool(_ak(reader, "{arch}.use_parallel_residual", True))
+        cfg = replace(cfg, norm_kind="ln", act="gelu", parallel_residual=par)
     if arch == "bloom":
         from ..ops.rope import ROPE_TYPE_NONE
 

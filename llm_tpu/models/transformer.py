@@ -365,8 +365,10 @@ def forward(
         if cfg.residual_scale != 1.0:
             attn_out = attn_out * cfg.residual_scale
         if cfg.parallel_residual:
-            # command-r: ffn reads the SAME normed input; one residual add
-            ffn_in = h
+            # parallel block: command-r shares the attn norm; gptneox/phi2
+            # style uses its own ffn_norm when the tensor exists
+            ffn_in = _norm(x, layer["ffn_norm"], cfg, layer.get("ffn_norm_b")) \
+                if "ffn_norm" in layer else h
         else:
             x = x + attn_out
             ffn_in = _norm(x, layer["ffn_norm"], cfg, layer.get("ffn_norm_b")) \

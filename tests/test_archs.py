@@ -386,3 +386,53 @@ def test_bloom(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([tokens])).logits[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_gptneox(tmp_path):
+    from llm_tpu.convert.hf_llama import convert_hf_gptneox
+
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.5,
+        max_position_embeddings=128, rope_theta=10000.0,
+        use_parallel_residual=True, layer_norm_eps=1e-5,
+        tie_word_embeddings=False, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    m = transformers.GPTNeoXForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for n, prm in m.named_parameters():
+            if n.endswith(".bias"):
+                prm.normal_(0, 0.05)
+    path = str(tmp_path / "neox.gguf")
+    convert_hf_gptneox(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_gptj(tmp_path):
+    from llm_tpu.convert.hf_llama import convert_hf_gptj
+
+    cfg = transformers.GPTJConfig(
+        vocab_size=97, n_positions=128, n_embd=64, n_layer=2, n_head=4,
+        rotary_dim=8, activation_function="gelu_new",
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.GPTJForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for n, prm in m.named_parameters():
+            if n.endswith(".bias"):
+                prm.normal_(0, 0.05)
+    path = str(tmp_path / "gptj.gguf")
+    convert_hf_gptj(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
