@@ -991,3 +991,55 @@ def convert_hf_gptj(model, path: str, vocab: dict | None = None):
         put(g + "ffn_down.bias", sd[b + "mlp.fc_out.bias"])
     w.write()
     return path
+
+
+def convert_hf_starcoder(model, path: str, vocab: dict | None = None):
+    """HF GPTBigCodeForCausalLM -> GGUF (starcoder arch): multi-query
+    attention with fused [q | k | v] rows, learned positions, LN+biases."""
+    import numpy as np
+
+    hf_cfg = model.config
+    a = "starcoder"
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), int(hf_cfg.n_positions))
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.n_embd))
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.n_layer))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a),
+             int(getattr(hf_cfg, "n_inner", None) or 4 * hf_cfg.n_embd))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), int(hf_cfg.n_head))
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a),
+             1 if hf_cfg.multi_query else int(hf_cfg.n_head))
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a),
+             float(hf_cfg.layer_norm_epsilon))
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    pre = "transformer." if "transformer.wte.weight" in sd else ""
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    put("token_embd.weight", sd[pre + "wte.weight"])
+    put("position_embd.weight", sd[pre + "wpe.weight"])
+    put("output_norm.weight", sd[pre + "ln_f.weight"])
+    put("output_norm.bias", sd[pre + "ln_f.bias"])
+    for il in range(hf_cfg.n_layer):
+        b = f"{pre}h.{il}."
+        g = f"blk.{il}."
+        put(g + "attn_norm.weight", sd[b + "ln_1.weight"])
+        put(g + "attn_norm.bias", sd[b + "ln_1.bias"])
+        put(g + "attn_qkv.weight", sd[b + "attn.c_attn.weight"])
+        put(g + "attn_qkv.bias", sd[b + "attn.c_attn.bias"])
+        put(g + "attn_output.weight", sd[b + "attn.c_proj.weight"])
+        put(g + "attn_output.bias", sd[b + "attn.c_proj.bias"])
+        put(g + "ffn_norm.weight", sd[b + "ln_2.weight"])
+        put(g + "ffn_norm.bias", sd[b + "ln_2.bias"])
+        put(g + "ffn_up.weight", sd[b + "mlp.c_fc.weight"])
+        put(g + "ffn_up.bias", sd[b + "mlp.c_fc.bias"])
+        put(g + "ffn_down.weight", sd[b + "mlp.c_proj.weight"])
+        put(g + "ffn_down.bias", sd[b + "mlp.c_proj.bias"])
+    w.write()
+    return path

@@ -230,6 +230,11 @@ def config_from_gguf(reader) -> ModelConfig:
     if arch == "olmo2":
         # post-norm block: no input norms, RMS over the full q/k vectors
         cfg = replace(cfg, qk_norm_full=True)
+    if arch == "starcoder":
+        from ..ops.rope import ROPE_TYPE_NONE
+
+        cfg = replace(cfg, norm_kind="ln", act="gelu",
+                      rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0))
     if arch == "gpt2":
         from ..ops.rope import ROPE_TYPE_NONE
 

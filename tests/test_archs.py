@@ -436,3 +436,26 @@ def test_gptj(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([tokens])).logits[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_starcoder_bigcode(tmp_path):
+    from llm_tpu.convert.hf_llama import convert_hf_starcoder
+
+    cfg = transformers.GPTBigCodeConfig(
+        vocab_size=97, n_positions=128, n_embd=64, n_layer=2, n_head=4,
+        multi_query=True, activation_function="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(0)
+    m = transformers.GPTBigCodeForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for n, prm in m.named_parameters():
+            if n.endswith(".bias"):
+                prm.normal_(0, 0.05)
+    path = str(tmp_path / "starcoder.gguf")
+    convert_hf_starcoder(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
