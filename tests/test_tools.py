@@ -139,7 +139,7 @@ def test_cli_main_subprocess(tiny_f32):
     out = subprocess.run(
         [sys.executable, "-m", "llm_tpu.tools.cli", "-m", tiny_f32,
          "-p", "hi", "-n", "4", "--temp", "0", "--f32", "-c", "64"],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1200,
         cwd="/root/repo",
     )
     assert out.returncode == 0, out.stderr[-2000:]
