@@ -226,12 +226,12 @@ def forward(
                   for h in range(H)]
         alibi = jnp.asarray(slopes, jnp.float32)
 
-    # fused decode-attention path (ops/pallas_attn.py): small T, full
-    # rotation, dense bf16/f32 cache
+    # fused attention path (ops/pallas_attn.py): flash_decode for small T,
+    # flash_prefill (T-tiled) for prompt processing; full rotation,
+    # dense bf16/f32 or per-head-scale q8 cache
     use_flash = (
         jax.default_backend() == "tpu"
         and cfg.alibi_max_bias == 0.0
-        and T <= 8
         and cfg_rope.n_dims == Dk == Dv
         and Dk % 128 == 0
         and cfg_rope.mode in (0, 2)
@@ -241,7 +241,10 @@ def forward(
         )
     )
     if use_flash:
-        from ..ops.pallas_attn import expand_tables, flash_decode, rope_companion
+        from ..ops.pallas_attn import (expand_tables, flash_decode,
+                                       flash_prefill, rope_companion)
+
+        fattn = flash_decode if T <= 8 else flash_prefill
 
         cos_cf, sin_cf = expand_tables(cos_c, sin_c, cfg_rope.mode, Dk)
         cos_cf = cos_cf.astype(dtype)
@@ -333,11 +336,11 @@ def forward(
             if nope:
                 c_id = jnp.ones_like(cos_cf)
                 s_id = jnp.zeros_like(sin_cf)
-                att = flash_decode(q, jnp.zeros_like(q), k_cache, v_cache,
-                                   c_id, s_id, layer_bias, scale,
-                                   softcap=cfg.attn_softcap)
+                att = fattn(q, jnp.zeros_like(q), k_cache, v_cache,
+                            c_id, s_id, layer_bias, scale,
+                            softcap=cfg.attn_softcap)
             else:
-                att = flash_decode(
+                att = fattn(
                     q, rope_companion(q, cfg_rope.mode), k_cache, v_cache,
                     cos_cf2 if swa_rope else cos_cf,
                     sin_cf2 if swa_rope else sin_cf,

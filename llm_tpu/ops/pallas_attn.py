@@ -214,6 +214,177 @@ def flash_decode(
     return out.reshape(Hkv, T, G, Dv).transpose(1, 0, 2, 3).reshape(T, H, Dv)
 
 
+def _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
+                  o_ref, acc_ref, m_ref, l_ref, *, scale, softcap,
+                  s_real, sblk):
+    """One (kv-head, T-block, S-block) grid step of prefill flash attention."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    _, tblk, g, d = q_ref.shape
+    tg = tblk * g
+    dv = vh.shape[-1]
+
+    cos = cos_ref[...].astype(jnp.float32)  # (Sblk, D)
+    sin = sin_ref[...].astype(jnp.float32)
+    bias = jnp.maximum(b_ref[...], NEG)  # (Tblk, Sblk)
+    si = j * sblk + jax.lax.broadcasted_iota(jnp.int32, bias.shape, 1)
+    tail_ok = si < s_real
+    row_i = j * sblk + jax.lax.broadcasted_iota(jnp.int32, (sblk, 1), 0)
+    row_ok = row_i < s_real
+
+    qh = q_ref[0].astype(jnp.float32).reshape(tg, d)
+    qrh = qr_ref[0].astype(jnp.float32).reshape(tg, d)
+    # scores = q.(k*cos) + q_rot.(k*sin) — rope folded into the dots
+    s1 = jax.lax.dot_general(qh, kh * cos, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s2 = jax.lax.dot_general(qrh, kh * sin, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    scores = (s1 + s2) * scale  # (TG, Sblk)
+    if softcap > 0.0:
+        scores = jnp.tanh(scores / softcap) * softcap
+    scores = scores + jnp.broadcast_to(
+        bias[:, None, :], (tblk, g, scores.shape[-1])).reshape(tg, -1)
+    scores = jnp.where(
+        jnp.broadcast_to(tail_ok[:, None, :], (tblk, g, scores.shape[-1])
+                         ).reshape(tg, -1),
+        scores, NEG)
+
+    m_old = m_ref[...]
+    l_old = l_ref[...]
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(scores - m_new)
+    l_ref[...] = l_old * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_new
+    vs = jnp.where(row_ok, vh, 0.0)
+    pv = jax.lax.dot_general(p, vs, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).reshape(tblk, g, dv)
+
+
+def _prefill_kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
+                    o_ref, acc_ref, m_ref, l_ref, *, scale, softcap,
+                    s_real, sblk):
+    kh = k_ref[:, 0, :].astype(jnp.float32)
+    vh = v_ref[:, 0, :].astype(jnp.float32)
+    _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
+                  o_ref, acc_ref, m_ref, l_ref, scale=scale,
+                  softcap=softcap, s_real=s_real, sblk=sblk)
+
+
+def _prefill_kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
+                       cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                       scale, softcap, s_real, sblk):
+    kh = (k_ref[:, 0, :].astype(jnp.float32)
+          * ks_ref[:, 0, :].astype(jnp.float32))
+    vh = (v_ref[:, 0, :].astype(jnp.float32)
+          * vs_ref[:, 0, :].astype(jnp.float32))
+    _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
+                  o_ref, acc_ref, m_ref, l_ref, scale=scale,
+                  softcap=softcap, s_real=s_real, sblk=sblk)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "tblk", "sblk", "interpret"),
+)
+def flash_prefill(
+    q: jnp.ndarray,  # [T, H, D] roped queries
+    q_rot: jnp.ndarray,  # [T, H, D] rope companion of q
+    k: jnp.ndarray,  # [S, Hkv, D] UNROPED key cache (or (int8, scales))
+    v: jnp.ndarray,  # [S, Hkv, Dv]
+    cos: jnp.ndarray,  # [S, D] full-width per-cell cos
+    sin: jnp.ndarray,  # [S, D]
+    bias: jnp.ndarray,  # [T, S] additive f32 mask
+    scale: float,
+    softcap: float = 0.0,
+    tblk: int = 256,
+    sblk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tiled online-softmax flash attention for prefill (T > 8): grid over
+    (kv-head, T-block, S-block), so prefill memory is O(Tblk*Sblk) instead
+    of the unfused O(T*Hkv*G*S) score tensor (the analogue of the
+    reference's prefill flash path, fattn-mma-f16.cuh via
+    llama-graph.cpp:1046-1114). Same rope-folded-into-the-dots trick as
+    flash_decode. Returns [T, H, Dv] f32."""
+    quantized = isinstance(k, tuple)
+    kq, ks = k if quantized else (k, None)
+    vq, vs = v if quantized else (v, None)
+    T, H, D = q.shape
+    S, Hkv, Dv = vq.shape
+    G = H // Hkv
+    tblk = min(tblk, T)
+    sblk = min(sblk, S)
+    assert T % tblk == 0
+    grid = (Hkv, T // tblk, pl.cdiv(S, sblk))
+
+    # [T, H, D] -> [Hkv, T, G, D] (heads are kv-major: h = h_kv*G + g)
+    qx = q.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3)
+    qrx = q_rot.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3)
+
+    kfn = _prefill_kernel_q8 if quantized else _prefill_kernel
+    kernel = functools.partial(
+        kfn, scale=scale, softcap=softcap, s_real=S, sblk=sblk)
+    qspec = pl.BlockSpec((1, tblk, G, D), lambda h, i, j: (h, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((sblk, 1, D), lambda h, i, j: (j, h, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((sblk, 1, Dv), lambda h, i, j: (j, h, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((sblk, 1, 1), lambda h, i, j: (j, h, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((sblk, D), lambda h, i, j: (j, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((tblk, sblk), lambda h, i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    if quantized:
+        in_specs = [qspec, qspec, bspec, kspec, sspec, vspec, sspec,
+                    tspec, tspec]
+        args = (qx, qrx, bias, kq, ks, vq, vs, cos, sin)
+    else:
+        in_specs = [qspec, qspec, bspec, kspec, vspec, tspec, tspec]
+        args = (qx, qrx, bias, kq, vq, cos, sin)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tblk, G, Dv), lambda h, i, j: (h, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hkv, T, G, Dv), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tblk * G, Dv), jnp.float32),
+            pltpu.VMEM((tblk * G, 1), jnp.float32),
+            pltpu.VMEM((tblk * G, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * H * S * D + 2 * T * H * S * Dv,
+            bytes_accessed=(kq.size * kq.dtype.itemsize
+                            + vq.size * vq.dtype.itemsize) * T // tblk
+            + (cos.size + sin.size) * 2 + bias.size * 4,
+            transcendentals=T * H * S,
+        ),
+        interpret=interpret,
+    )(*args)
+    # (Hkv, T, G, Dv) -> (T, H, Dv)
+    return out.transpose(1, 0, 2, 3).reshape(T, H, Dv)
+
+
 def rope_companion(q: jnp.ndarray, mode: int) -> jnp.ndarray:
     """q_rot such that R(p)k . q == (k*cos_p).q + (k*sin_p).q_rot.
 

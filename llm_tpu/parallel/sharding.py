@@ -130,15 +130,24 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
     return out
 
 
-def kv_shardings(n_layers: int, mesh: Mesh, seq_shard: bool = None):
+def kv_shardings(n_layers: int, mesh: Mesh, seq_shard: bool = None,
+                 n_kv_heads: int | None = None, n_rows: int | None = None):
     """KV lists [S, Hkv, D]: cells sharded over sp (when the mesh has one),
     heads over tp. Attention over the cell-sharded cache is blockwise-exact:
     the softmax statistics and the V-weighted sum reduce across sp shards
-    via XLA collectives (ring/sequence parallelism by sharding alone)."""
+    via XLA collectives (ring/sequence parallelism by sharding alone).
+
+    When n_kv_heads / n_rows are given, axes that do not divide evenly are
+    dropped to replicated (e.g. MQA models with one KV head under TP)."""
     sp = "sp" if ("sp" in mesh.axis_names and mesh.shape.get("sp", 1) > 1) else None
     if seq_shard is False:
         sp = None
-    s = NamedSharding(mesh, P(sp, "tp", None))
+    if sp is not None and n_rows is not None and n_rows % mesh.shape["sp"] != 0:
+        sp = None
+    tp = "tp"
+    if n_kv_heads is not None and n_kv_heads % mesh.shape.get("tp", 1) != 0:
+        tp = None
+    s = NamedSharding(mesh, P(sp, tp, None))
     return [s] * n_layers, [s] * n_layers
 
 

@@ -64,7 +64,14 @@ class Context:
         kv_dtype=None,
         use_planes: bool = True,
         params_cfg=None,
+        mesh=None,
     ):
+        """mesh: an optional jax.sharding.Mesh (axes dp/sp/tp, see
+        parallel/sharding.make_mesh). When given, weights are TP-sharded,
+        the KV cache is head- (and optionally cell-) sharded, and every jit
+        step runs under the mesh with XLA inserting the collectives — the
+        engine-level equivalent of the reference's --split-mode row
+        (llama.h:222-227, ggml-backend.h:188)."""
         t0 = time.perf_counter()
         self.reader = reader
         if params_cfg is not None:
@@ -74,23 +81,53 @@ class Context:
         self.dtype = dtype
         self.kv_dtype = kv_dtype if kv_dtype is not None else dtype
         self.n_ubatch = n_ubatch
+        self.mesh = mesh
         self.rslots = None
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            self.params = shard_params(self.params, mesh)
+            if self.cfg.n_expert > 0 and mesh.shape.get("tp", 1) > 1:
+                from ..parallel.moe import set_ep_mesh
+
+                set_ep_mesh(mesh)
         if self.cfg.is_recurrent:
             from .recurrent import RecurrentSlots
 
             self.n_cells = n_cells
+            self.n_kv_rows = 0
             self.cells = CellTable(0)
             self.kv = None
             self.rslots = RecurrentSlots(self.cfg, n_slots=min(MAX_SEQS, n_cells))
         else:
             # +1 trash cell: padding tokens scatter their K/V there; it is
-            # never attended because its seq bit-set stays 0.
+            # never attended because its seq bit-set stays 0. Under a
+            # sequence-parallel mesh, trash rows pad the cell count to a
+            # multiple of the sp axis so the cache shards evenly.
             self.n_cells = n_cells
+            n_rows = n_cells + 1
+            if mesh is not None and mesh.shape.get("sp", 1) > 1:
+                sp = mesh.shape["sp"]
+                n_rows = ((n_rows + sp - 1) // sp) * sp
+            self.n_kv_rows = n_rows
             self.cells = CellTable(n_cells)
             self.kv = new_kv_arrays(
-                self.cfg.n_layers, n_cells + 1, self.cfg.n_kv_heads,
+                self.cfg.n_layers, n_rows, self.cfg.n_kv_heads,
                 self.cfg.head_dim, self.cfg.head_dim_v, self.kv_dtype,
             )
+            if mesh is not None:
+                from ..parallel.sharding import kv_shardings
+
+                ks, vs = kv_shardings(
+                    self.cfg.n_layers, mesh,
+                    n_kv_heads=self.cfg.n_kv_heads, n_rows=n_rows,
+                )
+                put = lambda a, s: (
+                    tuple(jax.device_put(x, s) for x in a)
+                    if isinstance(a, tuple) else jax.device_put(a, s)
+                )
+                self.kv.k = [put(a, s) for a, s in zip(self.kv.k, ks)]
+                self.kv.v = [put(a, s) for a, s in zip(self.kv.v, vs)]
         self._steps: dict = {}
         self._logits: dict[int, np.ndarray] = {}  # batch index -> logits row
         self._embd: dict[int, np.ndarray] = {}  # batch index -> hidden row
@@ -98,6 +135,13 @@ class Context:
         self.perf.t_load_ms = (time.perf_counter() - t0) * 1e3
 
     # -- jit step cache -------------------------------------------------------
+
+    def _mesh_ctx(self):
+        """Mesh context for step execution (required by shard_map-based EP;
+        harmless otherwise)."""
+        import contextlib
+
+        return self.mesh if self.mesh is not None else contextlib.nullcontext()
 
     def _get_step(self, T: int, O: int):
         key = (T, O)
@@ -160,19 +204,20 @@ class Context:
             self.cells.pos[slots] = ub.pos
             self.cells.seq_bits[slots] = bits
 
-            cpos = np.zeros(self.n_cells + 1, np.int32)
+            cpos = np.zeros(self.n_kv_rows, np.int32)
             cpos[: self.n_cells] = self.cells.pos
-            cbits = np.zeros(self.n_cells + 1, np.uint32)
+            cbits = np.zeros(self.n_kv_rows, np.uint32)
             cbits[: self.n_cells] = self.cells.seq_bits
 
             step = self._get_step(T, O)
             try:
-                logits, new_k, new_v, hidden = step(
-                    self.params, self.kv.k, self.kv.v,
-                    jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
-                    jnp.asarray(widx), jnp.asarray(cpos), jnp.asarray(cbits),
-                    jnp.asarray(oidx),
-                )
+                with self._mesh_ctx():
+                    logits, new_k, new_v, hidden = step(
+                        self.params, self.kv.k, self.kv.v,
+                        jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
+                        jnp.asarray(widx), jnp.asarray(cpos), jnp.asarray(cbits),
+                        jnp.asarray(oidx),
+                    )
             except Exception:
                 # roll back cell occupation for this ubatch (decode() failure
                 # rollback, llama-context.cpp:1015-1035)
@@ -241,19 +286,20 @@ class Context:
         self.cells.pos[slots] = pos_np
         self.cells.seq_bits[slots] = np.uint32(1) << np.uint32(seq_id)
 
-        cpos = np.zeros(self.n_cells + 1, np.int32)
+        cpos = np.zeros(self.n_kv_rows, np.int32)
         cpos[: self.n_cells] = self.cells.pos
-        cbits = np.zeros(self.n_cells + 1, np.uint32)
+        cbits = np.zeros(self.n_kv_rows, np.uint32)
         cbits[: self.n_cells] = self.cells.seq_bits
 
         step = self._get_embd_step(T, 1)
         try:
-            _, new_k, new_v, _ = step(
-                self.params, self.kv.k, self.kv.v,
-                jnp.asarray(rows, self.dtype), jnp.asarray(pos),
-                jnp.asarray(seq), jnp.asarray(widx), jnp.asarray(cpos),
-                jnp.asarray(cbits), jnp.zeros(1, jnp.int32),
-            )
+            with self._mesh_ctx():
+                _, new_k, new_v, _ = step(
+                    self.params, self.kv.k, self.kv.v,
+                    jnp.asarray(rows, self.dtype), jnp.asarray(pos),
+                    jnp.asarray(seq), jnp.asarray(widx), jnp.asarray(cpos),
+                    jnp.asarray(cbits), jnp.zeros(1, jnp.int32),
+                )
         except Exception:
             self.cells.release(slots)
             raise

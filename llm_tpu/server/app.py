@@ -503,13 +503,18 @@ def main(argv=None):
                          "or a Jinja source string")
     ap.add_argument("--lora", action="append", default=[],
                     help="LoRA adapter GGUF (repeatable); optional :scale suffix")
+    from ..tools.mesh_args import add_mesh_args, mesh_from_args
+
+    add_mesh_args(ap)
     args = ap.parse_args(argv)
+    mesh = mesh_from_args(args)
 
     reader = GGUFReader(args.model)
     tok = tokenizer_from_gguf(reader)
     ctx = Context(
         reader, n_cells=args.ctx_size, n_ubatch=args.n_batch,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        mesh=mesh,
     )
     engine = InferenceServer(ctx, tok, n_slots=args.n_parallel, n_batch=args.n_batch)
     for spec in args.lora:

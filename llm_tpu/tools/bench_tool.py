@@ -94,10 +94,14 @@ def main(argv=None):
     ap.add_argument("-r", "--reps", type=int, default=3)
     ap.add_argument("-c", "--ctx-size", type=int, default=4096)
     ap.add_argument("-o", "--output", choices=("md", "json", "csv"), default="md")
+    from .mesh_args import add_mesh_args, mesh_from_args
+
+    add_mesh_args(ap)
     args = ap.parse_args(argv)
+    mesh = mesh_from_args(args)
 
     reader = GGUFReader(args.model)
-    ctx = Context(reader, n_cells=args.ctx_size, dtype=jnp.bfloat16)
+    ctx = Context(reader, n_cells=args.ctx_size, dtype=jnp.bfloat16, mesh=mesh)
     desc = f"{ctx.cfg.arch} {ctx.cfg.n_layers}L"
 
     tests = []

@@ -116,7 +116,11 @@ def main(argv=None):
                     default=None, metavar=("START", "END"))
     ap.add_argument("-i", "--interactive", action="store_true",
                     help="interactive mode: read follow-up input after each turn")
+    from .mesh_args import add_mesh_args, mesh_from_args
+
+    add_mesh_args(ap)
     args = ap.parse_args(argv)
+    mesh = mesh_from_args(args)
 
     t0 = time.perf_counter()
     reader = GGUFReader(args.model)
@@ -126,6 +130,7 @@ def main(argv=None):
         n_cells=args.ctx_size,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         use_planes=not args.no_planes,
+        mesh=mesh,
     )
     for spec in args.lora:
         from ..models.lora import attach_lora, load_lora_gguf

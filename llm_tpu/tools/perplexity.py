@@ -277,14 +277,19 @@ def main(argv=None):
     ap.add_argument("--multiple-choice", action="store_true",
                     help="score multiple-choice acc (jsonl file)")
     ap.add_argument("--multiple-choice-tasks", type=int, default=0)
+    from .mesh_args import add_mesh_args, mesh_from_args
+
+    add_mesh_args(ap)
     args = ap.parse_args(argv)
+    mesh = mesh_from_args(args)
 
     reader = GGUFReader(args.model)
     tok = tokenizer_from_gguf(reader)
     text = open(args.file, encoding="utf-8").read()
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
-    ctx = Context(reader, n_cells=args.ctx_size, n_ubatch=args.ctx_size, dtype=dtype)
+    ctx = Context(reader, n_cells=args.ctx_size, n_ubatch=args.ctx_size,
+                  dtype=dtype, mesh=mesh)
     bos = tok.vocab.bos_id if tok.vocab.bos_id >= 0 else 1
     add_bos = tok.vocab.add_bos
 

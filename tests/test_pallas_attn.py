@@ -108,3 +108,82 @@ def test_flash_decode_q8_cache():
         cf.astype(jnp.bfloat16), sf.astype(jnp.bfloat16), bias, D ** -0.5,
         sblk=256, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("mode", [ROPE_TYPE_NEOX, ROPE_TYPE_NORM],
+                         ids=["neox", "norm"])
+@pytest.mark.parametrize("shape", [
+    (32, 8, 2, 256, 256, 16, 128),   # GQA, multiple T and S blocks
+    (64, 4, 4, 300, 260, 32, 128),   # ragged S tail + masked cells
+    (128, 8, 8, 384, 384, 128, 384), # MHA, single blocks
+], ids=["gqa", "ragged", "mha"])
+def test_flash_prefill_matches_xla(mode, shape):
+    from llm_tpu.ops.pallas_attn import flash_prefill
+
+    T, H, Hkv, S, nvalid, tblk, sblk = shape
+    D = 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    tok_pos = jnp.asarray(np.arange(T) + 5, jnp.int32)
+    tok_seq = jnp.zeros(T, jnp.int32)
+    cell_pos = jnp.asarray(np.arange(S) % 9, jnp.int32)
+    cbits = jnp.asarray((np.arange(S) < nvalid).astype(np.uint32))
+    rp = RopeParams(n_dims=D, mode=mode)
+    cos_t, sin_t = rope_angles(tok_pos, rp)
+    cos_c, sin_c = rope_angles(cell_pos, rp)
+    bias = build_attn_bias(tok_pos, tok_seq, cell_pos, cbits)
+    scale = D ** -0.5
+
+    qro = apply_rope(q, cos_t, sin_t, mode, D)
+    kro = apply_rope(k, cos_c, sin_c, mode, D)
+    want = np.asarray(attention(qro, kro, v, bias, scale))
+
+    cf, sf = expand_tables(cos_c, sin_c, mode, D)
+    got = np.asarray(flash_prefill(
+        qro, rope_companion(qro, mode), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        sf.astype(jnp.bfloat16), bias, scale, tblk=tblk, sblk=sblk,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_flash_prefill_q8_softcap():
+    """Quantized KV (per-head scales) + softcap through the prefill kernel."""
+    from llm_tpu.ops.pallas_attn import flash_prefill
+
+    T, H, Hkv, S, D = 32, 4, 2, 256, 128
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
+    kf = rng.normal(size=(S, Hkv, D)).astype(np.float32)
+    vf = rng.normal(size=(S, Hkv, D)).astype(np.float32)
+
+    def q8(a):
+        amax = np.abs(a).max(axis=-1, keepdims=True)
+        sc = amax / 127.0
+        qq = np.clip(np.round(a / sc), -127, 127).astype(np.int8)
+        return jnp.asarray(qq), jnp.asarray(sc, jnp.bfloat16)
+
+    kq, ks = q8(kf)
+    vq, vs = q8(vf)
+    kd = np.asarray(kq, np.float32) * np.asarray(ks, np.float32)
+    vd = np.asarray(vq, np.float32) * np.asarray(vs, np.float32)
+
+    tok_pos = jnp.asarray(np.arange(T) + 3, jnp.int32)
+    cell_pos = jnp.asarray(np.arange(S) % 11, jnp.int32)
+    cbits = jnp.ones(S, jnp.uint32)
+    rp = RopeParams(n_dims=D, mode=ROPE_TYPE_NEOX)
+    cos_t, sin_t = rope_angles(tok_pos, rp)
+    cos_c, sin_c = rope_angles(cell_pos, rp)
+    bias = build_attn_bias(tok_pos, jnp.zeros(T, jnp.int32), cell_pos, cbits)
+    qro = apply_rope(q, cos_t, sin_t, ROPE_TYPE_NEOX, D)
+    kro = apply_rope(jnp.asarray(kd), cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    want = np.asarray(attention(qro, kro, jnp.asarray(vd), bias, D ** -0.5,
+                                softcap=30.0))
+    cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    got = np.asarray(flash_prefill(
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), (kq, ks), (vq, vs),
+        cf.astype(jnp.bfloat16), sf.astype(jnp.bfloat16), bias, D ** -0.5,
+        softcap=30.0, tblk=16, sblk=128, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)

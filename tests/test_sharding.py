@@ -141,3 +141,67 @@ def test_expert_parallel_moe_matches_dense():
         np.testing.assert_allclose(np.asarray(out[0]), ref, atol=2e-4, rtol=2e-4)
     finally:
         set_ep_mesh(None)
+
+
+def test_context_tp_exact_match():
+    """Engine-level TP: Context(mesh=...) shards weights + KV and its
+    decode() output must match the single-device Context exactly — the
+    integration the reference exposes as --split-mode row."""
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
+        vocab=256, qtype=GGMLType.Q4_K, dtype=jnp.float32, fuse=False,
+    )
+    ref_ctx = Context(None, n_cells=32, dtype=jnp.float32,
+                      params_cfg=(params, cfg))
+    mesh = make_mesh(n_tp=4, n_sp=2)
+    tp_ctx = Context(None, n_cells=32, dtype=jnp.float32,
+                     params_cfg=(params, cfg), mesh=mesh)
+    assert tp_ctx.n_kv_rows % 2 == 0  # cells padded to the sp axis
+
+    toks = [3, 1, 4, 1, 5, 9, 2, 6]
+    for ctx in (ref_ctx, tp_ctx):
+        rc = ctx.decode(Batch.text(toks, seq_id=0))
+        assert rc == 0
+    np.testing.assert_allclose(
+        tp_ctx.get_logits(), ref_ctx.get_logits(), atol=2e-4, rtol=2e-4)
+
+    # a follow-up single-token decode reads the sharded cache
+    for ctx in (ref_ctx, tp_ctx):
+        rc = ctx.decode(Batch.one(7, pos=len(toks), seq_id=0))
+        assert rc == 0
+    np.testing.assert_allclose(
+        tp_ctx.get_logits(), ref_ctx.get_logits(), atol=2e-4, rtol=2e-4)
+    spec = tuple(tp_ctx.kv.k[0].sharding.spec)
+    assert spec[:2] == ("sp", "tp")
+
+
+def test_context_tp_moe_ep():
+    """Context(mesh) on a MoE model routes through the shard_map EP path."""
+    from llm_tpu.parallel.moe import ep_mesh, set_ep_mesh
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
+        vocab=256, qtype=None, dtype=jnp.float32, fuse=False,
+        n_expert=8, n_expert_used=2,
+    )
+    ref_ctx = Context(None, n_cells=32, dtype=jnp.float32,
+                      params_cfg=(params, cfg))
+    toks = [3, 1, 4, 1, 5]
+    assert ref_ctx.decode(Batch.text(toks, seq_id=0)) == 0
+    ref = ref_ctx.get_logits()
+
+    mesh = make_mesh(n_tp=8)
+    try:
+        tp_ctx = Context(None, n_cells=32, dtype=jnp.float32,
+                         params_cfg=(params, cfg), mesh=mesh)
+        assert ep_mesh()[0] is mesh  # engine enabled expert parallelism
+        assert tp_ctx.decode(Batch.text(toks, seq_id=0)) == 0
+        np.testing.assert_allclose(tp_ctx.get_logits(), ref,
+                                   atol=2e-4, rtol=2e-4)
+    finally:
+        set_ep_mesh(None)
