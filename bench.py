@@ -1,16 +1,23 @@
 """Benchmark: Llama-3-8B-geometry Q4_K decode throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N, "extra": {...}}
 
 vs_baseline anchors to the reference's closest published number: tg128 of a
 Q4_K_M 7B-class model on a CUDA GPU = 120.60 t/s
 (/root/reference/tools/llama-bench/README.md:168; see BASELINE.md).
 
-The model is synthetic (random Q4_K planes generated on-device — identical
-compute/memory shape to a loaded checkpoint, no multi-GiB host upload).
-The decode loop runs fully on device (greedy argmax feedback), so the
-number is chip throughput, not host/tunnel latency.
+Three measurements (mirroring llama-bench's pp/tg grid + server TTFT):
+  * tg128 (headline): on-device greedy decode loop — pure chip throughput.
+  * pp512: prefill throughput through the same forward (one program).
+  * engine tg128 + TTFT p50: through Context.decode with host-side cell
+    management and argmax sampling — includes one host<->device round trip
+    per token, so on a tunneled TPU it is dominated by link latency; the
+    per-step host overhead is reported separately (rtt_ms).
+
+The model is synthetic (random Q4_K planes generated on-device in ONE jit
+— identical compute/memory shape to a loaded checkpoint, no multi-GiB
+host upload).
 """
 
 import json
@@ -47,6 +54,7 @@ def main():
     S = 512 if small else 1024
     N_PREFILL = 16
     N_GEN = 128
+    PP = 256 if small else 512
 
     t0 = time.time()
     params, cfg = build(geo)
@@ -119,6 +127,83 @@ def main():
     print(f"tg{N_GEN}: {tps:.2f} ± {sigma:.2f} t/s (times: "
           f"{['%.3f' % t for t in times]})", file=sys.stderr)
 
+    # -- pp512: prefill throughput (PP tokens in one program) ------------------
+    pp_tokens = jnp.asarray(np.arange(PP) % cfg.vocab_size, jnp.int32)
+    kv_k2 = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+                  for _ in range(cfg.n_layers))
+    kv_v2 = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+                  for _ in range(cfg.n_layers))
+    t0 = time.time()
+    tokp, kv_k2, kv_v2 = prefill_j(params, kv_k2, kv_v2, pp_tokens)
+    jax.block_until_ready(tokp)
+    print(f"pp{PP} warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
+    pp_times = []
+    for _ in range(reps):
+        kk = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+                   for _ in range(cfg.n_layers))
+        vv = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+                   for _ in range(cfg.n_layers))
+        t0 = time.perf_counter()
+        tokp, kk, vv = prefill_j(params, kk, vv, pp_tokens)
+        jax.block_until_ready(tokp)
+        pp_times.append(time.perf_counter() - t0)
+    # subtract the fresh-cache zeros alloc? negligible vs the matmuls
+    pp_tps = PP / float(np.min(pp_times))
+    print(f"pp{PP}: {pp_tps:.1f} t/s (times: "
+          f"{['%.3f' % t for t in pp_times]})", file=sys.stderr)
+
+    # -- host<->device round-trip latency (tunnel context) ---------------------
+    one = jnp.zeros((), jnp.int32)
+    _ = int(one)  # warm
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _ = int(one + 1)
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtts)) * 1e3
+    print(f"host rtt: {rtt_ms:.1f} ms", file=sys.stderr)
+
+    # -- engine path: Context.decode with host sampling + TTFT -----------------
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    ctx = Context(None, n_cells=S, params_cfg=(params, cfg))
+    prompt = [int(x) for x in np.arange(N_PREFILL) % cfg.vocab_size]
+    t0 = time.time()
+    rc = ctx.decode(Batch.text(prompt, seq_id=0))
+    assert rc == 0
+    lg = ctx.get_logits()
+    print(f"engine prefill(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
+    # warm the decode bucket
+    t0 = time.time()
+    assert ctx.decode(Batch.one(int(np.argmax(lg)), pos=N_PREFILL, seq_id=0)) == 0
+    print(f"engine decode warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # TTFT: fresh-sequence prompt decode -> first logits on host (p50 of 5)
+    ttfts = []
+    for r in range(5):
+        ctx.seq_rm(0)
+        t0 = time.perf_counter()
+        assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+        _ = ctx.get_logits()
+        ttfts.append(time.perf_counter() - t0)
+    ttft_ms = float(np.median(ttfts)) * 1e3
+
+    # engine tg: per-token decode with host argmax
+    n_eng = 64
+    tid = int(np.argmax(ctx.get_logits()))
+    pos = N_PREFILL + 1
+    t0 = time.perf_counter()
+    for _ in range(n_eng):
+        assert ctx.decode(Batch.one(tid, pos=pos, seq_id=0)) == 0
+        tid = int(np.argmax(ctx.get_logits()))
+        pos += 1
+    eng_dt = time.perf_counter() - t0
+    eng_tps = n_eng / eng_dt
+    eng_step_ms = eng_dt / n_eng * 1e3
+    print(f"engine tg{n_eng}: {eng_tps:.2f} t/s ({eng_step_ms:.1f} ms/step, "
+          f"rtt {rtt_ms:.1f} ms) | TTFT p50 {ttft_ms:.1f} ms", file=sys.stderr)
+
     baseline = 120.60  # tg128 Q4_K_M 7B-class, CUDA (llama-bench README:168)
     print(json.dumps({
         "metric": "tg128_tok_per_s_llama3_8b_q4_k_single_chip" if not small
@@ -126,6 +211,14 @@ def main():
         "value": round(tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps / baseline, 4),
+        "extra": {
+            "pp512_tok_per_s": round(pp_tps, 1),
+            "engine_tg_tok_per_s": round(eng_tps, 2),
+            "engine_step_ms": round(eng_step_ms, 2),
+            "host_rtt_ms": round(rtt_ms, 2),
+            "ttft_p50_ms": round(ttft_ms, 1),
+            "build_s": round(t_build, 1),
+        },
     }))
 
 

@@ -121,8 +121,16 @@ def load_params(
             elif kind == "bias" or len(ti.shape) == 1:
                 layers[il][key] = _to_dense(reader, name, jnp.float32)
             elif len(ti.shape) == 3:
-                # expert stacks: dense [n_expert, n_out, K] for the XLA path
-                layers[il][key] = _to_dense(reader, name, dense_dtype)
+                # expert stacks: quantized planes with a leading expert dim
+                # when possible (the MoE paths gather+dequant per routed
+                # expert), dense [n_expert, n_out, K] otherwise
+                if use_planes and ti.ggml_type in _PLANE_TYPES:
+                    from ..quant.qtensor import expert_qtensor_from_gguf
+
+                    layers[il][key] = expert_qtensor_from_gguf(
+                        reader.data(name), ti.ggml_type, ti.shape)
+                else:
+                    layers[il][key] = _to_dense(reader, name, dense_dtype)
             elif base in ("attn_q_norm", "attn_k_norm"):
                 layers[il][key] = _to_dense(reader, name, jnp.float32)
             else:

@@ -105,6 +105,35 @@ def device_synthetic_qtensor(
                    ggml_type=qtype, layout="i8", zp=0)
 
 
+def device_synthetic_qtensor_rows(
+    key,
+    n: int,
+    k: int,
+    qtype: GGMLType = GGMLType.Q4_K,
+    scales_dtype=jnp.float32,
+    pack_tk: int = 256,
+) -> QTensor:
+    """Rows-layout ([N, K]) variant for embedding tables, generated on
+    device — avoids the multi-hundred-MB host upload of a 128k vocab."""
+    import jax
+
+    gs = 16 if qtype in (GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K) else 32
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale_mag = 0.02 / np.sqrt(k) * 8
+    scales = (jax.random.uniform(k2, (n, k // gs), jnp.float32, 0.2, 1.0)
+              * scale_mag).astype(scales_dtype)
+    if qtype == GGMLType.Q4_K:
+        qs = jax.random.randint(k1, (n, k // 2), 0, 256, jnp.int32).astype(jnp.uint8)
+        mins = (jax.random.uniform(k3, (n, k // gs), jnp.float32, 0.0, 1.0)
+                * scale_mag * 8).astype(scales_dtype)
+        return QTensor(qs=qs, scales=scales, mins=mins, group_size=gs,
+                       ggml_type=qtype, layout="p4", zp=0, pack_tk=pack_tk,
+                       kmajor=False)
+    qs = jax.random.randint(k1, (n, k), -32, 32, jnp.int32).astype(jnp.int8)
+    return QTensor(qs=qs, scales=scales, mins=None, group_size=gs,
+                   ggml_type=qtype, layout="i8", zp=0, kmajor=False)
+
+
 def make_synthetic_model(
     n_embd: int = 64,
     n_layers: int = 2,
@@ -160,8 +189,50 @@ def make_synthetic_model(
             )
         return synthetic_qtensor(rng, n, k, qtype)
 
+
     def vec(n):
         return jnp.asarray(np.ones(n, np.float32))
+
+    if on_device and n_expert == 0:
+        # build the ENTIRE model inside one jit: one compile + one dispatch
+        # instead of ~8 eager device ops per tensor — over a tunneled TPU
+        # link this is the difference between seconds and many minutes.
+        def _gen_all():
+            layers = []
+            for _ in range(n_layers):
+                lay = {
+                    "attn_norm": vec(n_embd),
+                    "attn_q": mat(n_heads * head_dim, n_embd),
+                    "attn_k": mat(n_kv_heads * head_dim, n_embd),
+                    "attn_v": mat(n_kv_heads * head_dim, n_embd),
+                    "attn_output": mat(n_embd, n_heads * head_dim),
+                    "ffn_norm": vec(n_embd),
+                    "ffn_gate": mat(n_ff, n_embd),
+                    "ffn_up": mat(n_ff, n_embd),
+                    "ffn_down": mat(n_embd, n_ff),
+                }
+                layers.append(lay)
+            nonlocal dev_key
+            dev_key, sub = jax.random.split(dev_key)
+            if qtype is None:
+                embd = mat(vocab, n_embd)
+            else:
+                embd = device_synthetic_qtensor_rows(
+                    sub, vocab, n_embd, qtype, scales_dtype)
+            params = {
+                "layers": layers,
+                "tok_embd": embd,
+                "output": mat(vocab, n_embd),
+                "output_norm": vec(n_embd),
+            }
+            if fuse and qtype is not None:
+                from .loader import _fuse_projections
+
+                _fuse_projections(layers)
+            return params
+
+        return jax.jit(_gen_all)(), cfg
+
 
     layers = []
     for _ in range(n_layers):

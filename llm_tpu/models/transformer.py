@@ -107,10 +107,23 @@ def _ffn(h, layer, cfg: ModelConfig, collect=None):
                       layer.get("ffn_down_b"))
 
 
+def _gather_experts(stack, topi, dtype):
+    """[T, k] expert ids -> dequantized weights [T, k, n_out, K]. stack is a
+    dense [E, n_out, K] array or a stacked-expert QTensor (loader keeps
+    quantized experts at their stored bit-width)."""
+    from ..ops.qmatmul import dequant_expert_rows
+    from ..quant.qtensor import QTensor
+
+    if isinstance(stack, QTensor):
+        return dequant_expert_rows(stack, topi, dtype=dtype)
+    return stack[topi].astype(dtype)
+
+
 def _moe_ffn(h, layer, cfg: ModelConfig):
     """Mixture-of-experts FFN (parity: build_moe_ffn,
     /root/reference/src/llama-graph.h:550). Dense compute over top-k experts
-    gathered per token — the all-to-all EP path lands with the mesh shard."""
+    gathered per token; expert stacks may be quantized planes. The
+    all-to-all EP path engages when an expert-parallel mesh is active."""
     T = h.shape[0]
     router_logits = qmm(h, layer["ffn_gate_inp"])  # [T, n_expert]
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
@@ -125,22 +138,19 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
     from ..parallel.moe import ep_mesh, moe_ffn_ep
 
     mesh, axis = ep_mesh()
-    if (
-        mesh is not None
-        and not isinstance(layer["ffn_up_exps"], tuple)
-        and cfg.n_expert % mesh.shape[axis] == 0
-    ):
+    if mesh is not None and cfg.n_expert % mesh.shape[axis] == 0:
         return moe_ffn_ep(
             h, layer["ffn_up_exps"], layer.get("ffn_gate_exps"),
             layer["ffn_down_exps"], topi, topw.astype(jnp.float32), act,
             mesh, axis,
         ).astype(h.dtype)
 
+    cdtype = jnp.float32 if h.dtype == jnp.float32 else jnp.bfloat16
+
     def expert_mm(stack, x_tk):
-        # stack: QTensor with rows [n_expert * n_out, K] viewed per expert
-        w = stack  # dense [n_expert, n_out, K] jnp array (loader dequantizes stacks)
-        wk = w[topi]  # [T, k, n_out, K]
-        return jnp.einsum("tk,tekn->ten", x_tk.astype(w.dtype), jnp.swapaxes(wk, -1, -2))
+        wk = _gather_experts(stack, topi, cdtype)  # [T, k, n_out, K]
+        return jnp.einsum("tk,tekn->ten", x_tk.astype(cdtype),
+                          jnp.swapaxes(wk, -1, -2))
 
     up = expert_mm(layer["ffn_up_exps"], h)
     if "ffn_gate_exps" in layer:
@@ -148,8 +158,8 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
         cur = (g * up.astype(jnp.float32)).astype(h.dtype)
     else:
         cur = act(up.astype(jnp.float32)).astype(h.dtype)
-    down = layer["ffn_down_exps"]
-    out = jnp.einsum("ten,tekn->tek", cur.astype(down.dtype), down[topi])
+    downw = _gather_experts(layer["ffn_down_exps"], topi, cdtype)
+    out = jnp.einsum("ten,tekn->tek", cur.astype(cdtype), downw)
     out = jnp.sum(out.astype(jnp.float32) * topw[..., None], axis=1)
     return out.astype(h.dtype)
 
@@ -170,6 +180,9 @@ def forward(
     collect_acts: bool = False,
     collect_hidden: bool = False,
     input_embd=None,  # [T, E] rows that REPLACE token embeddings (multimodal)
+    swa_cell_pos=None,  # [Ss] int32 — ISWA dual cache: SWA layers' own cells
+    swa_cell_seq_bits=None,  # [Ss] / [Ss, W] uint32
+    swa_write_idx=None,  # [T] int32 scatter targets in the SWA ring
 ):
     """One decode/prefill step. Returns (logits [O, vocab] f32, kv_k, kv_v,
     hidden [O, E] f32). With collect_acts=True a 5th element is returned:
@@ -198,16 +211,23 @@ def forward(
     if "tok_norm" in params:  # embedding layer norm (bloom-style)
         x = _norm(x, params["tok_norm"], cfg, params.get("tok_norm_b"))
 
+    # ISWA dual cache (llama-kv-cache-unified-iswa.*): SWA layers read/write
+    # their own small ring; without it they alias the full table (swa_full).
+    dual = swa_cell_pos is not None
+    c_pos_swa = swa_cell_pos if dual else cell_pos
+    c_bits_swa = swa_cell_seq_bits if dual else cell_seq_bits
+
     cos_t, sin_t = rope_angles(tok_pos, cfg_rope, ff)
     cos_c, sin_c = rope_angles(cell_pos, cfg_rope, ff)
     if cfg.rope_swa is not None:  # gemma3: SWA layers rope at their own base
         cos_t2, sin_t2 = rope_angles(tok_pos, cfg.rope_swa, ff)
-        cos_c2, sin_c2 = rope_angles(cell_pos, cfg.rope_swa, ff)
+    if cfg.rope_swa is not None or dual:
+        cos_c2, sin_c2 = rope_angles(c_pos_swa, cfg.rope_swa or cfg_rope, ff)
     bias = build_attn_bias(tok_pos, tok_seq, cell_pos, cell_seq_bits)
     bias_swa = None
     if cfg.swa_window > 0:
         bias_swa = build_attn_bias(
-            tok_pos, tok_seq, cell_pos, cell_seq_bits, swa_window=cfg.swa_window
+            tok_pos, tok_seq, c_pos_swa, c_bits_swa, swa_window=cfg.swa_window
         )
 
     scale = cfg.attn_scale if cfg.attn_scale is not None else cfg.head_dim ** -0.5
@@ -249,7 +269,7 @@ def forward(
         cos_cf, sin_cf = expand_tables(cos_c, sin_c, cfg_rope.mode, Dk)
         cos_cf = cos_cf.astype(dtype)
         sin_cf = sin_cf.astype(dtype)
-        if cfg.rope_swa is not None:
+        if cfg.rope_swa is not None or dual:
             cos_cf2, sin_cf2 = expand_tables(cos_c2, sin_c2, cfg_rope.mode, Dk)
             cos_cf2 = cos_cf2.astype(dtype)
             sin_cf2 = sin_cf2.astype(dtype)
@@ -320,14 +340,16 @@ def forward(
 
         is_swa = cfg.layer_is_swa(il)
         swa_rope = cfg.rope_swa is not None and is_swa
+        swa_tab = is_swa and (cfg.rope_swa is not None or dual)
         nope = cfg.nope_global_layers and not is_swa  # cohere2 NoPE layers
         if not nope:
             q = apply_rope(q, cos_t2 if swa_rope else cos_t,
                            sin_t2 if swa_rope else sin_t,
                            cfg_rope.mode, cfg_rope.n_dims)
         # K enters the cache UNROPED; rotated on read with cell positions.
-        k_cache = _kv_write(kv_k[il], write_idx, k)
-        v_cache = _kv_write(kv_v[il], write_idx, v)
+        widx_l = swa_write_idx if (dual and is_swa) else write_idx
+        k_cache = _kv_write(kv_k[il], widx_l, k)
+        v_cache = _kv_write(kv_v[il], widx_l, v)
         new_k.append(k_cache)
         new_v.append(v_cache)
 
@@ -342,22 +364,23 @@ def forward(
             else:
                 att = fattn(
                     q, rope_companion(q, cfg_rope.mode), k_cache, v_cache,
-                    cos_cf2 if swa_rope else cos_cf,
-                    sin_cf2 if swa_rope else sin_cf,
+                    cos_cf2 if swa_tab else cos_cf,
+                    sin_cf2 if swa_tab else sin_cf,
                     layer_bias, scale, softcap=cfg.attn_softcap,
                 )
         else:
             k_raw = _kv_read(k_cache, dtype)
             k_all = k_raw if nope else apply_rope(
                 k_raw,
-                cos_c2 if swa_rope else cos_c,
-                sin_c2 if swa_rope else sin_c,
+                cos_c2 if swa_tab else cos_c,
+                sin_c2 if swa_tab else sin_c,
                 cfg_rope.mode, cfg_rope.n_dims,
             )
             att = attention(
                 q, k_all, _kv_read(v_cache, dtype), layer_bias, scale,
                 softcap=cfg.attn_softcap, alibi_slopes=alibi,
-                cell_pos=cell_pos, tok_pos=tok_pos,
+                cell_pos=c_pos_swa if (dual and is_swa) else cell_pos,
+                tok_pos=tok_pos,
             )
         att = att.reshape(T, H * Dv)
         _collect(layer_acts, "attn_output", att)

@@ -27,15 +27,23 @@ def build_attn_bias(
     tok_pos: jnp.ndarray,  # [T] int32 position of each new token
     tok_seq: jnp.ndarray,  # [T] int32 sequence id of each new token
     cell_pos: jnp.ndarray,  # [S] int32 position stored in each cache cell
-    cell_seq_bits: jnp.ndarray,  # [S] uint32 bit s set iff cell belongs to seq s
+    cell_seq_bits: jnp.ndarray,  # [S] uint32 (seqs<32) or [S, W] uint32 planes
     swa_window: int = 0,
     causal: bool = True,
 ) -> jnp.ndarray:
     """Additive f32 bias [T, S]: 0 where attention is allowed, -inf elsewhere.
 
+    cell_seq_bits is the per-cell sequence-membership bit-set: a flat [S]
+    uint32 vector (sequences 0-31) or [S, W] uint32 planes covering W*32
+    sequences (MAX_SEQS=64 ships [S, 2] — TPUs have no 64-bit int lanes).
     Unused cells have cell_seq_bits == 0 and are masked automatically.
     """
-    seq_ok = ((cell_seq_bits[None, :] >> tok_seq[:, None].astype(jnp.uint32)) & 1) > 0
+    if cell_seq_bits.ndim == 2:
+        # pick each token's word then its bit: [S, T] gather over words
+        word = jnp.take(cell_seq_bits, tok_seq >> 5, axis=1)  # [S, T]
+        seq_ok = ((word.T >> (tok_seq[:, None].astype(jnp.uint32) & 31)) & 1) > 0
+    else:
+        seq_ok = ((cell_seq_bits[None, :] >> tok_seq[:, None].astype(jnp.uint32)) & 1) > 0
     allowed = seq_ok
     if causal:
         allowed = allowed & (cell_pos[None, :] <= tok_pos[:, None])

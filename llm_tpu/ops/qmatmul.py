@@ -245,3 +245,26 @@ def qembed(w: QTensor | jnp.ndarray, ids: jnp.ndarray, dtype=None) -> jnp.ndarra
             out = out - m[..., None]
         return out.reshape(*q.shape[:-1], k).astype(dtype)
     return jnp.take(w, ids, axis=0).astype(dtype)
+
+
+def dequant_expert_rows(qt: QTensor, idx: jnp.ndarray,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """Gather expert sub-planes from a stacked rows-layout QTensor
+    (qs [E, N, K(/2)], see quant.qtensor.expert_qtensor_from_gguf) by
+    expert ids idx [...] and dequantize -> [..., N, K]. Only the selected
+    experts' int planes leave HBM; the bf16/f32 expansion is a local
+    (gathered) temporary."""
+    assert not qt.kmajor
+    qs = jnp.take(qt.qs, idx, axis=0)
+    if qt.layout == "p4":
+        q = _unpack_p4_rows(qs, qt.pack_tk, qt.zp)
+    else:
+        q = qs
+    g = qt.group_size
+    k = q.shape[-1]
+    sc = jnp.take(qt.scales, idx, axis=0).astype(dtype)
+    w = q.astype(dtype).reshape(*q.shape[:-1], k // g, g) * sc[..., None]
+    if qt.mins is not None:
+        m = jnp.take(qt.mins, idx, axis=0).astype(dtype)
+        w = w - m[..., None]
+    return w.reshape(*q.shape[:-1], k)

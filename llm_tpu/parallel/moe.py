@@ -33,17 +33,39 @@ def ep_mesh():
     return _EP_MESH, _EP_AXIS
 
 
+def _n_experts(stack) -> int:
+    from ..quant.qtensor import QTensor
+
+    if isinstance(stack, QTensor):
+        return stack.qs.shape[0]
+    return stack.shape[0]
+
+
+def _gather_local(stack, li, dtype):
+    """Dequantized [T, k, N, K] from a local expert slice (dense array or
+    stacked-expert QTensor)."""
+    from ..ops.qmatmul import dequant_expert_rows
+    from ..quant.qtensor import QTensor
+
+    if isinstance(stack, QTensor):
+        return dequant_expert_rows(stack, li, dtype=dtype)
+    return stack[li].astype(dtype)
+
+
 def moe_ffn_ep(h, w_up, w_gate, w_down, topi, topw, act, mesh: Mesh, axis: str):
     """Expert-parallel top-k FFN.
 
-    h: [T, D] activations (replicated); w_*: dense [E, N, K] stacks sharded
-    on E over `axis` (w_gate may be None); topi: [T, k] expert ids;
-    topw: [T, k] f32 routing weights. Returns [T, D] f32."""
+    h: [T, D] activations (replicated); w_*: [E, N, K] stacks — dense
+    arrays or stacked-expert QTensors (quantized planes stay quantized in
+    HBM and across the expert shard) — sharded on E over `axis` (w_gate may
+    be None); topi: [T, k] expert ids; topw: [T, k] f32 routing weights.
+    Returns [T, D] f32."""
     from jax.experimental.shard_map import shard_map
 
-    E = w_up.shape[0]
+    E = _n_experts(w_up)
     n_shards = mesh.shape[axis]
     e_local = E // n_shards
+    cdtype = jnp.float32 if h.dtype == jnp.float32 else jnp.bfloat16
 
     def block(h, w_up, w_gate, w_down, topi, topw):
         # w_*: local slice [E/n, N, K]; h/topi/topw replicated
@@ -52,23 +74,25 @@ def moe_ffn_ep(h, w_up, w_gate, w_down, topi, topw, act, mesh: Mesh, axis: str):
         own = (topi >= e0) & (topi < e0 + e_local)  # [T, k]
         li = jnp.clip(topi - e0, 0, e_local - 1)
 
-        upw = w_up[li]  # [T, k, N, K]
-        up = jnp.einsum("td,tknd->tkn", h.astype(w_up.dtype), upw)
+        upw = _gather_local(w_up, li, cdtype)  # [T, k, N, K]
+        up = jnp.einsum("td,tknd->tkn", h.astype(cdtype), upw)
         if w_gate is not None:
-            g = jnp.einsum("td,tknd->tkn", h.astype(w_gate.dtype), w_gate[li])
+            g = jnp.einsum("td,tknd->tkn", h.astype(cdtype),
+                           _gather_local(w_gate, li, cdtype))
             cur = act(g.astype(jnp.float32)) * up.astype(jnp.float32)
         else:
             cur = act(up.astype(jnp.float32))
         cur = cur.astype(h.dtype)
-        out = jnp.einsum("tkn,tkdn->tkd", cur.astype(w_down.dtype), w_down[li])
+        out = jnp.einsum("tkn,tkdn->tkd", cur.astype(cdtype),
+                         _gather_local(w_down, li, cdtype))
         w = jnp.where(own, topw, 0.0)  # non-owned assignments contribute 0
         out = jnp.sum(out.astype(jnp.float32) * w[..., None], axis=1)
         return jax.lax.psum(out, axis)
 
-    espec = P(axis, None, None)
+    # a bare P(...) acts as a pytree prefix, so it covers both dense arrays
+    # and QTensor leaves (qs/scales/mins all shard their expert dim)
+    espec = P(axis)
     rep = P()
-    args = [h, w_up, w_gate, w_down, topi, topw]
-    in_specs = (rep, espec, None if w_gate is None else espec, espec, rep, rep)
     if w_gate is None:
         def block2(h, w_up, w_down, topi, topw):
             return block(h, w_up, None, w_down, topi, topw)
@@ -77,5 +101,6 @@ def moe_ffn_ep(h, w_up, w_gate, w_down, topi, topw, act, mesh: Mesh, axis: str):
             out_specs=rep, check_rep=False,
         )(h, w_up, w_down, topi, topw)
     return shard_map(
-        block, mesh=mesh, in_specs=in_specs, out_specs=rep, check_rep=False,
-    )(*args)
+        block, mesh=mesh, in_specs=(rep, espec, espec, espec, rep, rep),
+        out_specs=rep, check_rep=False,
+    )(h, w_up, w_gate, w_down, topi, topw)

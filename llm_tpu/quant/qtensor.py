@@ -336,6 +336,31 @@ def qtensor_from_gguf(
     )
 
 
+def expert_qtensor_from_gguf(
+    raw: np.ndarray,
+    ggml_type: GGMLType,
+    ne_shape: tuple[int, ...],
+    device=None,
+    scales_dtype=np.float32,
+) -> QTensor:
+    """Stacked expert planes from a 3-D GGUF tensor ne=(K, N, E): a
+    rows-layout QTensor whose leaves carry a leading expert dim —
+    qs [E, N, K(/2)], scales/mins [E, N, K//gs]. Keeps a quantized MoE
+    model's experts at their stored bit-width in HBM instead of the dense
+    bf16 the XLA fallback needs (the analogue of ggml_mul_mat_id running
+    directly on quantized experts, ggml.h:1271)."""
+    K, N, E = (int(d) for d in ne_shape)
+    flat = qtensor_from_gguf(raw, ggml_type, (K, N * E), device=device,
+                             scales_dtype=scales_dtype, kmajor=False)
+    return QTensor(
+        qs=flat.qs.reshape(E, N, -1),
+        scales=flat.scales.reshape(E, N, -1),
+        mins=flat.mins.reshape(E, N, -1) if flat.mins is not None else None,
+        group_size=flat.group_size, ggml_type=flat.ggml_type,
+        layout=flat.layout, zp=flat.zp, pack_tk=flat.pack_tk, kmajor=False,
+    )
+
+
 def unpack_p4_np(packed: np.ndarray, pack_tk: int, zp: int) -> np.ndarray:
     """Inverse of ops.pallas_qmm.pack_p4 (numpy)."""
     lead, kh = packed.shape[:-1], packed.shape[-1]

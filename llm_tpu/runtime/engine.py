@@ -22,7 +22,8 @@ import numpy as np
 from ..models.loader import load_params
 from ..models.transformer import forward
 from .batch import Batch, sanitize, split_simple
-from .kv_cache import MAX_SEQS, CellTable, new_kv_arrays
+from .kv_cache import (MAX_SEQS, CellTable, SWACellTable, new_kv_arrays,
+                       seq_bit_planes)
 
 TOKEN_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
@@ -65,13 +66,20 @@ class Context:
         use_planes: bool = True,
         params_cfg=None,
         mesh=None,
+        swa_full: bool = False,
+        n_seq_hint: int = 1,
     ):
         """mesh: an optional jax.sharding.Mesh (axes dp/sp/tp, see
         parallel/sharding.make_mesh). When given, weights are TP-sharded,
         the KV cache is head- (and optionally cell-) sharded, and every jit
         step runs under the mesh with XLA inserting the collectives — the
         engine-level equivalent of the reference's --split-mode row
-        (llama.h:222-227, ggml-backend.h:188)."""
+        (llama.h:222-227, ggml-backend.h:188).
+
+        swa_full: give SWA layers full-size caches instead of the ISWA
+        dual-cache ring (the reference's --swa-full, llama.h:374).
+        n_seq_hint: expected concurrent sequences — sizes the SWA ring at
+        n_seq_hint * (window + n_ubatch) cells (the iswa sizing rule)."""
         t0 = time.perf_counter()
         self.reader = reader
         if params_cfg is not None:
@@ -96,7 +104,9 @@ class Context:
 
             self.n_cells = n_cells
             self.n_kv_rows = 0
+            self.n_swa_rows = 0
             self.cells = CellTable(0)
+            self.cells_swa = None
             self.kv = None
             self.rslots = RecurrentSlots(self.cfg, n_slots=min(MAX_SEQS, n_cells))
         else:
@@ -111,9 +121,32 @@ class Context:
                 n_rows = ((n_rows + sp - 1) // sp) * sp
             self.n_kv_rows = n_rows
             self.cells = CellTable(n_cells)
+
+            # ISWA dual cache: SWA layers get a small ring sized
+            # n_seq_hint * (window + n_ubatch) — the memory the reference's
+            # dual cache saves on gemma-class interleaved-SWA models.
+            self.cells_swa = None
+            self.n_swa_rows = 0
+            row_counts = None
+            cfg = self.cfg
+            if (not swa_full and cfg.swa_window > 0 and cfg.swa_pattern > 0):
+                n_swa = min(n_cells,
+                            n_seq_hint * (cfg.swa_window + n_ubatch))
+                if n_swa < n_cells:  # otherwise the ring saves nothing
+                    swa_rows = n_swa + 1
+                    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+                        sp = mesh.shape["sp"]
+                        swa_rows = ((swa_rows + sp - 1) // sp) * sp
+                    self.cells_swa = SWACellTable(n_swa, cfg.swa_window)
+                    self.n_swa_rows = swa_rows
+                    row_counts = [
+                        swa_rows if cfg.layer_is_swa(il) else n_rows
+                        for il in range(cfg.n_layers)
+                    ]
             self.kv = new_kv_arrays(
                 self.cfg.n_layers, n_rows, self.cfg.n_kv_heads,
                 self.cfg.head_dim, self.cfg.head_dim_v, self.kv_dtype,
+                row_counts=row_counts,
             )
             if mesh is not None:
                 from ..parallel.sharding import kv_shardings
@@ -144,20 +177,41 @@ class Context:
         return self.mesh if self.mesh is not None else contextlib.nullcontext()
 
     def _get_step(self, T: int, O: int):
-        key = (T, O)
+        dual = self.cells_swa is not None
+        key = (T, O, dual)
         if key in self._steps:
             return self._steps[key]
         cfg, dtype = self.cfg, self.dtype
 
-        def _step(params, kv_k, kv_v, tokens, pos, seq, widx, cpos, cbits, oidx):
-            return forward(
-                params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos, cbits,
-                oidx, dtype=dtype,
-            )
+        if dual:
+            def _step(params, kv_k, kv_v, tokens, pos, seq, widx, cpos,
+                      cbits, oidx, spos, sbits, swidx):
+                return forward(
+                    params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos,
+                    cbits, oidx, dtype=dtype, swa_cell_pos=spos,
+                    swa_cell_seq_bits=sbits, swa_write_idx=swidx,
+                )
+        else:
+            def _step(params, kv_k, kv_v, tokens, pos, seq, widx, cpos,
+                      cbits, oidx):
+                return forward(
+                    params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos,
+                    cbits, oidx, dtype=dtype,
+                )
 
         fn = jax.jit(_step, donate_argnums=(1, 2))
         self._steps[key] = fn
         return fn
+
+    def _swa_step_inputs(self, T: int, n: int, slots_swa):
+        """(spos, sbits, swidx) device metadata for the SWA ring."""
+        widx_swa = np.full(T, self.cells_swa.n_cells, np.int32)
+        widx_swa[:n] = slots_swa
+        spos = np.zeros(self.n_swa_rows, np.int32)
+        spos[: self.cells_swa.n_cells] = self.cells_swa.pos
+        b64 = np.zeros(self.n_swa_rows, np.uint64)
+        b64[: self.cells_swa.n_cells] = self.cells_swa.seq_bits
+        return spos, seq_bit_planes(b64), widx_swa
 
     # -- decode ---------------------------------------------------------------
 
@@ -179,6 +233,11 @@ class Context:
             slots = self.cells.find_slots(n)
             if slots is None:
                 return 1  # no KV slot (recoverable, llama.h decode doc)
+            slots_swa = None
+            if self.cells_swa is not None:
+                slots_swa = self.cells_swa.find_slots(n)
+                if slots_swa is None:
+                    return 1
             t0 = time.perf_counter()
 
             T = _bucket(n)
@@ -197,17 +256,26 @@ class Context:
             oidx[: len(out_rows)] = out_rows
 
             # occupy cells BEFORE the step so intra-ubatch attention sees them
-            bits = np.zeros(n, np.uint32)
+            bits = np.zeros(n, np.uint64)
             for i, ss in enumerate(ub.seq_sets):
                 for s in ss:
-                    bits[i] |= np.uint32(1) << np.uint32(s)
+                    bits[i] |= np.uint64(1) << np.uint64(s)
             self.cells.pos[slots] = ub.pos
             self.cells.seq_bits[slots] = bits
 
             cpos = np.zeros(self.n_kv_rows, np.int32)
             cpos[: self.n_cells] = self.cells.pos
-            cbits = np.zeros(self.n_kv_rows, np.uint32)
-            cbits[: self.n_cells] = self.cells.seq_bits
+            bits64 = np.zeros(self.n_kv_rows, np.uint64)
+            bits64[: self.n_cells] = self.cells.seq_bits
+            cbits = seq_bit_planes(bits64)
+
+            extra = ()
+            if slots_swa is not None:
+                self.cells_swa.pos[slots_swa] = ub.pos
+                self.cells_swa.seq_bits[slots_swa] = bits
+                spos, sbits, widx_swa = self._swa_step_inputs(T, n, slots_swa)
+                extra = (jnp.asarray(spos), jnp.asarray(sbits),
+                         jnp.asarray(widx_swa))
 
             step = self._get_step(T, O)
             try:
@@ -216,12 +284,14 @@ class Context:
                         self.params, self.kv.k, self.kv.v,
                         jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
                         jnp.asarray(widx), jnp.asarray(cpos), jnp.asarray(cbits),
-                        jnp.asarray(oidx),
+                        jnp.asarray(oidx), *extra,
                     )
             except Exception:
                 # roll back cell occupation for this ubatch (decode() failure
                 # rollback, llama-context.cpp:1015-1035)
                 self.cells.release(slots)
+                if slots_swa is not None:
+                    self.cells_swa.release(slots_swa)
                 raise
             self.kv.k, self.kv.v = new_k, new_v
 
@@ -243,17 +313,30 @@ class Context:
     # -- embedding-input decode (multimodal chunks) -------------------------------
 
     def _get_embd_step(self, T: int, O: int):
-        key = ("e", T, O)
+        dual = self.cells_swa is not None
+        key = ("e", T, O, dual)
         if key in self._steps:
             return self._steps[key]
         cfg, dtype = self.cfg, self.dtype
 
-        def _step(params, kv_k, kv_v, embd, pos, seq, widx, cpos, cbits, oidx):
-            tokens = jnp.zeros(embd.shape[0], jnp.int32)
-            return forward(
-                params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos, cbits,
-                oidx, dtype=dtype, input_embd=embd,
-            )
+        if dual:
+            def _step(params, kv_k, kv_v, embd, pos, seq, widx, cpos, cbits,
+                      oidx, spos, sbits, swidx):
+                tokens = jnp.zeros(embd.shape[0], jnp.int32)
+                return forward(
+                    params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos,
+                    cbits, oidx, dtype=dtype, input_embd=embd,
+                    swa_cell_pos=spos, swa_cell_seq_bits=sbits,
+                    swa_write_idx=swidx,
+                )
+        else:
+            def _step(params, kv_k, kv_v, embd, pos, seq, widx, cpos, cbits,
+                      oidx):
+                tokens = jnp.zeros(embd.shape[0], jnp.int32)
+                return forward(
+                    params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos,
+                    cbits, oidx, dtype=dtype, input_embd=embd,
+                )
 
         fn = jax.jit(_step, donate_argnums=(1, 2))
         self._steps[key] = fn
@@ -272,6 +355,11 @@ class Context:
         slots = self.cells.find_slots(n)
         if slots is None:
             return 1
+        slots_swa = None
+        if self.cells_swa is not None:
+            slots_swa = self.cells_swa.find_slots(n)
+            if slots_swa is None:
+                return 1
         t0 = time.perf_counter()
         T = _bucket(n)
         pos_np = np.arange(pos_start, pos_start + n, dtype=np.int32)
@@ -284,12 +372,21 @@ class Context:
         widx[:n] = slots
 
         self.cells.pos[slots] = pos_np
-        self.cells.seq_bits[slots] = np.uint32(1) << np.uint32(seq_id)
+        self.cells.seq_bits[slots] = np.uint64(1) << np.uint64(seq_id)
 
         cpos = np.zeros(self.n_kv_rows, np.int32)
         cpos[: self.n_cells] = self.cells.pos
-        cbits = np.zeros(self.n_kv_rows, np.uint32)
-        cbits[: self.n_cells] = self.cells.seq_bits
+        bits64 = np.zeros(self.n_kv_rows, np.uint64)
+        bits64[: self.n_cells] = self.cells.seq_bits
+        cbits = seq_bit_planes(bits64)
+
+        extra = ()
+        if slots_swa is not None:
+            self.cells_swa.pos[slots_swa] = pos_np
+            self.cells_swa.seq_bits[slots_swa] = np.uint64(1) << np.uint64(seq_id)
+            spos, sbits, widx_swa = self._swa_step_inputs(T, n, slots_swa)
+            extra = (jnp.asarray(spos), jnp.asarray(sbits),
+                     jnp.asarray(widx_swa))
 
         step = self._get_embd_step(T, 1)
         try:
@@ -298,10 +395,12 @@ class Context:
                     self.params, self.kv.k, self.kv.v,
                     jnp.asarray(rows, self.dtype), jnp.asarray(pos),
                     jnp.asarray(seq), jnp.asarray(widx), jnp.asarray(cpos),
-                    jnp.asarray(cbits), jnp.zeros(1, jnp.int32),
+                    jnp.asarray(cbits), jnp.zeros(1, jnp.int32), *extra,
                 )
         except Exception:
             self.cells.release(slots)
+            if slots_swa is not None:
+                self.cells_swa.release(slots_swa)
             raise
         self.kv.k, self.kv.v = new_k, new_v
         self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1e3
@@ -461,23 +560,33 @@ class Context:
         if self.rslots is not None:
             return self.rslots.seq_rm(seq_id, p0, p1)
         self.cells.seq_rm(seq_id, p0, p1)
+        if self.cells_swa is not None:
+            self.cells_swa.seq_rm(seq_id, p0, p1)
         return True
 
     def seq_cp(self, src, dst, p0=-1, p1=-1):
         if self.rslots is not None:
             return self.rslots.seq_cp(src, dst, p0, p1)
         self.cells.seq_cp(src, dst, p0, p1)
+        if self.cells_swa is not None:
+            self.cells_swa.seq_cp(src, dst, p0, p1)
 
     def seq_keep(self, seq_id):
         if self.rslots is not None:
             return self.rslots.seq_keep(seq_id)
         self.cells.seq_keep(seq_id)
+        if self.cells_swa is not None:
+            self.cells_swa.seq_keep(seq_id)
 
     def seq_add(self, seq_id, p0, p1, delta):
         self.cells.seq_add(seq_id, p0, p1, delta)
+        if self.cells_swa is not None:
+            self.cells_swa.seq_add(seq_id, p0, p1, delta)
 
     def seq_div(self, seq_id, p0, p1, d):
         self.cells.seq_div(seq_id, p0, p1, d)
+        if self.cells_swa is not None:
+            self.cells_swa.seq_div(seq_id, p0, p1, d)
 
     def seq_pos_max(self, seq_id):
         if self.rslots is not None:
@@ -489,3 +598,5 @@ class Context:
             self.rslots.clear()
         else:
             self.cells.clear()
+            if self.cells_swa is not None:
+                self.cells_swa.clear()

@@ -26,7 +26,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MAX_SEQS = 32  # seq bit-set width (uint32)
+MAX_SEQS = 64  # seq bit-set width (uint64 host-side; shipped to the device
+# as [S, 2] uint32 planes — TPUs have no 64-bit integer lanes). The
+# reference's server defaults to 256 slots but each ubatch still addresses
+# sequences through this per-cell membership set; 64 covers its practical
+# multi-slot configs (test-thread-safety runs 4-8).
+
+
+def seq_bit_planes(bits64: np.ndarray) -> np.ndarray:
+    """uint64 [S] -> uint32 [S, 2] (lo, hi) device planes."""
+    lo = (bits64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (bits64 >> np.uint64(32)).astype(np.uint32)
+    return np.stack([lo, hi], axis=1)
 
 
 @partial(
@@ -53,11 +64,16 @@ KV_QUANT_GROUP = 32
 
 
 def new_kv_arrays(n_layers, n_cells, n_kv_heads, head_dim_k, head_dim_v,
-                  dtype=jnp.bfloat16):
+                  dtype=jnp.bfloat16, row_counts=None):
     """dtype: a jnp dtype for dense caches, or the string "q8_0" for an
     int8-quantized cache (per-32-group scales along the head dim) — the
     analogue of the reference's type_k/type_v cache quantization
-    (llama-kv-cache-unified.h:64-75)."""
+    (llama-kv-cache-unified.h:64-75).
+
+    row_counts: optional per-layer cell counts (the ISWA dual cache gives
+    SWA layers a small ring, llama-kv-cache-unified-iswa.*); defaults to
+    n_cells everywhere."""
+    rows = row_counts if row_counts is not None else [n_cells] * n_layers
     if dtype == "q8_0":
 
         def mk(d):
@@ -70,15 +86,15 @@ def new_kv_arrays(n_layers, n_cells, n_kv_heads, head_dim_k, head_dim_v,
                 g = KV_QUANT_GROUP if d % KV_QUANT_GROUP == 0 else d
             return [
                 (
-                    jnp.zeros((n_cells, n_kv_heads, d), jnp.int8),
-                    jnp.zeros((n_cells, n_kv_heads, d // g), jnp.bfloat16),
+                    jnp.zeros((rows[il], n_kv_heads, d), jnp.int8),
+                    jnp.zeros((rows[il], n_kv_heads, d // g), jnp.bfloat16),
                 )
-                for _ in range(n_layers)
+                for il in range(n_layers)
             ]
 
         return KVArrays(k=mk(head_dim_k), v=mk(head_dim_v))
-    k = [jnp.zeros((n_cells, n_kv_heads, head_dim_k), dtype) for _ in range(n_layers)]
-    v = [jnp.zeros((n_cells, n_kv_heads, head_dim_v), dtype) for _ in range(n_layers)]
+    k = [jnp.zeros((rows[il], n_kv_heads, head_dim_k), dtype) for il in range(n_layers)]
+    v = [jnp.zeros((rows[il], n_kv_heads, head_dim_v), dtype) for il in range(n_layers)]
     return KVArrays(k=k, v=v)
 
 
@@ -89,7 +105,7 @@ class CellTable:
     def __init__(self, n_cells: int):
         self.n_cells = n_cells
         self.pos = np.full(n_cells, -1, np.int32)
-        self.seq_bits = np.zeros(n_cells, np.uint32)
+        self.seq_bits = np.zeros(n_cells, np.uint64)
 
     # -- queries ------------------------------------------------------------
 
@@ -101,7 +117,7 @@ class CellTable:
         return int(np.count_nonzero(self.seq_bits))
 
     def seq_mask(self, seq_id: int) -> np.ndarray:
-        return (self.seq_bits >> np.uint32(seq_id)) & 1 > 0
+        return (self.seq_bits >> np.uint64(seq_id)) & np.uint64(1) > 0
 
     def seq_pos_min(self, seq_id: int) -> int:
         m = self.seq_mask(seq_id)
@@ -125,7 +141,7 @@ class CellTable:
 
     def occupy(self, idx: np.ndarray, pos: np.ndarray, seq_ids: np.ndarray) -> None:
         self.pos[idx] = pos
-        self.seq_bits[idx] = np.uint32(1) << seq_ids.astype(np.uint32)
+        self.seq_bits[idx] = np.uint64(1) << seq_ids.astype(np.uint64)
 
     def release(self, idx: np.ndarray) -> None:
         self.pos[idx] = -1
@@ -142,17 +158,17 @@ class CellTable:
 
     def seq_rm(self, seq_id: int, p0: int = -1, p1: int = -1) -> None:
         m = self._range_mask(seq_id, p0, p1)
-        self.seq_bits[m] &= ~np.uint32(1 << seq_id)
+        self.seq_bits[m] &= ~(np.uint64(1) << np.uint64(seq_id))
         empty = m & (self.seq_bits == 0)
         self.pos[empty] = -1
 
     def seq_cp(self, src: int, dst: int, p0: int = -1, p1: int = -1) -> None:
         m = self._range_mask(src, p0, p1)
-        self.seq_bits[m] |= np.uint32(1 << dst)
+        self.seq_bits[m] |= np.uint64(1) << np.uint64(dst)
 
     def seq_keep(self, seq_id: int) -> None:
         keep = self.seq_mask(seq_id)
-        self.seq_bits[:] = np.where(keep, np.uint32(1 << seq_id), 0)
+        self.seq_bits[:] = np.where(keep, np.uint64(1) << np.uint64(seq_id), np.uint64(0))
         self.pos[~keep] = -1
 
     def seq_add(self, seq_id: int, p0: int, p1: int, delta: int) -> None:
@@ -180,3 +196,40 @@ class CellTable:
     def load_state_dict(self, d: dict) -> None:
         self.pos[:] = d["pos"]
         self.seq_bits[:] = d["seq_bits"]
+
+
+class SWACellTable(CellTable):
+    """Ring cell table for sliding-window layers (the small half of the
+    reference's ISWA dual cache, llama-kv-cache-unified-iswa.*): cells whose
+    position has slid out of every member sequence's window are pruned when
+    space is needed — exactly the cells is_masked_swa would mask anyway
+    (llama-kv-cache-unified.h:218), so pruning never changes outputs."""
+
+    def __init__(self, n_cells: int, window: int):
+        super().__init__(n_cells)
+        self.window = window
+
+    def prune(self) -> None:
+        occupied = self.seq_bits != 0
+        if not occupied.any():
+            return
+        live = np.zeros(self.n_cells, bool)
+        all_bits = np.bitwise_or.reduce(self.seq_bits)
+        for s in range(MAX_SEQS):
+            if not (int(all_bits) >> s) & 1:
+                continue
+            m = self.seq_mask(s)
+            pmax = int(self.pos[m].max())
+            # visible to some future query of seq s: qp - pos < window with
+            # qp >= pmax + 1  =>  pos > pmax + 1 - window
+            live |= m & (self.pos > pmax + 1 - self.window)
+        dead = occupied & ~live
+        self.seq_bits[dead] = 0
+        self.pos[dead] = -1
+
+    def find_slots(self, n: int):
+        r = super().find_slots(n)
+        if r is None:
+            self.prune()
+            r = super().find_slots(n)
+        return r

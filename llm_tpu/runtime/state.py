@@ -47,8 +47,14 @@ def _set_rows(cache, idx, rows_f32):
     return cache.at[idx].set(jnp.asarray(rows_f32, cache.dtype))
 
 
+def _is_swa_layer(ctx, il: int) -> bool:
+    return ctx.cells_swa is not None and ctx.cfg.layer_is_swa(il)
+
+
 def state_save(ctx, path: str, tokens: list[int] | None = None) -> None:
-    """Full context state: all occupied cells + their KV rows."""
+    """Full context state: all occupied cells + their KV rows. With the
+    ISWA dual cache, SWA layers' rows come from their own ring (saved with
+    its metadata under swa_* keys)."""
     used = np.flatnonzero(ctx.cells.seq_bits != 0).astype(np.int32)
     data = {
         "magic": np.asarray(MAGIC),
@@ -57,9 +63,15 @@ def state_save(ctx, path: str, tokens: list[int] | None = None) -> None:
         "tokens": np.asarray(tokens if tokens is not None else [], np.int32),
         "n_layers": np.asarray(ctx.cfg.n_layers),
     }
+    used_swa = used
+    if ctx.cells_swa is not None:
+        used_swa = np.flatnonzero(ctx.cells_swa.seq_bits != 0).astype(np.int32)
+        data["swa_pos"] = ctx.cells_swa.pos[used_swa]
+        data["swa_seq_bits"] = ctx.cells_swa.seq_bits[used_swa]
     for il in range(ctx.cfg.n_layers):
-        data[f"k{il}"] = _rows_to_f32(ctx.kv.k[il], used)
-        data[f"v{il}"] = _rows_to_f32(ctx.kv.v[il], used)
+        src = used_swa if _is_swa_layer(ctx, il) else used
+        data[f"k{il}"] = _rows_to_f32(ctx.kv.k[il], src)
+        data[f"v{il}"] = _rows_to_f32(ctx.kv.v[il], src)
     np.savez_compressed(path, **data)
 
 
@@ -80,9 +92,21 @@ def state_load(ctx, path: str) -> list[int]:
     ctx.cells.pos[slots] = d["pos"]
     ctx.cells.seq_bits[slots] = d["seq_bits"]
     idx = jnp.asarray(slots)
+    idx_swa = idx
+    if ctx.cells_swa is not None:
+        if "swa_pos" not in d:
+            raise ValueError("state file lacks SWA ring data for this model")
+        ns = len(d["swa_pos"])
+        slots_swa = ctx.cells_swa.find_slots(ns)
+        if slots_swa is None:
+            raise ValueError("SWA ring too small for saved state")
+        ctx.cells_swa.pos[slots_swa] = d["swa_pos"]
+        ctx.cells_swa.seq_bits[slots_swa] = d["swa_seq_bits"]
+        idx_swa = jnp.asarray(slots_swa)
     for il in range(ctx.cfg.n_layers):
-        ctx.kv.k[il] = _set_rows(ctx.kv.k[il], idx, d[f"k{il}"])
-        ctx.kv.v[il] = _set_rows(ctx.kv.v[il], idx, d[f"v{il}"])
+        dst = idx_swa if _is_swa_layer(ctx, il) else idx
+        ctx.kv.k[il] = _set_rows(ctx.kv.k[il], dst, d[f"k{il}"])
+        ctx.kv.v[il] = _set_rows(ctx.kv.v[il], dst, d[f"v{il}"])
     return [int(t) for t in d["tokens"]]
 
 
@@ -98,9 +122,17 @@ def state_seq_save(ctx, seq_id: int, path: str, tokens: list[int] | None = None)
         "tokens": np.asarray(tokens if tokens is not None else [], np.int32),
         "n_layers": np.asarray(ctx.cfg.n_layers),
     }
+    used_swa = used
+    if ctx.cells_swa is not None:
+        m2 = ctx.cells_swa.seq_mask(seq_id)
+        used_swa = np.flatnonzero(m2).astype(np.int32)
+        used_swa = used_swa[np.argsort(ctx.cells_swa.pos[used_swa],
+                                       kind="stable")]
+        data["swa_pos"] = ctx.cells_swa.pos[used_swa]
     for il in range(ctx.cfg.n_layers):
-        data[f"k{il}"] = _rows_to_f32(ctx.kv.k[il], used)
-        data[f"v{il}"] = _rows_to_f32(ctx.kv.v[il], used)
+        src = used_swa if _is_swa_layer(ctx, il) else used
+        data[f"k{il}"] = _rows_to_f32(ctx.kv.k[il], src)
+        data[f"v{il}"] = _rows_to_f32(ctx.kv.v[il], src)
     np.savez_compressed(path, **data)
 
 
@@ -119,9 +151,21 @@ def state_seq_load(ctx, seq_id: int, path: str) -> list[int]:
     if slots is None:
         raise ValueError("no KV space for sequence state")
     ctx.cells.pos[slots] = d["pos"]
-    ctx.cells.seq_bits[slots] = np.uint32(1) << np.uint32(seq_id)
+    ctx.cells.seq_bits[slots] = np.uint64(1) << np.uint64(seq_id)
     idx = jnp.asarray(slots)
+    idx_swa = idx
+    if ctx.cells_swa is not None:
+        if "swa_pos" not in d:
+            raise ValueError("state file lacks SWA ring data for this model")
+        ns = len(d["swa_pos"])
+        slots_swa = ctx.cells_swa.find_slots(ns)
+        if slots_swa is None:
+            raise ValueError("no SWA ring space for sequence state")
+        ctx.cells_swa.pos[slots_swa] = d["swa_pos"]
+        ctx.cells_swa.seq_bits[slots_swa] = np.uint64(1) << np.uint64(seq_id)
+        idx_swa = jnp.asarray(slots_swa)
     for il in range(ctx.cfg.n_layers):
-        ctx.kv.k[il] = _set_rows(ctx.kv.k[il], idx, d[f"k{il}"])
-        ctx.kv.v[il] = _set_rows(ctx.kv.v[il], idx, d[f"v{il}"])
+        dst = idx_swa if _is_swa_layer(ctx, il) else idx
+        ctx.kv.k[il] = _set_rows(ctx.kv.k[il], dst, d[f"k{il}"])
+        ctx.kv.v[il] = _set_rows(ctx.kv.v[il], dst, d[f"v{il}"])
     return [int(t) for t in d["tokens"]]

@@ -514,7 +514,7 @@ def main(argv=None):
     ctx = Context(
         reader, n_cells=args.ctx_size, n_ubatch=args.n_batch,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
-        mesh=mesh,
+        mesh=mesh, n_seq_hint=args.n_parallel,
     )
     engine = InferenceServer(ctx, tok, n_slots=args.n_parallel, n_batch=args.n_batch)
     for spec in args.lora:

@@ -459,3 +459,39 @@ def test_starcoder_bigcode(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([tokens])).logits[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_qwen2moe_quantized_expert_planes(tmp_path):
+    """Q8_0-quantized expert stacks stay quantized in HBM (stacked-expert
+    QTensor planes, loader 3-D branch) and still track the HF logits."""
+    from llm_tpu.gguf.reader import GGUFReader
+    from llm_tpu.models.loader import load_params
+    from llm_tpu.quant.qtensor import QTensor
+    from llm_tpu.tools.quantize import quantize_model
+
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        moe_intermediate_size=64, shared_expert_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False, decoder_sparse_step=1,
+    )
+    torch.manual_seed(0)
+    m = transformers.Qwen2MoeForCausalLM(cfg).eval()
+    f32 = str(tmp_path / "moe_f32.gguf")
+    q8 = str(tmp_path / "moe_q8.gguf")
+    convert_hf_llama(m, f32, arch="qwen2moe")
+    quantize_model(f32, q8, "Q8_0")
+
+    params, _ = load_params(GGUFReader(q8), dense_dtype=jnp.float32)
+    stack = params["layers"][0]["ffn_up_exps"]
+    assert isinstance(stack, QTensor) and stack.qs.ndim == 3
+    assert stack.qs.shape[0] == 4  # leading expert dim
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(q8, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=0.06, rtol=0.06)

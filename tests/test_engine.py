@@ -184,3 +184,103 @@ def test_passkey_style_long_context(tiny_gguf):
     assert np.isfinite(ctx.get_logits()).all()
     # position metadata stays contiguous-ish: max pos == n_past - 1
     assert ctx.cells.seq_pos_max(0) == n_past - 1
+
+
+def _swa_cfg(cfg):
+    """Give a synthetic llama config gemma2-style interleaved SWA."""
+    from dataclasses import replace
+
+    return replace(cfg, swa_window=8, swa_pattern=2)
+
+
+def test_iswa_dual_cache_matches_swa_full():
+    """ISWA ring (SWA layers on a small cache with pruning) must produce
+    the same logits as the full-size swa_full cache, including once the
+    ring has wrapped past its capacity (reference parity:
+    llama-kv-cache-unified-iswa.*)."""
+    from llm_tpu.models.synthetic import make_synthetic_model
+
+    params, cfg = make_synthetic_model(
+        n_embd=64, n_layers=2, n_heads=4, n_kv_heads=4, n_ff=128,
+        vocab=64, qtype=None, dtype=jnp.float32, fuse=False)
+    cfg = _swa_cfg(cfg)
+    full = Context(None, n_cells=128, dtype=jnp.float32,
+                   params_cfg=(params, cfg), swa_full=True, n_ubatch=16)
+    dual = Context(None, n_cells=128, dtype=jnp.float32,
+                   params_cfg=(params, cfg), n_ubatch=16, n_seq_hint=1)
+    assert dual.cells_swa is not None
+    assert dual.n_swa_rows < dual.n_kv_rows
+    # SWA layers (0) small, global layers (1) full-size
+    assert dual.kv.k[0].shape[0] == dual.n_swa_rows
+    assert dual.kv.k[1].shape[0] == dual.n_kv_rows
+
+    rng = np.random.default_rng(3)
+    toks = [int(t) for t in rng.integers(0, 64, size=60)]
+    for ctx in (full, dual):
+        assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
+    np.testing.assert_allclose(dual.get_logits(), full.get_logits(),
+                               atol=1e-5, rtol=1e-5)
+
+    # keep decoding one-by-one well past the ring capacity (24 cells)
+    for i in range(40):
+        t = int(rng.integers(0, 64))
+        for ctx in (full, dual):
+            assert ctx.decode(Batch.one(t, pos=len(toks) + i, seq_id=0)) == 0
+        np.testing.assert_allclose(dual.get_logits(), full.get_logits(),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_iswa_state_roundtrip():
+    from llm_tpu.models.synthetic import make_synthetic_model
+    from llm_tpu.runtime.state import state_load, state_save
+
+    params, cfg = make_synthetic_model(
+        n_embd=64, n_layers=2, n_heads=4, n_kv_heads=4, n_ff=128,
+        vocab=64, qtype=None, dtype=jnp.float32, fuse=False)
+    cfg = _swa_cfg(cfg)
+    ctx = Context(None, n_cells=128, dtype=jnp.float32,
+                  params_cfg=(params, cfg), n_ubatch=16)
+    toks = list(range(1, 20))
+    assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
+    ref = ctx.get_logits()
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "s.npz")
+    state_save(ctx, p, tokens=toks)
+
+    ctx2 = Context(None, n_cells=128, dtype=jnp.float32,
+                   params_cfg=(params, cfg), n_ubatch=16)
+    got_toks = state_load(ctx2, p)
+    assert got_toks == toks
+    for c in (ctx, ctx2):
+        assert c.decode(Batch.one(5, pos=len(toks), seq_id=0)) == 0
+    np.testing.assert_allclose(ctx2.get_logits(), ctx.get_logits(),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_seq_ids_above_32():
+    """MAX_SEQS=64: sequences 32-63 work and are isolated (uint64 bitset
+    shipped as [S, 2] uint32 planes)."""
+    from llm_tpu.runtime.kv_cache import MAX_SEQS
+
+    assert MAX_SEQS >= 64
+    from llm_tpu.models.synthetic import make_synthetic_model
+
+    params, cfg = make_synthetic_model(
+        n_embd=64, n_layers=2, n_heads=4, n_kv_heads=4, n_ff=128,
+        vocab=64, qtype=None, dtype=jnp.float32, fuse=False)
+    ctx = Context(None, n_cells=64, dtype=jnp.float32,
+                  params_cfg=(params, cfg))
+    toks = [3, 1, 4, 1, 5]
+    assert ctx.decode(Batch.text(toks, seq_id=2)) == 0
+    ref = ctx.get_logits()
+    assert ctx.decode(Batch.text(toks, seq_id=40)) == 0
+    np.testing.assert_allclose(ctx.get_logits(), ref, atol=1e-6)
+    assert ctx.decode(Batch.text([9, 9, 9], seq_id=63)) == 0
+    # high-seq decode did not disturb seq 40's state
+    assert ctx.decode(Batch.one(7, pos=len(toks), seq_id=40)) == 0
+    got40 = ctx.get_logits()
+    assert ctx.decode(Batch.one(7, pos=len(toks), seq_id=2)) == 0
+    np.testing.assert_allclose(ctx.get_logits(), got40, atol=1e-6)
+    assert ctx.seq_pos_max(63) == 2
+    ctx.seq_rm(63)
+    assert ctx.seq_pos_max(63) == -1

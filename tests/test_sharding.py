@@ -205,3 +205,51 @@ def test_context_tp_moe_ep():
                                    atol=2e-4, rtol=2e-4)
     finally:
         set_ep_mesh(None)
+
+
+def test_ep_quantized_expert_stacks_match_dense():
+    """Expert-parallel MoE with QUANTIZED stacked-expert planes: the
+    shard_map EP path must match the dense single-device computation
+    (BASELINE config 4, Mixtral-style quantized MoE)."""
+    import jax.nn
+    from llm_tpu.parallel.moe import moe_ffn_ep
+    from llm_tpu.quant.qtensor import QTensor, dequantize_qtensor
+    from llm_tpu.models.synthetic import synthetic_qtensor
+
+    rng = np.random.default_rng(5)
+    E, N, K, T, k = 8, 64, 64, 5, 2
+
+    def stack_qt(n, kk):
+        qts = [synthetic_qtensor(rng, n, kk, GGMLType.Q8_0, kmajor=False)
+               for _ in range(E)]
+        dense = np.stack([dequantize_qtensor(q) for q in qts])  # [E, n, kk]
+        qt = QTensor(
+            qs=jnp.stack([q.qs for q in qts]),
+            scales=jnp.stack([q.scales for q in qts]),
+            mins=None, group_size=qts[0].group_size,
+            ggml_type=qts[0].ggml_type, layout=qts[0].layout,
+            zp=qts[0].zp, pack_tk=qts[0].pack_tk, kmajor=False)
+        return qt, jnp.asarray(dense, jnp.float32)
+
+    up_qt, up_d = stack_qt(N, K)
+    gate_qt, gate_d = stack_qt(N, K)
+    down_qt, down_d = stack_qt(K, N)
+    h = jnp.asarray(rng.normal(size=(T, K)), jnp.float32)
+    topi = jnp.asarray(rng.integers(0, E, size=(T, k)), jnp.int32)
+    topw = jnp.asarray(rng.random((T, k)), jnp.float32)
+    act = jax.nn.silu
+
+    # dense single-device reference
+    def ref():
+        upw = up_d[topi]
+        up = jnp.einsum("td,tknd->tkn", h, upw)
+        g = act(jnp.einsum("td,tknd->tkn", h, gate_d[topi]))
+        cur = g * up
+        out = jnp.einsum("tkn,tkdn->tkd", cur, down_d[topi])
+        return jnp.sum(out * topw[..., None], axis=1)
+
+    want = np.asarray(ref())
+    mesh = make_mesh(n_tp=8)
+    got = np.asarray(moe_ffn_ep(h, up_qt, gate_qt, down_qt, topi, topw,
+                                act, mesh, "tp"))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
