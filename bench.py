@@ -31,6 +31,9 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# synthetic-weight generation: threefry is very slow for multi-GB outputs on
+# TPU; the hardware RNG is fine for benchmark weights
+jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 
 def build(cfg_kw, scales_dtype=jnp.bfloat16):

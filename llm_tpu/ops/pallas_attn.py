@@ -215,9 +215,13 @@ def flash_decode(
 
 
 def _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
-                  o_ref, acc_ref, m_ref, l_ref, *, scale, softcap,
+                  o_ref, acc_ref, m_ref, l_ref, *, g, scale, softcap,
                   s_real, sblk):
-    """One (kv-head, T-block, S-block) grid step of prefill flash attention."""
+    """One (kv-head, T-block, S-block) grid step of prefill flash attention.
+
+    All head-carrying operands arrive head-major ([Hkv, ...]) with a
+    size-1 head block, so every in-kernel view is a legal (sublane, lane)
+    tile — Mosaic requires the last two block dims be 8/128-aligned."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -226,9 +230,8 @@ def _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
         m_ref[...] = jnp.full_like(m_ref, NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    _, tblk, g, d = q_ref.shape
-    tg = tblk * g
-    dv = vh.shape[-1]
+    _, tg, d = q_ref.shape  # (1, Tblk*G, D)
+    tblk = tg // g
 
     cos = cos_ref[...].astype(jnp.float32)  # (Sblk, D)
     sin = sin_ref[...].astype(jnp.float32)
@@ -238,8 +241,8 @@ def _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
     row_i = j * sblk + jax.lax.broadcasted_iota(jnp.int32, (sblk, 1), 0)
     row_ok = row_i < s_real
 
-    qh = q_ref[0].astype(jnp.float32).reshape(tg, d)
-    qrh = qr_ref[0].astype(jnp.float32).reshape(tg, d)
+    qh = q_ref[0].astype(jnp.float32)  # (TG, D)
+    qrh = qr_ref[0].astype(jnp.float32)
     # scores = q.(k*cos) + q_rot.(k*sin) — rope folded into the dots
     s1 = jax.lax.dot_general(qh, kh * cos, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -270,28 +273,26 @@ def _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
     @pl.when(j == pl.num_programs(2) - 1)
     def _():
         denom = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0] = (acc_ref[...] / denom).reshape(tblk, g, dv)
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
 
 
 def _prefill_kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
-                    o_ref, acc_ref, m_ref, l_ref, *, scale, softcap,
+                    o_ref, acc_ref, m_ref, l_ref, *, g, scale, softcap,
                     s_real, sblk):
-    kh = k_ref[:, 0, :].astype(jnp.float32)
-    vh = v_ref[:, 0, :].astype(jnp.float32)
+    kh = k_ref[0].astype(jnp.float32)  # (Sblk, D)
+    vh = v_ref[0].astype(jnp.float32)
     _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
-                  o_ref, acc_ref, m_ref, l_ref, scale=scale,
+                  o_ref, acc_ref, m_ref, l_ref, g=g, scale=scale,
                   softcap=softcap, s_real=s_real, sblk=sblk)
 
 
 def _prefill_kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
                        cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                       scale, softcap, s_real, sblk):
-    kh = (k_ref[:, 0, :].astype(jnp.float32)
-          * ks_ref[:, 0, :].astype(jnp.float32))
-    vh = (v_ref[:, 0, :].astype(jnp.float32)
-          * vs_ref[:, 0, :].astype(jnp.float32))
+                       g, scale, softcap, s_real, sblk):
+    kh = k_ref[0].astype(jnp.float32) * ks_ref[0].astype(jnp.float32)
+    vh = v_ref[0].astype(jnp.float32) * vs_ref[0].astype(jnp.float32)
     _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
-                  o_ref, acc_ref, m_ref, l_ref, scale=scale,
+                  o_ref, acc_ref, m_ref, l_ref, g=g, scale=scale,
                   softcap=softcap, s_real=s_real, sblk=sblk)
 
 
@@ -330,20 +331,25 @@ def flash_prefill(
     assert T % tblk == 0
     grid = (Hkv, T // tblk, pl.cdiv(S, sblk))
 
-    # [T, H, D] -> [Hkv, T, G, D] (heads are kv-major: h = h_kv*G + g)
-    qx = q.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3)
-    qrx = q_rot.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3)
+    # head-major operands so each grid step sees (sublane, lane) tiles:
+    # q: [T, H, D] -> [Hkv, T*G, D] (heads are kv-major: h = h_kv*G + g);
+    # k/v: [S, Hkv, D] -> [Hkv, S, D]. The transposes are O(S*D) copies,
+    # amortized over the O(T*S*D) attention FLOPs of prefill.
+    qx = q.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3).reshape(Hkv, T * G, D)
+    qrx = q_rot.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3).reshape(Hkv, T * G, D)
+    kx = jnp.swapaxes(kq, 0, 1)
+    vx = jnp.swapaxes(vq, 0, 1)
 
     kfn = _prefill_kernel_q8 if quantized else _prefill_kernel
     kernel = functools.partial(
-        kfn, scale=scale, softcap=softcap, s_real=S, sblk=sblk)
-    qspec = pl.BlockSpec((1, tblk, G, D), lambda h, i, j: (h, i, 0, 0),
+        kfn, g=G, scale=scale, softcap=softcap, s_real=S, sblk=sblk)
+    qspec = pl.BlockSpec((1, tblk * G, D), lambda h, i, j: (h, i, 0),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((sblk, 1, D), lambda h, i, j: (j, h, 0),
+    kspec = pl.BlockSpec((1, sblk, D), lambda h, i, j: (h, j, 0),
                          memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((sblk, 1, Dv), lambda h, i, j: (j, h, 0),
+    vspec = pl.BlockSpec((1, sblk, Dv), lambda h, i, j: (h, j, 0),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((sblk, 1, 1), lambda h, i, j: (j, h, 0),
+    sspec = pl.BlockSpec((1, sblk, 1), lambda h, i, j: (h, j, 0),
                          memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((sblk, D), lambda h, i, j: (j, 0),
                          memory_space=pltpu.VMEM)
@@ -352,18 +358,19 @@ def flash_prefill(
     if quantized:
         in_specs = [qspec, qspec, bspec, kspec, sspec, vspec, sspec,
                     tspec, tspec]
-        args = (qx, qrx, bias, kq, ks, vq, vs, cos, sin)
+        args = (qx, qrx, bias, kx, jnp.swapaxes(ks, 0, 1), vx,
+                jnp.swapaxes(vs, 0, 1), cos, sin)
     else:
         in_specs = [qspec, qspec, bspec, kspec, vspec, tspec, tspec]
-        args = (qx, qrx, bias, kq, vq, cos, sin)
+        args = (qx, qrx, bias, kx, vx, cos, sin)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tblk, G, Dv), lambda h, i, j: (h, i, 0, 0),
+        out_specs=pl.BlockSpec((1, tblk * G, Dv), lambda h, i, j: (h, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hkv, T, G, Dv), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Hkv, T * G, Dv), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tblk * G, Dv), jnp.float32),
             pltpu.VMEM((tblk * G, 1), jnp.float32),
@@ -382,7 +389,7 @@ def flash_prefill(
         interpret=interpret,
     )(*args)
     # (Hkv, T, G, Dv) -> (T, H, Dv)
-    return out.transpose(1, 0, 2, 3).reshape(T, H, Dv)
+    return out.reshape(Hkv, T, G, Dv).transpose(1, 0, 2, 3).reshape(T, H, Dv)
 
 
 def rope_companion(q: jnp.ndarray, mode: int) -> jnp.ndarray:

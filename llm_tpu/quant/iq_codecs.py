@@ -675,3 +675,176 @@ DEQUANTIZE = {
     GGMLType.TQ1_0: dequantize_tq1_0,
     GGMLType.TQ2_0: dequantize_tq2_0,
 }
+
+
+# ---------------------------------------------------------------------------
+# Plane decomposition (int8 q + per-group scales) for the fused TPU kernel.
+#
+# Every IQ/TQ value is scale * integer (codebook entries, sign-multiplied
+# grids, trits; IQ1's +-0.125 delta folds in exactly via q=8*grid+-1 and
+# scale/8 — powers of two keep f32 products bit-identical). This keeps
+# sub-4-bit checkpoints on the fused plane path at 8 bits/weight in HBM
+# (the reference runs fused vec_dots for every type, ggml-cuda/vecdotq.cuh)
+# instead of a dense bf16 expansion at load.
+# ---------------------------------------------------------------------------
+
+
+def planes_iq2_xxs(raw: np.ndarray):
+    b = _u8(raw, 66)
+    B = b.shape[0]
+    d = _read_f16(b[:, 0:2])
+    body = b[:, 2:].reshape(B, 8, 8)
+    idx = body[:, :, 0:4].astype(np.int64)
+    sig = _u32(body[:, :, 4:8].reshape(B, 8, 4)).reshape(B, 8)
+    db = (0.5 + (sig >> 28).astype(np.float32)) * 0.25 * d[:, None]
+    s7 = (sig[:, :, None] >> (7 * np.arange(4))[None, None, :]) & 127
+    vals = GRID_IQ2XXS[idx] * KSIGN_MULT[s7]
+    return vals.reshape(B, QK_K).astype(np.int8), db, None, 32
+
+
+def planes_iq2_xs(raw: np.ndarray):
+    b = _u8(raw, 74)
+    B = b.shape[0]
+    d = _read_f16(b[:, 0:2])
+    qs = _u16(b[:, 2:66]).reshape(B, 8, 4)
+    scales = b[:, 66:74].astype(np.int64)
+    nib = np.stack([scales & 0xF, scales >> 4], axis=-1).astype(np.float32)
+    db = (0.5 + nib) * 0.25 * d[:, None, None]  # (B, 8, 2): one per 16
+    vals = GRID_IQ2XS[qs & 511] * KSIGN_MULT[qs >> 9]
+    return (vals.reshape(B, QK_K).astype(np.int8),
+            db.reshape(B, 16), None, 16)
+
+
+def planes_iq2_s(raw: np.ndarray):
+    b = _u8(raw, 82)
+    B = b.shape[0]
+    d = _read_f16(b[:, 0:2])
+    qs = b[:, 2:34].astype(np.int64).reshape(B, 8, 4)
+    signs = b[:, 34:66].astype(np.int64).reshape(B, 8, 4)
+    qh = b[:, 66:74].astype(np.int64)
+    scales = b[:, 74:82].astype(np.int64)
+    idx = qs | ((qh[:, :, None] << (8 - 2 * np.arange(4))[None, None, :]) & 0x300)
+    smult = np.where(
+        (signs[..., None] >> np.arange(8)[None, None, None, :]) & 1, -1.0, 1.0
+    ).astype(np.float32)
+    nib = np.stack([scales & 0xF, scales >> 4], axis=-1).astype(np.float32)
+    db = (0.5 + nib) * 0.25 * d[:, None, None]
+    vals = GRID_IQ2S[idx] * smult
+    return (vals.reshape(B, QK_K).astype(np.int8),
+            db.reshape(B, 16), None, 16)
+
+
+def planes_iq3_xxs(raw: np.ndarray):
+    b = _u8(raw, 98)
+    B = b.shape[0]
+    d = _read_f16(b[:, 0:2])
+    qs = b[:, 2:66].astype(np.int64).reshape(B, 8, 8)
+    sas = _u32(b[:, 66:98]).reshape(B, 8)
+    db = (0.5 + (sas >> 28).astype(np.float32)) * 0.5 * d[:, None]
+    s7 = (sas[:, :, None] >> (7 * np.arange(4))[None, None, :]) & 127
+    vals = GRID_IQ3XXS[qs].reshape(B, 8, 4, 8) * KSIGN_MULT[s7]
+    return vals.reshape(B, QK_K).astype(np.int8), db, None, 32
+
+
+def planes_iq3_s(raw: np.ndarray):
+    b = _u8(raw, 110)
+    B = b.shape[0]
+    d = _read_f16(b[:, 0:2])
+    qs = b[:, 2:66].astype(np.int64).reshape(B, 8, 8)
+    qh = b[:, 66:74].astype(np.int64)
+    signs = b[:, 74:106].astype(np.int64).reshape(B, 8, 4)
+    scales = b[:, 106:110].astype(np.int64)
+    idx = qs | (((qh[:, :, None] >> np.arange(8)[None, None, :]) & 1) << 8)
+    vals = GRID_IQ3S[idx].reshape(B, 8, 4, 8)
+    smult = np.where(
+        (signs[..., None] >> np.arange(8)[None, None, None, :]) & 1, -1.0, 1.0
+    ).astype(np.float32)
+    nib = np.stack([scales & 0xF, scales >> 4], axis=-1).reshape(B, 8)
+    db = (1.0 + 2.0 * nib.astype(np.float32)) * d[:, None]
+    return ((vals * smult).reshape(B, QK_K).astype(np.int8), db, None, 32)
+
+
+def planes_iq1_s(raw: np.ndarray):
+    b = _u8(raw, 50)
+    B = b.shape[0]
+    d = _read_f16(b[:, 0:2])
+    qs = b[:, 2:34].astype(np.int64).reshape(B, 8, 4)
+    qh = _u16(b[:, 34:50]).reshape(B, 8)
+    dl = (2.0 * ((qh >> 12) & 7).astype(np.float32) + 1.0) * d[:, None]
+    delta8 = np.where(qh & 0x8000, -1.0, 1.0).astype(np.float32)  # 8*delta
+    idx = qs | (((qh[:, :, None] >> (3 * np.arange(4))[None, None, :]) & 7) << 8)
+    q = 8.0 * GRID_IQ1S[idx] + delta8[:, :, None, None]
+    return q.reshape(B, QK_K).astype(np.int8), dl * 0.125, None, 32
+
+
+def planes_iq1_m(raw: np.ndarray):
+    b = _u8(raw, 56)
+    B = b.shape[0]
+    qs = b[:, 0:32].astype(np.int64).reshape(B, 8, 4)
+    qh = b[:, 32:48].astype(np.int64).reshape(B, 8, 2)
+    sc = _u16(b[:, 48:56]).reshape(B, 4)
+    du16 = (
+        (sc[:, 0] >> 12)
+        | ((sc[:, 1] >> 8) & 0x00F0)
+        | ((sc[:, 2] >> 4) & 0x0F00)
+        | (sc[:, 3] & 0xF000)
+    )
+    d = du16.astype("<u2").view("<f2").astype(np.float32)
+    ib = np.arange(8)
+    scw = sc[:, ib // 2]
+    dl1 = 2.0 * ((scw >> (6 * (ib % 2))) & 7).astype(np.float32) + 1.0
+    dl2 = 2.0 * ((scw >> (6 * (ib % 2) + 3)) & 7).astype(np.float32) + 1.0
+    dl = np.stack([dl1, dl1, dl2, dl2], axis=-1) * d[:, None, None]  # (B,8,4)
+    idx = np.empty((B, 8, 4), np.int64)
+    idx[:, :, 0] = qs[:, :, 0] | ((qh[:, :, 0] << 8) & 0x700)
+    idx[:, :, 1] = qs[:, :, 1] | ((qh[:, :, 0] << 4) & 0x700)
+    idx[:, :, 2] = qs[:, :, 2] | ((qh[:, :, 1] << 8) & 0x700)
+    idx[:, :, 3] = qs[:, :, 3] | ((qh[:, :, 1] << 4) & 0x700)
+    hbit = np.stack(
+        [qh[:, :, 0] & 0x08, qh[:, :, 0] & 0x80, qh[:, :, 1] & 0x08, qh[:, :, 1] & 0x80],
+        axis=-1,
+    )
+    delta8 = np.where(hbit != 0, -1.0, 1.0).astype(np.float32)
+    q = 8.0 * GRID_IQ1S[idx] + delta8[..., None]
+    # scale granularity: one dl per 8 values (word) -> gs = 8
+    return (q.reshape(B, QK_K).astype(np.int8),
+            (dl * 0.125).reshape(B, 32), None, 8)
+
+
+def planes_tq1_0(raw: np.ndarray):
+    b = _u8(raw, 54)
+    B = b.shape[0]
+    qs = b[:, 0:48]
+    qh = b[:, 48:52]
+    d = _read_f16(b[:, 52:54])
+    q = np.empty((B, QK_K), np.int8)
+    t = _trits_decode(qs[:, 0:32], 5)
+    q[:, 0:160] = np.moveaxis(t, -1, 1).reshape(B, 160)
+    t = _trits_decode(qs[:, 32:48], 5)
+    q[:, 160:240] = np.moveaxis(t, -1, 1).reshape(B, 80)
+    t = _trits_decode(qh, 4)
+    q[:, 240:256] = np.moveaxis(t, -1, 1).reshape(B, 16)
+    return q, d.reshape(B, 1), None, QK_K
+
+
+def planes_tq2_0(raw: np.ndarray):
+    b = _u8(raw, 66)
+    B = b.shape[0]
+    qs = b[:, 0:64].reshape(B, 2, 32)
+    d = _read_f16(b[:, 64:66])
+    shifts = (2 * np.arange(4))[None, None, :, None]
+    q = (((qs[:, :, None, :] >> shifts) & 3).astype(np.int8) - 1)
+    return q.reshape(B, QK_K), d.reshape(B, 1), None, QK_K
+
+
+PLANE_FNS = {
+    "IQ2_XXS": planes_iq2_xxs,
+    "IQ2_XS": planes_iq2_xs,
+    "IQ2_S": planes_iq2_s,
+    "IQ3_XXS": planes_iq3_xxs,
+    "IQ3_S": planes_iq3_s,
+    "IQ1_S": planes_iq1_s,
+    "IQ1_M": planes_iq1_m,
+    "TQ1_0": planes_tq1_0,
+    "TQ2_0": planes_tq2_0,
+}

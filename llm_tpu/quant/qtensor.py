@@ -230,6 +230,12 @@ def planes_from_raw(raw: np.ndarray, ggml_type: GGMLType, n_per_row: int):
         scales = d * ls.astype(np.float32)
         return q, scales, None, 32
 
+    from .iq_codecs import PLANE_FNS
+
+    fn = PLANE_FNS.get(t.name)
+    if fn is not None:  # IQ1/IQ2/IQ3/TQ sub-4-bit formats
+        return fn(raw)
+
     raise ValueError(f"no plane unpacker for {t.name}")
 
 
@@ -248,6 +254,12 @@ _PACK4 = {
     GGMLType.Q4_0: 8,  # planes hold q-8 in [-8, 7] -> re-bias by 8
     GGMLType.Q4_1: 0,
     GGMLType.Q4_K: 0,
+    # linear sub-4-bit types whose plane values fit a nibble after re-bias:
+    # stored nibble-packed so a 2-bit model reads 4 bits/weight, not 8
+    GGMLType.Q2_K: 0,   # values 0..3
+    GGMLType.Q3_K: 4,   # values -4..3
+    GGMLType.TQ1_0: 1,  # trits -1..1
+    GGMLType.TQ2_0: 1,
 }
 
 
@@ -403,10 +415,16 @@ def unpack_p4_kmajor_np(packed: np.ndarray, pack_tk: int, zp: int) -> np.ndarray
 
 
 def supported_plane_types() -> list[GGMLType]:
+    """Every stored quant type decodes to fused-kernel planes: linear 4-bit
+    types nibble-pack (p4); codebook IQ types carry sign-folded int8 grid
+    values; ternary packs to nibbles. Nothing falls back to dense bf16."""
     return [
         GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
         GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
         GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS,
+        GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+        GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+        GGMLType.TQ1_0, GGMLType.TQ2_0,
     ]
 
 

@@ -503,6 +503,12 @@ def main(argv=None):
                          "or a Jinja source string")
     ap.add_argument("--lora", action="append", default=[],
                     help="LoRA adapter GGUF (repeatable); optional :scale suffix")
+    ap.add_argument("-md", "--model-draft", default=None,
+                    help="draft model GGUF: per-slot speculative decoding")
+    ap.add_argument("--draft-max", type=int, default=8,
+                    help="max draft tokens per step (llama-server --draft-max)")
+    ap.add_argument("--lookup-ngram", action="store_true",
+                    help="draft from prompt n-gram stats (no draft model)")
     from ..tools.mesh_args import add_mesh_args, mesh_from_args
 
     add_mesh_args(ap)
@@ -516,7 +522,17 @@ def main(argv=None):
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         mesh=mesh, n_seq_hint=args.n_parallel,
     )
-    engine = InferenceServer(ctx, tok, n_slots=args.n_parallel, n_batch=args.n_batch)
+    draft_ctx = None
+    if args.model_draft:
+        draft_ctx = Context(
+            GGUFReader(args.model_draft), n_cells=args.ctx_size,
+            n_ubatch=args.n_batch,
+            dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        )
+    engine = InferenceServer(ctx, tok, n_slots=args.n_parallel,
+                             n_batch=args.n_batch, draft_ctx=draft_ctx,
+                             n_draft=args.draft_max,
+                             lookup_ngram=args.lookup_ngram)
     for spec in args.lora:
         from ..models.lora import attach_lora, load_lora_gguf
 

@@ -60,6 +60,10 @@ class Slot:
     text_tail: str = ""
     t_start_prompt: float = 0.0
     t_first_token: float = 0.0
+    # speculative decoding state (per-slot draft, server.cpp:2069-2077)
+    n_draft_past: int = 0  # draft-model KV depth for this slot's seq
+    ngram: object = None  # per-slot NgramCache (lookup drafting)
+    ngram_done: int = 0  # cache_tokens prefix already folded into ngram
 
 
 def common_prefix_len(a: list[int], b: list[int]) -> int:
@@ -72,11 +76,22 @@ def common_prefix_len(a: list[int], b: list[int]) -> int:
 
 
 class InferenceServer:
-    def __init__(self, ctx, tok, n_slots: int = 4, n_batch: int = 256):
+    def __init__(self, ctx, tok, n_slots: int = 4, n_batch: int = 256,
+                 draft_ctx=None, n_draft: int = 8, lookup_ngram: bool = False):
+        """draft_ctx: a Context over a small draft model — enables per-slot
+        speculative decoding (the reference's server speculation,
+        server.cpp:2069-2077,3062): each generation step proposes up to
+        n_draft tokens, the target verifies them in ONE batched decode and
+        accepts the longest matching prefix. lookup_ngram: draft from
+        prompt n-gram statistics instead (no draft model,
+        common/ngram-cache.h)."""
         self.ctx = ctx
         self.tok = tok
         self.n_slots = n_slots
         self.n_batch = n_batch
+        self.draft_ctx = draft_ctx
+        self.n_draft = n_draft
+        self.lookup_ngram = lookup_ngram
         self.slots = [Slot(id=i) for i in range(n_slots)]
         self.tasks: queue.Queue[GenTask] = queue.Queue()
         self._next_task_id = 0
@@ -93,6 +108,8 @@ class InferenceServer:
             "tokens_predicted_total": 0,
             "tokens_prompt_total": 0,
             "busy_slots": 0,
+            "draft_proposed_total": 0,
+            "draft_accepted_total": 0,
         }
 
     # -- public API -----------------------------------------------------------
@@ -124,6 +141,11 @@ class InferenceServer:
             except queue.Empty:
                 return
             if task.cancelled:
+                # still notify the waiting client (a task cancelled while
+                # queued must not strand its consumer)
+                task.events.put({"done": True, "stop_reason": "cancelled",
+                                 "n_prompt": len(task.prompt_tokens),
+                                 "n_decoded": 0})
                 continue
             # prompt-prefix reuse (server.cpp prompt caching)
             prefix = common_prefix_len(slot.cache_tokens, task.prompt_tokens)
@@ -144,6 +166,15 @@ class InferenceServer:
             for t in task.prompt_tokens[:prefix]:
                 slot.chain.accept(t)
             slot.t_start_prompt = time.time()
+            if self.draft_ctx is not None:
+                keep = min(prefix, slot.n_draft_past)
+                self.draft_ctx.seq_rm(slot.id, keep, -1)
+                slot.n_draft_past = keep
+            if self.lookup_ngram:
+                from ..runtime.speculative import NgramCache
+
+                slot.ngram = NgramCache()
+                slot.ngram_done = 0
 
     def _finish(self, slot: Slot, reason: str):
         task = slot.task
@@ -182,24 +213,58 @@ class InferenceServer:
         elif task.cancelled:
             self._finish(slot, "cancelled")
 
+    def _gen_draft(self, slot: Slot) -> list[int]:
+        """Draft-token proposal for a generating slot (draft model or
+        n-gram lookup). Leaves the draft model's KV pruned back to the
+        confirmed context so the next proposal starts clean."""
+        if self.draft_ctx is not None:
+            from ..runtime.speculative import gen_draft_tokens
+
+            ctxt = slot.cache_tokens
+            draft = gen_draft_tokens(
+                self.draft_ctx, None, ctxt, slot.n_draft_past,
+                self.n_draft, seq_id=slot.id)
+            # drop the draft model's own speculative cells
+            self.draft_ctx.seq_rm(slot.id, len(ctxt), -1)
+            slot.n_draft_past = len(ctxt)
+            return draft
+        if self.lookup_ngram and slot.ngram is not None:
+            # fold newly confirmed tokens into the per-slot n-gram stats
+            toks = slot.cache_tokens
+            if slot.ngram_done < len(toks):
+                start = max(0, slot.ngram_done - slot.ngram.MAX_N)
+                slot.ngram.update(toks[start:])
+                slot.ngram_done = len(toks)
+            return slot.ngram.draft(toks, self.n_draft)
+        return []
+
     def _update_slots(self) -> bool:
         """One iteration of the continuous-batching loop; returns True if any
         work was done."""
         self._assign_tasks()
         batch = Batch()
-        entries: list[tuple[Slot, int, str]] = []  # (slot, batch index, kind)
+        # (slot, [batch indices], kind, draft tokens)
+        entries: list[tuple[Slot, list[int], str, list[int]]] = []
         # snapshot for rollback on KV-full (decode() failure rollback,
         # llama-context.cpp:1015-1035 analogue at the slot level)
         snap = {
             s.id: (s.n_prompt_done, len(s.cache_tokens)) for s in self.slots
         }
+        spec = self.draft_ctx is not None or self.lookup_ngram
 
-        # generation slots first: one token each
+        # generation slots first: one token each (+ draft tokens to verify)
         for slot in self.slots:
             if slot.state == SlotState.GENERATING:
                 pos = len(slot.cache_tokens) - 1
+                draft = self._gen_draft(slot) if spec else []
+                if draft:
+                    self.metrics["draft_proposed_total"] += len(draft)
                 batch.add(slot.cache_tokens[-1], pos, (slot.id,), logits=True)
-                entries.append((slot, len(batch) - 1, "gen"))
+                idxs = [len(batch) - 1]
+                for j, t in enumerate(draft):
+                    batch.add(t, pos + 1 + j, (slot.id,), logits=True)
+                    idxs.append(len(batch) - 1)
+                entries.append((slot, idxs, "gen", draft))
 
         # prompt-processing slots: fill remaining budget
         budget = self.n_batch - len(batch)
@@ -215,7 +280,7 @@ class InferenceServer:
                 need_logits = last and i == take - 1
                 batch.add(t, pos, (slot.id,), logits=need_logits)
                 if need_logits:
-                    entries.append((slot, len(batch) - 1, "prompt_end"))
+                    entries.append((slot, [len(batch) - 1], "prompt_end", []))
             slot.n_prompt_done += take
             slot.cache_tokens.extend(remaining[:take])
             self.metrics["tokens_prompt_total"] += take
@@ -227,7 +292,8 @@ class InferenceServer:
         with self.ctx_lock:
             rc = self.ctx.decode(batch)
             logits_by_entry = (
-                {bi: self.ctx.get_logits(bi) for _, bi, _ in entries}
+                {bi: self.ctx.get_logits(bi)
+                 for _, idxs, _, _ in entries for bi in idxs}
                 if rc == 0 else {}
             )
         if rc == 1:
@@ -254,13 +320,33 @@ class InferenceServer:
         if rc != 0:
             raise RuntimeError(f"decode failed rc={rc}")
 
-        for slot, bi, kind in entries:
+        for slot, idxs, kind, draft in entries:
             if slot.task is None:
                 continue
-            logits = logits_by_entry[bi]
             if kind == "prompt_end":
                 slot.state = SlotState.GENERATING
-            self._sample_token(slot, logits)
+                self._sample_token(slot, logits_by_entry[idxs[0]])
+                continue
+            # generation: sample at the last token, then verify each draft
+            # position — accept while the target samples the drafted token
+            # (server.cpp:3062 verify loop)
+            pos = len(slot.cache_tokens) - 1  # position of idxs[0]'s token
+            n_acc = 0
+            for i, bi in enumerate(idxs):
+                if slot.task is None:
+                    break
+                self._sample_token(slot, logits_by_entry[bi])
+                tid = slot.cache_tokens[-1]
+                if i < len(draft) and tid == draft[i] and slot.task is not None:
+                    n_acc += 1
+                    continue
+                break
+            if draft:
+                self.metrics["draft_accepted_total"] += n_acc
+                # drop KV cells of the rejected draft tail (cells were
+                # written at pos+1 .. pos+len(draft) by this decode)
+                if n_acc < len(draft):
+                    self.ctx.seq_rm(slot.id, pos + 1 + n_acc, -1)
         return True
 
     def _run(self):

@@ -97,3 +97,35 @@ def test_qembed_p4_rows():
     got = np.asarray(qmatmul.qembed(qt, ids, dtype=jnp.float32))
     want = dequantize_qtensor(qt)[np.asarray(ids)]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("qtype", [
+    GGMLType.IQ2_XXS, GGMLType.IQ2_S, GGMLType.IQ3_S, GGMLType.IQ1_S,
+    GGMLType.IQ1_M, GGMLType.TQ1_0, GGMLType.TQ2_0, GGMLType.Q2_K,
+    GGMLType.Q3_K,
+], ids=lambda t: t.name)
+def test_sub4bit_planes_through_kernel(qtype):
+    """Sub-4-bit formats run the fused kernel (interpret mode) and match the
+    exact codec dequant matmul — no dense bf16 fallback."""
+    from llm_tpu.ops.qmatmul import qmm, set_backend
+    from llm_tpu.quant import codecs
+    from llm_tpu.quant.qtensor import qtensor_from_gguf
+
+    rng = np.random.default_rng(11)
+    K, N, B = 512, 128, 3
+    w = rng.normal(size=(N, K)).astype(np.float32)
+    raw = codecs.quantize(w, qtype)
+    qt = qtensor_from_gguf(raw, qtype, (K, N))
+    if qtype in (GGMLType.Q2_K, GGMLType.Q3_K,
+                 GGMLType.TQ1_0, GGMLType.TQ2_0):
+        assert qt.layout == "p4"  # nibble-packed: 4 bits/weight in HBM
+    wd = codecs.dequantize(raw, qtype, K).reshape(N, K)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    want = x @ wd.T
+
+    set_backend("pallas", interpret=True)
+    try:
+        got = np.asarray(qmm(jnp.asarray(x), qt, dtype=jnp.float32))
+    finally:
+        set_backend("auto")
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -280,3 +280,161 @@ def test_chat_completions_with_tools(client):
         # random-weight model won't emit a call; the schema must still hold
         assert "content" in msg or "tool_calls" in msg
     asyncio.run(_with_client(client, run))
+
+
+def _greedy_reference(path, prompt, n):
+    """Greedy tokens via a plain Context (no server, no speculation)."""
+    reader = GGUFReader(path)
+    tok = tokenizer_from_gguf(reader)
+    ctx = Context(reader, n_cells=256, dtype=jnp.float32)
+    from llm_tpu.runtime.batch import Batch
+
+    toks = tok.encode(prompt, add_special=True)
+    assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
+    out = []
+    pos = len(toks)
+    for _ in range(n):
+        t = int(np.argmax(ctx.get_logits()))
+        out.append(t)
+        if tok.vocab.is_eog(t):
+            break
+        assert ctx.decode(Batch.one(t, pos=pos, seq_id=0)) == 0
+        pos += 1
+    return toks, out
+
+
+@pytest.fixture(scope="module")
+def spec_paths(tmp_path_factory):
+    """Target + draft GGUFs. The draft IS the target model, so greedy
+    drafts always verify — exercising the full accept path."""
+    model = _tiny_hf_llama(hidden=64, layers=2, vocab=97)
+    d = tmp_path_factory.mktemp("spec")
+    path = str(d / "target.gguf")
+    convert_hf_llama(model, path, vocab=_test_vocab(97))
+    return path
+
+
+def _spec_engine(path, **kw):
+    reader = GGUFReader(path)
+    tok = tokenizer_from_gguf(reader)
+    ctx = Context(reader, n_cells=256, n_ubatch=64, dtype=jnp.float32)
+    eng = InferenceServer(ctx, tok, n_slots=2, n_batch=64, **kw)
+    eng.start()
+    return eng
+
+
+def test_server_speculative_draft_model(spec_paths):
+    """Per-slot draft-model speculation (server.cpp:2069-2077): greedy
+    output must be IDENTICAL to non-speculative greedy decoding, and with
+    draft == target every draft token must be accepted."""
+    path = spec_paths
+    _, want = _greedy_reference(path, "the quick brown", 10)
+
+    draft_ctx = Context(GGUFReader(path), n_cells=256, dtype=jnp.float32)
+    eng = _spec_engine(path, draft_ctx=draft_ctx, n_draft=4)
+    try:
+        toks = eng.tok.encode("the quick brown", add_special=True)
+        task = eng.submit(GenTask(prompt_tokens=toks,
+                                  params=SamplingParams(temp=0.0),
+                                  n_predict=10))
+        pieces, meta = _drain(task)
+        got = [p["token"] for p in pieces]
+        assert got == [t for t in want if not eng.tok.vocab.is_eog(t)]
+        assert eng.metrics["draft_proposed_total"] > 0
+        # draft == target => every draft token accepted, except a final
+        # round truncated by n_predict/eos
+        assert (eng.metrics["draft_accepted_total"]
+                >= eng.metrics["draft_proposed_total"] - eng.n_draft)
+        assert eng.metrics["draft_accepted_total"] > 0
+
+        # second request reuses the slot (prefix cache + draft reset path)
+        task2 = eng.submit(GenTask(prompt_tokens=toks,
+                                   params=SamplingParams(temp=0.0),
+                                   n_predict=10))
+        pieces2, _ = _drain(task2)
+        assert [p["token"] for p in pieces2] == got
+    finally:
+        eng.stop()
+
+
+def test_server_speculative_ngram(spec_paths):
+    """N-gram lookup drafting: output identical to plain greedy decoding
+    even when drafts mispredict (rejected tails must leave the KV cache
+    consistent)."""
+    path = spec_paths
+    prompt = "the quick brown fox jumps over the quick brown fox jumps"
+    _, want = _greedy_reference(path, prompt, 12)
+
+    eng = _spec_engine(path, lookup_ngram=True, n_draft=4)
+    try:
+        toks = eng.tok.encode(prompt, add_special=True)
+        task = eng.submit(GenTask(prompt_tokens=toks,
+                                  params=SamplingParams(temp=0.0),
+                                  n_predict=12))
+        pieces, meta = _drain(task)
+        got = [p["token"] for p in pieces]
+        assert got == [t for t in want if not eng.tok.vocab.is_eog(t)]
+    finally:
+        eng.stop()
+
+
+def test_server_thread_safety_stress(spec_paths):
+    """Concurrent clients x slots x mid-stream cancel (the reference's
+    test-thread-safety.cpp analogue): many threads submit/cancel tasks
+    against a 2-slot engine; greedy results must stay deterministic and
+    the engine must end idle with no stuck tasks."""
+    import threading
+
+    path = spec_paths
+    eng = _spec_engine(path)
+    try:
+        toks = eng.tok.encode("the quick brown", add_special=True)
+        warm = eng.submit(GenTask(prompt_tokens=toks,
+                                  params=SamplingParams(temp=0.0),
+                                  n_predict=6))
+        pieces, _ = _drain(warm)
+        want_tokens = [p["token"] for p in pieces]
+        errors: list[str] = []
+
+        def client(i):
+            try:
+                for r in range(3):
+                    task = eng.submit(GenTask(
+                        prompt_tokens=toks, params=SamplingParams(temp=0.0),
+                        n_predict=6))
+                    if i % 3 == 2 and r == 1:
+                        task.cancel()  # mid-flight cancellation
+                        # drain whatever comes until done
+                        while not task.events.get(timeout=120).get("done"):
+                            pass
+                        continue
+                    pieces, meta = _drain(task)
+                    got = [p["token"] for p in pieces]
+                    if meta["stop_reason"] not in ("length", "eos",
+                                                   "cancelled"):
+                        errors.append(f"bad stop {meta}")
+                    elif meta["stop_reason"] != "cancelled" \
+                            and got != want_tokens:
+                        errors.append(f"client {i} run {r}: {got} != "
+                                      f"{want_tokens}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"client {i}: {e!r}")
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not any(t.is_alive() for t in threads), "stuck client threads"
+        assert not errors, errors[:5]
+        # engine drains to idle
+        import time as _time
+
+        for _ in range(100):
+            if all(s.state.name == "IDLE" for s in eng.slots):
+                break
+            _time.sleep(0.1)
+        assert all(s.state.name == "IDLE" for s in eng.slots)
+    finally:
+        eng.stop()
