@@ -83,6 +83,25 @@ _HF_STARCODER2_MAP = {
     "mlp.c_proj.bias": "ffn_down.bias",
 }
 
+# glm4 "sandwich" norms: post_self_attn -> attn_post_norm (after attention,
+# before residual); post_attention -> ffn_norm (pre-MLP); post_mlp ->
+# ffn_post_norm; fused gate_up lands in ffn_up (llm_build_glm4 layout)
+_HF_GLM4_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_self_attn_layernorm.weight": "attn_post_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_mlp_layernorm.weight": "ffn_post_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "mlp.gate_up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
 _HF_LAYER_MAP = {
     "input_layernorm.weight": "attn_norm.weight",
     "input_layernorm.bias": "attn_norm.bias",
@@ -134,6 +153,8 @@ def convert_hf_llama(
         layer_map = _HF_OLMO2_MAP
     elif arch == "starcoder2":
         layer_map = _HF_STARCODER2_MAP
+    elif arch in ("glm4", "chatglm"):
+        layer_map = _HF_GLM4_MAP
 
     w = GGUFWriter(path, arch=arch)
     a = arch
@@ -150,6 +171,7 @@ def convert_hf_llama(
     if eps is None:
         eps = getattr(hf_cfg, "layer_norm_eps", None) or getattr(
             hf_cfg, "norm_epsilon", None) or getattr(
+            hf_cfg, "norm_eps", None) or getattr(
             hf_cfg, "layer_norm_epsilon", 1e-5)
     w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), float(eps))
     w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(getattr(hf_cfg, "rope_theta", 10000.0)))
@@ -200,16 +222,22 @@ def convert_hf_llama(
     def put(name: str, arr: np.ndarray):
         if is_gemma2 and ("norm" in name):
             arr = arr + 1.0  # gemma stores (1 + w) on disk
+        elif arch == "nemotron" and "norm" in name and name.endswith(".weight"):
+            arr = arr + 1.0  # layernorm1p folded into the stored weight
         w.add_tensor(name, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
 
     put("token_embd.weight", sd["model.embed_tokens.weight"])
-    put("output_norm.weight", sd["model.norm.weight"])
+    if "model.norm.weight" in sd:
+        put("output_norm.weight", sd["model.norm.weight"])
     if "model.norm.bias" in sd:
         put("output_norm.bias", sd["model.norm.bias"])
     if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", False):
         put("output.weight", sd["lm_head.weight"])
 
-    permute = arch in ("llama", "mixtral")  # NORM-rope archs store permuted q/k
+    # NORM-rope archs whose HF weights use rotate-half layout store
+    # permuted q/k (reference LlamaModel/OlmoModel converters); glm4 /
+    # cohere / ernie apply interleaved rotary natively — no permute
+    permute = arch in ("llama", "mixtral", "olmo", "arcee")
     for il in range(hf_cfg.num_hidden_layers):
         pre = f"model.layers.{il}."
         for hf_suffix, gg_suffix in layer_map.items():

@@ -39,6 +39,22 @@ _ROPE_MODE = {
     "gptneox": ROPE_TYPE_NEOX,
     "gptj": ROPE_TYPE_NORM,
     "cohere2": ROPE_TYPE_NORM,
+    "olmo": ROPE_TYPE_NORM,
+    "arcee": ROPE_TYPE_NORM,
+    "ernie4_5": ROPE_TYPE_NORM,
+    "glm4": ROPE_TYPE_NORM,
+    "chatglm": ROPE_TYPE_NORM,
+    "nemotron": ROPE_TYPE_NEOX,
+    "dbrx": ROPE_TYPE_NEOX,
+    "phimoe": ROPE_TYPE_NEOX,
+    "dots1": ROPE_TYPE_NEOX,
+    "bitnet": ROPE_TYPE_NEOX,
+    "granitemoe": ROPE_TYPE_NORM,
+    "internlm2": ROPE_TYPE_NORM,
+    "baichuan": ROPE_TYPE_NORM,
+    "xverse": ROPE_TYPE_NORM,
+    "orion": ROPE_TYPE_NEOX,
+    "exaone": ROPE_TYPE_NEOX,
 }
 
 
@@ -68,6 +84,7 @@ class ModelConfig:
     # attention extras
     qk_norm: bool = False  # qwen3/gemma3-style per-head RMS norm on q/k
     qk_norm_full: bool = False  # olmo2-style norm over the FULL q/k vector
+    nonparam_norm: bool = False  # olmo: LayerNorm with no learned params
     residual_scale: float = 1.0  # granite residual_multiplier / minicpm depth scale
     parallel_residual: bool = False  # command-r: attn + ffn share the input norm
     attn_softcap: float = 0.0
@@ -285,6 +302,20 @@ def config_from_gguf(reader) -> ModelConfig:
             parallel_residual=True,
             logit_scale=float(_ak(reader, "{arch}.logit_scale", 1.0) or 1.0),
         )
+    if arch == "olmo":
+        # llama graph with non-parametric LayerNorm
+        # (llm_build_olmo, llama-model.cpp:3289 "norm params removed")
+        cfg = replace(cfg, norm_kind="ln", nonparam_norm=True)
+    if arch == "nemotron":
+        # LayerNorm(+bias) norms, squared-relu FFN without a gate
+        # (llm_build_nemotron, llama-model.cpp:12399)
+        cfg = replace(cfg, norm_kind="ln", act="relu2")
+    if arch == "arcee":
+        # llama with squared-relu no-gate FFN (llm_build_arcee :14528)
+        cfg = replace(cfg, act="relu2")
+    # ernie4_5: plain llama graph (llm_build_ernie4_5 :14398) — defaults
+    # glm4: sandwich norms (attn/ffn post-norms) + fused gate-up, handled by
+    # the tensor presence (llm_build_glm4 :12248)
     if arch == "falcon":
         cfg = replace(cfg, norm_kind="ln", act="gelu", parallel_residual=True)
     if arch == "phi2":

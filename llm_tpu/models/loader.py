@@ -92,8 +92,9 @@ def load_params(
             key = base if kind == "weight" else base + "_b"
             if base == "attn_qkv":
                 key = "attn_qkv_fused" if kind == "weight" else "attn_qkv_fused_b"
-            elif kind == "weight" and base == "ffn_up" and cfg.arch in ("phi3", "phimoe"):
-                key = "ffn_gateup_fused"  # GGUF phi3 packs [gate; up]
+            elif kind == "weight" and base == "ffn_up" and cfg.arch in (
+                    "phi3", "phimoe", "glm4", "chatglm"):
+                key = "ffn_gateup_fused"  # GGUF packs [gate; up] in ffn_up
             if base.startswith(("time_mix_", "channel_mix_")):
                 # rwkv6 tensors: big projections as matrices, everything
                 # else (lerps, decay, first, w2, ln) dense f32

@@ -194,44 +194,63 @@ def make_synthetic_model(
         return jnp.asarray(np.ones(n, np.float32))
 
     if on_device and n_expert == 0:
-        # build the ENTIRE model inside one jit: one compile + one dispatch
-        # instead of ~8 eager device ops per tensor — over a tunneled TPU
-        # link this is the difference between seconds and many minutes.
-        def _gen_all():
-            layers = []
-            for _ in range(n_layers):
-                lay = {
-                    "attn_norm": vec(n_embd),
-                    "attn_q": mat(n_heads * head_dim, n_embd),
-                    "attn_k": mat(n_kv_heads * head_dim, n_embd),
-                    "attn_v": mat(n_kv_heads * head_dim, n_embd),
-                    "attn_output": mat(n_embd, n_heads * head_dim),
-                    "ffn_norm": vec(n_embd),
-                    "ffn_gate": mat(n_ff, n_embd),
-                    "ffn_up": mat(n_ff, n_embd),
-                    "ffn_down": mat(n_embd, n_ff),
-                }
-                layers.append(lay)
-            nonlocal dev_key
-            dev_key, sub = jax.random.split(dev_key)
-            if qtype is None:
-                embd = mat(vocab, n_embd)
-            else:
-                embd = device_synthetic_qtensor_rows(
-                    sub, vocab, n_embd, qtype, scales_dtype)
-            params = {
-                "layers": layers,
-                "tok_embd": embd,
-                "output": mat(vocab, n_embd),
-                "output_norm": vec(n_embd),
+        # ONE jitted generator per repeated structure (a layer; the embd /
+        # lm_head), re-dispatched with fresh keys: ~3 small compiles + ~35
+        # sub-ms dispatches. (One giant all-tensors program compiles
+        # pathologically slowly; fully eager generation pays ~8 device
+        # round-trips per tensor — both were minutes at 8B scale.)
+        def _gen_layer(key):
+            nonlocal dev_key  # noqa: F841 — uses mat() via a local key
+            ks = iter(jax.random.split(key, 16))
+
+            def m(n, k):
+                if qtype is None:
+                    return (jax.random.normal(next(ks), (n, k), jnp.float32)
+                            * 0.02).astype(dtype)
+                return device_synthetic_qtensor(next(ks), n, k, qtype,
+                                                scales_dtype)
+
+            lay = {
+                "attn_norm": vec(n_embd),
+                "attn_q": m(n_heads * head_dim, n_embd),
+                "attn_k": m(n_kv_heads * head_dim, n_embd),
+                "attn_v": m(n_kv_heads * head_dim, n_embd),
+                "attn_output": m(n_embd, n_heads * head_dim),
+                "ffn_norm": vec(n_embd),
+                "ffn_gate": m(n_ff, n_embd),
+                "ffn_up": m(n_ff, n_embd),
+                "ffn_down": m(n_embd, n_ff),
             }
             if fuse and qtype is not None:
                 from .loader import _fuse_projections
 
-                _fuse_projections(layers)
-            return params
+                _fuse_projections([lay])
+            return lay
 
-        return jax.jit(_gen_all)(), cfg
+        def _gen_top(key):
+            k1, k2 = jax.random.split(key)
+            if qtype is None:
+                embd = (jax.random.normal(k1, (vocab, n_embd), jnp.float32)
+                        * 0.02).astype(dtype)
+                out = (jax.random.normal(k2, (vocab, n_embd), jnp.float32)
+                       * 0.02).astype(dtype)
+            else:
+                embd = device_synthetic_qtensor_rows(
+                    k1, vocab, n_embd, qtype, scales_dtype)
+                out = device_synthetic_qtensor(k2, vocab, n_embd, qtype,
+                                               scales_dtype)
+            return {"tok_embd": embd, "output": out,
+                    "output_norm": vec(n_embd)}
+
+        gl = jax.jit(_gen_layer)
+        layers = []
+        for _ in range(n_layers):
+            dev_key, sub = jax.random.split(dev_key)
+            layers.append(gl(sub))
+        dev_key, sub = jax.random.split(dev_key)
+        params = jax.jit(_gen_top)(sub)
+        params["layers"] = layers
+        return params, cfg
 
 
     layers = []

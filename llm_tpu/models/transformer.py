@@ -248,9 +248,15 @@ def forward(
 
     # fused attention path (ops/pallas_attn.py): flash_decode for small T,
     # flash_prefill (T-tiled) for prompt processing; full rotation,
-    # dense bf16/f32 or per-head-scale q8 cache
+    # dense bf16/f32 or per-head-scale q8 cache.
+    # LLM_TPU_FLASH: "1" (default, both), "decode" (decode only), "0" (off)
+    import os
+
+    _flash_env = os.environ.get("LLM_TPU_FLASH", "1")
     use_flash = (
-        jax.default_backend() == "tpu"
+        _flash_env != "0"
+        and not (_flash_env == "decode" and T > 8)
+        and jax.default_backend() == "tpu"
         and cfg.alibi_max_bias == 0.0
         and cfg_rope.n_dims == Dk == Dv
         and Dk % 128 == 0
@@ -277,9 +283,10 @@ def forward(
     new_k, new_v = [], []
     for il, layer in enumerate(params["layers"]):
         layer_acts: dict = {}
-        # post-norm archs (olmo2) carry no input norms: attend over x directly
-        h = _norm(x, layer["attn_norm"], cfg, layer.get("attn_norm_b")) \
-            if "attn_norm" in layer else x
+        # post-norm archs (olmo2) carry no input norms: attend over x
+        # directly; olmo-style nonparam_norm normalizes without weights
+        h = _norm(x, layer.get("attn_norm"), cfg, layer.get("attn_norm_b")) \
+            if ("attn_norm" in layer or cfg.nonparam_norm) else x
         _collect(layer_acts, "attn_qkv", h)
 
         if "attn_qkv_fused" in layer and "attn_qkv_fused_b" in layer:
@@ -397,8 +404,8 @@ def forward(
                 if "ffn_norm" in layer else h
         else:
             x = x + attn_out
-            ffn_in = _norm(x, layer["ffn_norm"], cfg, layer.get("ffn_norm_b")) \
-                if "ffn_norm" in layer else x
+            ffn_in = _norm(x, layer.get("ffn_norm"), cfg, layer.get("ffn_norm_b")) \
+                if ("ffn_norm" in layer or cfg.nonparam_norm) else x
         h2 = ffn_in
         _collect(layer_acts, "ffn_gateup", h2)
         if cfg.n_expert > 0 and "ffn_gate_inp" in layer:

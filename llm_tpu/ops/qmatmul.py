@@ -153,6 +153,36 @@ def _pallas_ok(qt: QTensor, k: int, b: int) -> bool:
     return tk is not None and tk % qt.group_size == 0
 
 
+def _vmem_estimate(b: int, tile_n: int, tile_k: int, gs: int, layout: str,
+                   ptk: int = 256) -> int:
+    """Rough scoped-VMEM bytes for one qmm grid step: out + acc blocks,
+    x (+groupsum) blocks, weight planes, and the dequant temporaries."""
+    out_acc = 2 * b * tile_n * 4
+    xblk = b * tile_k * 2 + (tile_k // gs) * b * 2
+    qs = (tile_k // (2 if layout == "p4" else 1)) * tile_n
+    scales = 2 * (tile_k // gs) * tile_n * 2
+    wtmp = ptk * tile_n * (4 + 2)  # f32 unpack + cdtype dequant chunk
+    return out_acc + xblk + qs + scales + wtmp
+
+
+_VMEM_BUDGET = 12 << 20  # stay under Mosaic's 16MB scoped-vmem default
+
+
+def _fit_tiles(b: int, tile_n: int, tile_k: int, gs: int, layout: str,
+               min_tk: int):
+    """Shrink tiles until the kernel's scoped-VMEM footprint fits — big
+    prefill batches (B=512) overflow the tiles that are optimal at
+    decode (B=1)."""
+    while (_vmem_estimate(b, tile_n, tile_k, gs, layout) > _VMEM_BUDGET
+           and tile_n > 256 and tile_n % 2 == 0):
+        tile_n //= 2
+    while (_vmem_estimate(b, tile_n, tile_k, gs, layout) > _VMEM_BUDGET
+           and tile_k > min_tk and tile_k % 2 == 0
+           and (tile_k // 2) % min_tk == 0):
+        tile_k //= 2
+    return tile_n, tile_k
+
+
 def qmm(
     x: jnp.ndarray,
     w: QTensor | jnp.ndarray,
@@ -188,6 +218,10 @@ def qmm(
                     )
                 else:
                     tile_k = _pick_tile(k, _TILE_K_OPTS)
+            min_tk = w.pack_tk if w.layout == "p4" else w.group_size
+            tile_n, tile_k = _fit_tiles(
+                b + pad, min(tile_n, w.out_features), min(tile_k, k),
+                w.group_size, w.layout, min_tk)
             y = qmm_pallas(
                 x2.astype(dtype), w.qs, w.scales,
                 w.mins if _FUSE_MINS else None,

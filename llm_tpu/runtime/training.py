@@ -148,3 +148,108 @@ class LoraTrainer:
                 w.add_tensor(f"blk.{il}.{key}.weight.lora_b",
                              np.asarray(ab["b"], np.float32))
         w.write()
+
+
+# ---------------------------------------------------------------------------
+# Full-weight training (ggml-opt parity: GGML_OPT_OPTIMIZER_ADAMW/SGD,
+# ggml_opt_fit epoch loop — /root/reference/ggml/src/ggml-opt.cpp,
+# ggml/include/ggml-opt.h:222)
+# ---------------------------------------------------------------------------
+
+
+def batched_lm_loss(params, cfg, tokens, dtype=jnp.float32):
+    """Mean next-token CE over a [B, T] batch. Sequences ride the engine's
+    own multi-sequence machinery: B seq ids over B*T cells, the causal mask
+    built from cell metadata — no vmap, one forward."""
+    B, T = tokens.shape
+    flat = tokens.reshape(-1)
+    n = B * T
+    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), B)
+    seq = jnp.repeat(jnp.arange(B, dtype=jnp.int32), T)
+    widx = jnp.arange(n, dtype=jnp.int32)
+    cbits = (jnp.ones((B, 1), jnp.uint32) << jnp.arange(B, dtype=jnp.uint32)[:, None])
+    cbits = jnp.repeat(cbits.reshape(-1), T)
+    kv_k = [jnp.zeros((n, cfg.n_kv_heads, cfg.head_dim), dtype)
+            for _ in range(cfg.n_layers)]
+    kv_v = [jnp.zeros((n, cfg.n_kv_heads, cfg.head_dim_v), dtype)
+            for _ in range(cfg.n_layers)]
+    logits, _, _, _ = forward(
+        params, cfg, kv_k, kv_v, flat, pos, seq, widx, pos,
+        cbits, widx, dtype=dtype,
+    )
+    logits = logits.reshape(B, T, -1)
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = tokens[:, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1).mean()
+    return nll
+
+
+class FullTrainer:
+    """Full-weight training of a dense model (load with use_planes=False).
+
+    optimizer: "adamw" or "sgd" (the reference's two ggml-opt optimizers,
+    ggml-opt.h). The whole params pytree trains; float leaves only."""
+
+    def __init__(self, params, cfg, lr: float = 1e-4, optimizer: str = "adamw",
+                 weight_decay: float = 0.0, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        # copy=True: the step donates its params, which must not alias the
+        # caller's arrays (jnp.asarray would no-op on f32 leaves)
+        self.params = jax.tree.map(
+            lambda x: jnp.array(x, jnp.float32, copy=True), params,
+            is_leaf=lambda x: x is None)
+        if optimizer == "adamw":
+            self.opt = optax.adamw(lr, weight_decay=weight_decay)
+        elif optimizer == "sgd":
+            self.opt = optax.sgd(lr)
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        self.opt_state = self.opt.init(self.params)
+
+        def step(params, opt_state, tokens):
+            loss, grads = jax.value_and_grad(batched_lm_loss)(
+                params, cfg, tokens, dtype)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def train_step(self, tokens) -> float:
+        """tokens: [B, T] int32 batch."""
+        tokens = jnp.asarray(tokens, jnp.int32)
+        if tokens.ndim == 1:
+            tokens = tokens[None]
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, tokens)
+        return float(loss)
+
+    def epoch(self, token_stream, n_ctx: int, batch_size: int = 1,
+              progress=None) -> float:
+        """One pass over the stream in [batch_size, n_ctx] chunks
+        (ggml_opt_fit epoch loop)."""
+        stream = np.asarray(token_stream, np.int32)
+        span = n_ctx * batch_size
+        total, n = 0.0, 0
+        for i in range(0, len(stream) - span + 1, span):
+            chunk = stream[i : i + span].reshape(batch_size, n_ctx)
+            loss = self.train_step(chunk)
+            total += loss
+            n += 1
+            if progress:
+                progress(n, loss)
+        return total / max(1, n)
+
+    def eval_loss(self, tokens) -> float:
+        tokens = jnp.asarray(tokens, jnp.int32)
+        if tokens.ndim == 1:
+            tokens = tokens[None]
+        return float(batched_lm_loss(self.params, self.cfg, tokens,
+                                     self.dtype))
+
+    def save(self, reader, path: str) -> int:
+        """Checkpoint to GGUF (llama_model_save_to_file parity)."""
+        from ..models.saver import save_model_gguf
+
+        return save_model_gguf(reader, self.params, path)

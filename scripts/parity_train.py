@@ -1,0 +1,113 @@
+"""Stage 1 of the parity report: train a real (small) char-level llama on
+the reference-docs corpus and write base f32 + quantized checkpoints.
+
+With zero network egress no public checkpoint can be fetched, so the
+quant-quality ladder (docs/PARITY.md) is measured on a model with REAL
+learned structure: a llama-architecture char LM trained to convergence on
+held-out-split text. See scripts/parity_eval.py for stage 2.
+
+Usage: python scripts/parity_train.py [--steps N] [--platform tpu|cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+WORK = "/tmp/parity"
+
+# every quant type in the ladder; mirrors the reference's published
+# wikitext-2 scoreboard rows (/root/reference/tools/perplexity/README.md)
+LADDER = ["Q8_0", "Q6_K", "Q5_K_M", "Q5_0", "Q4_K_M", "Q4_K_S", "IQ4_XS",
+          "Q4_0", "Q3_K_M", "Q2_K"]
+
+
+def build_base(path):
+    import torch
+    import transformers
+
+    from llm_tpu.convert.hf_llama import convert_hf_llama
+    from test_tools import _test_vocab
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=97, hidden_size=512, intermediate_size=1536,
+        num_hidden_layers=6, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=512, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.LlamaForCausalLM(cfg).eval()
+    convert_hf_llama(m, path, vocab=_test_vocab(97))
+    print(f"base model written: {path}", file=sys.stderr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--ctx", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llm_tpu.gguf.reader import GGUFReader
+    from llm_tpu.models.loader import load_params
+    from llm_tpu.runtime.training import FullTrainer
+    from llm_tpu.tokenizers import tokenizer_from_gguf
+    from llm_tpu.tools.quantize import quantize_model
+
+    base = os.path.join(WORK, "base_untrained.gguf")
+    if not os.path.exists(base):
+        build_base(base)
+
+    reader = GGUFReader(base)
+    tok = tokenizer_from_gguf(reader)
+    train_text = open(os.path.join(WORK, "train.txt")).read()
+    val_text = open(os.path.join(WORK, "val.txt")).read()
+    stream = np.asarray(tok.encode(train_text, add_special=False), np.int32)
+    val = np.asarray(tok.encode(val_text, add_special=False), np.int32)
+    print(f"train {len(stream)} tokens, val {len(val)}", file=sys.stderr)
+
+    params, cfg = load_params(reader, dense_dtype=jnp.float32,
+                              use_planes=False)
+    tr = FullTrainer(params, cfg, lr=args.lr, optimizer="adamw",
+                     weight_decay=0.01)
+
+    span = args.ctx * args.batch
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    val_tok = val[: args.ctx]
+    for step in range(args.steps):
+        i = int(rng.integers(0, len(stream) - span))
+        loss = tr.train_step(stream[i : i + span].reshape(args.batch, args.ctx))
+        if step % 200 == 0:
+            vl = tr.eval_loss(val_tok)
+            print(f"step {step}: train {loss:.4f} val {vl:.4f} "
+                  f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
+    vl = tr.eval_loss(val_tok)
+    print(f"final: train {loss:.4f} val {vl:.4f} ({time.time()-t0:.0f}s)",
+          file=sys.stderr)
+
+    f32 = os.path.join(WORK, "trained_f32.gguf")
+    tr.save(reader, f32)
+    print(f"wrote {f32}", file=sys.stderr)
+
+    for ftype in LADDER:
+        out = os.path.join(WORK, f"trained_{ftype.lower()}.gguf")
+        quantize_model(f32, out, ftype)
+        print(f"quantized {ftype}: {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -495,3 +495,86 @@ def test_qwen2moe_quantized_expert_planes(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([tokens])).logits[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=0.06, rtol=0.06)
+
+
+def test_olmo(tmp_path):
+    """OLMo: llama graph with non-parametric LayerNorm (llm_build_olmo,
+    llama-model.cpp:3289)."""
+    cfg = transformers.OlmoConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.OlmoForCausalLM(cfg).eval()
+    _check(m, "olmo", tmp_path)
+
+
+def test_arcee(tmp_path):
+    """Arcee: llama with squared-relu no-gate FFN (llm_build_arcee)."""
+    cfg = transformers.ArceeConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.ArceeForCausalLM(cfg).eval()
+    _check(m, "arcee", tmp_path)
+
+
+def test_ernie4_5(tmp_path):
+    """ERNIE 4.5: llama graph, interleaved rotary stored unpermuted
+    (llm_build_ernie4_5; reference converter Ernie4_5Model)."""
+    cfg = transformers.Ernie4_5Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.Ernie4_5ForCausalLM(cfg).eval()
+    _check(m, "ernie4_5", tmp_path)
+
+
+def test_nemotron(tmp_path):
+    """Nemotron: layernorm1p (+1 folded at convert), relu^2 FFN, partial
+    NEOX rotary (llm_build_nemotron, llama-model.cpp:12399)."""
+    cfg = transformers.NemotronConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        partial_rotary_factor=0.5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.NemotronForCausalLM(cfg).eval()
+    _check(m, "nemotron", tmp_path)
+
+
+def test_glm4(tmp_path):
+    """GLM4: sandwich norms (attn/ffn post-norms), fused gate-up in ffn_up,
+    half-width interleaved rotary (llm_build_glm4, llama-model.cpp:12248)."""
+    cfg = transformers.Glm4Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        head_dim=16, partial_rotary_factor=0.5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.Glm4ForCausalLM(cfg).eval()
+    _check(m, "glm4", tmp_path)
+
+
+def test_cohere_command_r(tmp_path):
+    """Command-R: LayerNorm + parallel attn/ffn sharing the input norm +
+    logit scale (llm_build_command_r, llama-model.cpp:10081)."""
+    cfg = transformers.CohereConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        logit_scale=0.25,
+    )
+    torch.manual_seed(0)
+    m = transformers.CohereForCausalLM(cfg).eval()
+    _check(m, "command-r", tmp_path)

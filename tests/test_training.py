@@ -4,6 +4,7 @@ decrease on a toy problem; exported adapter round-trips)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -54,3 +55,53 @@ def test_lora_training_reduces_loss(tmp_path):
         jnp.asarray(pattern[:32], jnp.int32), scale=0.0,
     ))
     np.testing.assert_allclose(reloaded, after, rtol=1e-4)
+
+
+def test_full_weight_training_reduces_loss(tmp_path):
+    """FullTrainer (adamw) drives next-token CE down on a repeating pattern
+    and the GGUF checkpoint round-trips (llama_model_save_to_file +
+    ggml_opt_fit parity)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from llm_tpu.convert.hf_llama import convert_hf_llama
+    from llm_tpu.gguf.reader import GGUFReader
+    from llm_tpu.models.loader import load_params
+    from llm_tpu.runtime.training import FullTrainer, batched_lm_loss
+    from test_model_vs_hf import _tiny_hf_llama
+
+    path = str(tmp_path / "base.gguf")
+    convert_hf_llama(_tiny_hf_llama(hidden=64, layers=2, vocab=97), path)
+    reader = GGUFReader(path)
+    params, cfg = load_params(reader, dense_dtype=jnp.float32,
+                              use_planes=False)
+
+    rng = np.random.default_rng(0)
+    pattern = rng.integers(0, 97, size=16).tolist()
+    stream = (pattern * 12)[:160]
+
+    tr = FullTrainer(params, cfg, lr=3e-3, optimizer="adamw")
+    eval_toks = np.asarray((pattern * 3)[:32], np.int32)
+    before = tr.eval_loss(eval_toks)
+    for _ in range(12):
+        tr.epoch(stream, n_ctx=32, batch_size=2)
+    after = tr.eval_loss(eval_toks)
+    assert after < before * 0.7, (before, after)
+
+    # sgd variant also steps without error and reduces loss
+    tr2 = FullTrainer(params, cfg, lr=1e-1, optimizer="sgd")
+    b2 = tr2.eval_loss(eval_toks)
+    for _ in range(8):
+        tr2.epoch(stream, n_ctx=32, batch_size=2)
+    assert tr2.eval_loss(eval_toks) < b2
+
+    # checkpoint: saved GGUF reloads and reproduces the trained loss
+    out = str(tmp_path / "trained.gguf")
+    n = tr.save(reader, out)
+    assert n > 5
+    p2, cfg2 = load_params(GGUFReader(out), dense_dtype=jnp.float32,
+                           use_planes=False)
+    reload_loss = float(batched_lm_loss(
+        jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), p2,
+                     is_leaf=lambda x: x is None),
+        cfg2, jnp.asarray(eval_toks)[None]))
+    np.testing.assert_allclose(reload_loss, after, rtol=1e-5, atol=1e-5)
