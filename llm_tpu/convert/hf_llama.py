@@ -135,6 +135,12 @@ def convert_hf_llama(
     merges, special ids) to embed; tests pass None and read logits only.
     """
     hf_cfg = model.config
+    if arch == "dbrx":  # nested DbrxConfig sections -> flat attributes
+        hf_cfg.intermediate_size = hf_cfg.ffn_config.ffn_hidden_size
+        hf_cfg.rope_theta = hf_cfg.attn_config.rope_theta
+        hf_cfg.num_key_value_heads = hf_cfg.attn_config.kv_n_heads
+        hf_cfg.num_experts = hf_cfg.ffn_config.moe_num_experts
+        hf_cfg.num_experts_per_tok = hf_cfg.ffn_config.moe_top_k
     n_head = hf_cfg.num_attention_heads
     n_kv = getattr(hf_cfg, "num_key_value_heads", n_head)
     head_dim = getattr(hf_cfg, "head_dim", None) or hf_cfg.hidden_size // n_head
@@ -194,10 +200,20 @@ def convert_hf_llama(
                  int(getattr(hf_cfg, "sliding_window", 1024)))
         qpas = float(getattr(hf_cfg, "query_pre_attn_scalar", 256))
         w.add_kv(Keys.Attention.SCALE.format(arch=a), qpas ** -0.5)
-    if arch == "granite":
-        w.add_kv("granite.embedding_scale", float(hf_cfg.embedding_multiplier))
-        w.add_kv("granite.residual_scale", float(hf_cfg.residual_multiplier))
-        w.add_kv("granite.logit_scale", float(hf_cfg.logits_scaling))
+    if arch == "dots1":
+        w.add_kv("dots1.expert_gating_func", 2)
+        w.add_kv("dots1.expert_weights_scale",
+                 float(getattr(hf_cfg, "routed_scaling_factor", 1.0)))
+        w.add_kv("dots1.expert_weights_norm",
+                 bool(getattr(hf_cfg, "norm_topk_prob", True)))
+        w.add_kv("dots1.expert_feed_forward_length",
+                 int(getattr(hf_cfg, "moe_intermediate_size", 0)))
+        w.add_kv("dots1.leading_dense_block_count",
+                 int(getattr(hf_cfg, "first_k_dense_replace", 0)))
+    if arch in ("granite", "granitemoe"):
+        w.add_kv(f"{a}.embedding_scale", float(hf_cfg.embedding_multiplier))
+        w.add_kv(f"{a}.residual_scale", float(hf_cfg.residual_multiplier))
+        w.add_kv(f"{a}.logit_scale", float(hf_cfg.logits_scaling))
         w.add_kv(Keys.Attention.SCALE.format(arch=a),
                  float(hf_cfg.attention_multiplier))
     if arch in ("command-r", "cohere", "cohere2"):
@@ -207,7 +223,8 @@ def convert_hf_llama(
                  int(getattr(hf_cfg, "sliding_window", 4096)))
 
     n_expert = int(getattr(hf_cfg, "num_local_experts", 0)
-                   or getattr(hf_cfg, "num_experts", 0) or 0)
+                   or getattr(hf_cfg, "num_experts", 0)
+                   or getattr(hf_cfg, "n_routed_experts", 0) or 0)
     if n_expert:
         w.add_kv(Keys.LLM.EXPERT_COUNT.format(arch=a), n_expert)
         w.add_kv(Keys.LLM.EXPERT_USED_COUNT.format(arch=a),
@@ -218,6 +235,21 @@ def convert_hf_llama(
             w.add_kv(key, val)
 
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    if arch == "dbrx":
+        # rename dbrx's transformer.blocks.* scheme onto the llama-ish one
+        # (fused Wqkv -> attn_qkv via the phi3-style map entry)
+        sd = {
+            k.replace("transformer.wte.", "model.embed_tokens.")
+             .replace("transformer.norm_f.", "model.norm.")
+             .replace("transformer.blocks.", "model.layers.")
+             .replace(".norm_attn_norm.norm_1.", ".input_layernorm.")
+             .replace(".norm_attn_norm.norm_2.", ".post_attention_layernorm.")
+             .replace(".norm_attn_norm.attn.Wqkv.", ".self_attn.qkv_proj.")
+             .replace(".norm_attn_norm.attn.out_proj.", ".self_attn.o_proj."): v
+            for k, v in sd.items()
+        }
+        layer_map = dict(_HF_LAYER_MAP)
+        layer_map["self_attn.qkv_proj.weight"] = "attn_qkv.weight"
 
     def put(name: str, arr: np.ndarray):
         if is_gemma2 and ("norm" in name):
@@ -257,7 +289,7 @@ def convert_hf_llama(
 
         # MoE (qwen2moe-style): router + experts + gated shared expert
         q2_gate = pre + "mlp.gate.weight"
-        if q2_gate in sd:
+        if q2_gate in sd and arch != "dots1":
             put(f"blk.{il}.ffn_gate_inp.weight", sd[q2_gate])
             n_exp = int(hf_cfg.num_experts)
             for hf_w, gg in (("gate_proj", "ffn_gate_exps"),
@@ -278,6 +310,71 @@ def convert_hf_llama(
                     sd[pre + "mlp.shared_expert.down_proj.weight"])
                 put(f"blk.{il}.ffn_gate_inp_shexp.weight",
                     sd[pre + "mlp.shared_expert_gate.weight"])
+
+        # MoE (dbrx): flat expert params w1(gate)/v1(up)/w2(down, transposed)
+        dbrx_w1 = pre + "ffn.experts.mlp.w1"
+        if dbrx_w1 in sd:
+            n_exp = int(hf_cfg.num_experts)
+            ff = int(hf_cfg.intermediate_size)
+            d = int(hf_cfg.hidden_size)
+            put(f"blk.{il}.ffn_gate_inp.weight",
+                sd[pre + "ffn.router.layer.weight"])
+            w.add_tensor(f"blk.{il}.ffn_gate_exps.weight",
+                         sd[dbrx_w1].reshape(n_exp, ff, d),
+                         ggml_type=GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_up_exps.weight",
+                         sd[pre + "ffn.experts.mlp.v1"].reshape(n_exp, ff, d),
+                         ggml_type=GGMLType.F32)
+            w.add_tensor(
+                f"blk.{il}.ffn_down_exps.weight",
+                np.ascontiguousarray(
+                    sd[pre + "ffn.experts.mlp.w2"].reshape(n_exp, ff, d)
+                    .transpose(0, 2, 1)),
+                ggml_type=GGMLType.F32)
+
+        # MoE (granitemoe): fused input_linear [E, 2ff, d] -> gate/up stacks
+        gm_router = pre + "block_sparse_moe.router.layer.weight"
+        if gm_router in sd:
+            put(f"blk.{il}.ffn_gate_inp.weight", sd[gm_router])
+            lin = sd[pre + "block_sparse_moe.input_linear.weight"]
+            ff = lin.shape[-2] // 2
+            w.add_tensor(f"blk.{il}.ffn_gate_exps.weight",
+                         np.ascontiguousarray(lin[:, :ff]),
+                         ggml_type=GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_up_exps.weight",
+                         np.ascontiguousarray(lin[:, ff:]),
+                         ggml_type=GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_down_exps.weight",
+                         sd[pre + "block_sparse_moe.output_linear.weight"],
+                         ggml_type=GGMLType.F32)
+
+        # MoE (dots1/deepseek-v3-style): mlp.gate + per-expert tensors +
+        # selection bias + ungated shared experts
+        d1_gate = pre + "mlp.gate.weight"
+        if arch == "dots1" and d1_gate in sd \
+                and pre + "mlp.experts.0.gate_proj.weight" in sd:
+            put(f"blk.{il}.ffn_gate_inp.weight", sd[d1_gate])
+            if pre + "mlp.gate.e_score_correction_bias" in sd:
+                w.add_tensor(f"blk.{il}.exp_probs_b.bias",
+                             sd[pre + "mlp.gate.e_score_correction_bias"],
+                             ggml_type=GGMLType.F32)
+            n_exp = int(getattr(hf_cfg, "n_routed_experts"))
+            for hf_w, gg in (("gate_proj", "ffn_gate_exps"),
+                             ("up_proj", "ffn_up_exps"),
+                             ("down_proj", "ffn_down_exps")):
+                stack = np.stack([
+                    sd[f"{pre}mlp.experts.{e}.{hf_w}.weight"]
+                    for e in range(n_exp)
+                ])
+                w.add_tensor(f"blk.{il}.{gg}.weight", stack,
+                             ggml_type=GGMLType.F32)
+            if pre + "mlp.shared_experts.gate_proj.weight" in sd:
+                put(f"blk.{il}.ffn_gate_shexp.weight",
+                    sd[pre + "mlp.shared_experts.gate_proj.weight"])
+                put(f"blk.{il}.ffn_up_shexp.weight",
+                    sd[pre + "mlp.shared_experts.up_proj.weight"])
+                put(f"blk.{il}.ffn_down_shexp.weight",
+                    sd[pre + "mlp.shared_experts.down_proj.weight"])
 
         # MoE (mixtral-style): router + stacked expert tensors
         gate_key = pre + "block_sparse_moe.gate.weight"

@@ -81,6 +81,8 @@ class ModelConfig:
     expert_weights_norm: bool = False
     expert_weights_scale: float = 1.0
     n_ff_expert: int = 0
+    expert_gating_func: str = "softmax"  # "softmax" | "sigmoid" (DeepSeek-V3
+    # style selection; reference llama_expert_gating_func_type)
     # attention extras
     qk_norm: bool = False  # qwen3/gemma3-style per-head RMS norm on q/k
     qk_norm_full: bool = False  # olmo2-style norm over the FULL q/k vector
@@ -301,6 +303,35 @@ def config_from_gguf(reader) -> ModelConfig:
             norm_kind="ln",
             parallel_residual=True,
             logit_scale=float(_ak(reader, "{arch}.logit_scale", 1.0) or 1.0),
+        )
+    if arch == "dbrx":
+        # fused qkv, LN(weight-only) norms, normalized softmax top-k MoE
+        # (llm_build_dbrx; DbrxModel converter)
+        cfg = replace(cfg, norm_kind="ln", expert_weights_norm=True)
+    if arch == "phimoe":
+        # phi3 graph family + LayerNorm(+bias) + unnormalized softmax top-k
+        # (llm_build_phi3<MoE>, llama-model.cpp:14845)
+        cfg = replace(cfg, norm_kind="ln")
+    if arch == "granitemoe":
+        cfg = replace(
+            cfg,
+            embedding_scale=float(_ak(reader, "{arch}.embedding_scale", 1.0) or 1.0),
+            residual_scale=float(_ak(reader, "{arch}.residual_scale", 1.0) or 1.0),
+            logit_scale=1.0 / float(_ak(reader, "{arch}.logit_scale", 1.0) or 1.0),
+            attn_scale=float(_ak(reader, Keys.Attention.SCALE, 0.0) or 0.0) or None,
+            expert_weights_norm=True,
+        )
+    if arch == "dots1":
+        # deepseek-v3-style routing: sigmoid scores + selection bias
+        # (exp_probs_b) + normalized weights * routed scale; qk norms;
+        # leading dense layers carry plain FFN tensors (llm_build_dots1)
+        gf = int(_ak(reader, "{arch}.expert_gating_func", 2) or 2)
+        cfg = replace(
+            cfg,
+            qk_norm=True,
+            expert_gating_func="sigmoid" if gf == 2 else "softmax",
+            expert_weights_norm=bool(_ak(reader, "{arch}.expert_weights_norm", True)),
+            expert_weights_scale=float(_ak(reader, "{arch}.expert_weights_scale", 1.0) or 1.0),
         )
     if arch == "olmo":
         # llama graph with non-parametric LayerNorm

@@ -92,6 +92,8 @@ def load_params(
             key = base if kind == "weight" else base + "_b"
             if base == "attn_qkv":
                 key = "attn_qkv_fused" if kind == "weight" else "attn_qkv_fused_b"
+            elif base == "exp_probs_b":
+                key = "ffn_exp_probs_b"  # expert-selection bias (DeepSeek-V3)
             elif kind == "weight" and base == "ffn_up" and cfg.arch in (
                     "phi3", "phimoe", "glm4", "chatglm"):
                 key = "ffn_gateup_fused"  # GGUF packs [gate; up] in ffn_up

@@ -126,8 +126,17 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
     all-to-all EP path engages when an expert-parallel mesh is active."""
     T = h.shape[0]
     router_logits = qmm(h, layer["ffn_gate_inp"])  # [T, n_expert]
-    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
-    topw, topi = jax.lax.top_k(probs, cfg.n_expert_used)  # [T, k]
+    if cfg.expert_gating_func == "sigmoid":
+        probs = jax.nn.sigmoid(router_logits.astype(jnp.float32))
+    else:
+        probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    # DeepSeek-V3 selection bias: biases WHICH experts are picked, while
+    # the mixing weights stay unbiased (build_moe_ffn exp_probs_b)
+    sel = probs
+    if "ffn_exp_probs_b" in layer:
+        sel = probs + layer["ffn_exp_probs_b"].astype(jnp.float32)
+    _, topi = jax.lax.top_k(sel, cfg.n_expert_used)  # [T, k]
+    topw = jnp.take_along_axis(probs, topi, axis=-1)
     if cfg.expert_weights_norm:
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     topw = topw * cfg.expert_weights_scale

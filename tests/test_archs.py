@@ -578,3 +578,99 @@ def test_cohere_command_r(tmp_path):
     torch.manual_seed(0)
     m = transformers.CohereForCausalLM(cfg).eval()
     _check(m, "command-r", tmp_path)
+
+
+def test_dbrx(tmp_path):
+    """DBRX: fused Wqkv, weight-only LayerNorms, normalized softmax top-k
+    MoE from flat expert params (llm_build_dbrx; DbrxModel converter)."""
+    from transformers.models.dbrx.configuration_dbrx import (
+        DbrxAttentionConfig, DbrxFFNConfig)
+
+    cfg = transformers.DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=128, vocab_size=97,
+        pad_token_id=0,
+        attn_config=DbrxAttentionConfig(kv_n_heads=2, rope_theta=10000.0),
+        ffn_config=DbrxFFNConfig(ffn_hidden_size=48, moe_num_experts=4,
+                                 moe_top_k=2),
+    )
+    torch.manual_seed(0)
+    m = transformers.DbrxForCausalLM(cfg).eval()
+    _check(m, "dbrx", tmp_path)
+
+
+def test_granitemoe(tmp_path):
+    """GraniteMoe: granite multipliers + fused input_linear split into
+    gate/up expert stacks (GraniteMoeModel converter)."""
+    cfg = transformers.GraniteMoeConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2, pad_token_id=0,
+        max_position_embeddings=128, rope_theta=10000.0,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        logits_scaling=3.0, attention_multiplier=0.3,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.GraniteMoeForCausalLM(cfg).eval()
+    _check(m, "granitemoe", tmp_path)
+
+
+def test_dots1(tmp_path):
+    """dots1: sigmoid routing + e_score_correction selection bias +
+    normalized*scaled weights, qk norms, leading dense layer, ungated
+    shared experts (llm_build_dots1)."""
+    cfg = transformers.Dots1Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=1.5,
+        norm_topk_prob=True, pad_token_id=0, max_position_embeddings=128,
+        rope_theta=10000.0, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.Dots1ForCausalLM(cfg).eval()
+    # randomize the zero-initialized selection bias so the test exercises it
+    with torch.no_grad():
+        for layer in m.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+    _check(m, "dots1", tmp_path)
+
+
+def test_phimoe(tmp_path):
+    """PhiMoE: phi3-family graph + LayerNorm(+bias) + mixtral expert
+    stacks. The reference routes it through standard softmax top-k
+    (llm_build_phi3<MoE> -> build_moe_ffn SOFTMAX, llama-model.cpp:14845)
+    rather than HF's training-oriented sparsemixer, so the oracle patches
+    HF's router to the same softmax top-k semantics."""
+    cfg = transformers.PhimoeConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2, pad_token_id=0,
+        max_position_embeddings=128, rope_theta=10000.0, rope_scaling=None,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.PhimoeForCausalLM(cfg).eval()
+
+    import torch.nn.functional as F
+    from transformers.models.phimoe import modeling_phimoe as mp
+
+    def softmax_topk_forward(self, hidden_states):
+        b, s, d = hidden_states.shape
+        x = hidden_states.view(-1, d)
+        logits = self.gate(x)
+        probs = F.softmax(logits, dim=-1)
+        topw, topi = torch.topk(probs, self.top_k, dim=-1)
+        out = torch.zeros_like(x)
+        for k in range(self.top_k):
+            for e in range(self.num_experts):
+                mask = topi[:, k] == e
+                if mask.any():
+                    out[mask] += topw[mask, k, None] * self.experts[e](x[mask])
+        return out.view(b, s, d), logits
+
+    for layer in m.model.layers:
+        layer.block_sparse_moe.forward = softmax_topk_forward.__get__(
+            layer.block_sparse_moe)
+    _check(m, "phimoe", tmp_path)
