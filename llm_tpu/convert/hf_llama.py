@@ -115,6 +115,8 @@ _HF_LAYER_MAP = {
     "self_attn.v_proj.bias": "attn_v.bias",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "self_attn.attn_sub_norm.weight": "attn_sub_norm.weight",
+    "mlp.ffn_sub_norm.weight": "ffn_sub_norm.weight",
     "post_attention_layernorm.weight": "ffn_norm.weight",
     "mlp.gate_proj.weight": "ffn_gate.weight",
     "mlp.up_proj.weight": "ffn_up.weight",
@@ -448,6 +450,75 @@ def convert_hf_mamba(
         put(b + "ssm_dt.bias", sd[pre + "mixer.dt_proj.bias"])
         put(b + "ssm_a.weight", -np.exp(sd[pre + "mixer.A_log"]), qtype=GGMLType.F32)
         put(b + "ssm_d.weight", sd[pre + "mixer.D"])
+        put(b + "ssm_out.weight", sd[pre + "mixer.out_proj.weight"])
+
+    w.write()
+    return path
+
+
+def convert_hf_mamba2(
+    model,
+    path: str,
+    out_type: GGMLType = GGMLType.F32,
+    vocab: dict | None = None,
+):
+    """HF Mamba2ForCausalLM -> GGUF (parity: convert_hf_to_gguf.py
+    Mamba2Model: dt_rank = n_head = d_inner // head_dim, A_log -> -exp,
+    conv1d squeezed, ssm_norm reshaped to [n_group, d_inner/n_group])."""
+    import numpy as np
+
+    hf_cfg = model.config
+    a = "mamba2"
+    w = GGUFWriter(path, arch=a)
+    d_model = int(hf_cfg.hidden_size)
+    d_inner = int(hf_cfg.expand * d_model)
+    d_state = int(hf_cfg.state_size)
+    head_dim = int(hf_cfg.head_dim)
+    n_group = int(hf_cfg.n_groups)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), 1 << 20)
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), d_model)
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.num_hidden_layers))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), 0)
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), 0)
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), 0)
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a),
+             float(getattr(hf_cfg, "layer_norm_epsilon", 1e-5)))
+    w.add_kv(Keys.SSM.CONV_KERNEL.format(arch=a), int(hf_cfg.conv_kernel))
+    w.add_kv(Keys.SSM.INNER_SIZE.format(arch=a), d_inner)
+    w.add_kv(Keys.SSM.STATE_SIZE.format(arch=a), d_state)
+    w.add_kv(Keys.SSM.TIME_STEP_RANK.format(arch=a), d_inner // head_dim)
+    w.add_kv(Keys.SSM.GROUP_COUNT.format(arch=a), n_group)
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    def put(name: str, arr, qtype=None):
+        w.add_tensor(name, arr, ggml_type=qtype or (out_type if arr.ndim == 2 else GGMLType.F32))
+
+    put("token_embd.weight", sd["backbone.embeddings.weight"])
+    put("output_norm.weight", sd["backbone.norm_f.weight"])
+    if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", True):
+        put("output.weight", sd["lm_head.weight"])
+
+    for il in range(hf_cfg.num_hidden_layers):
+        pre = f"backbone.layers.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[pre + "norm.weight"])
+        put(b + "ssm_in.weight", sd[pre + "mixer.in_proj.weight"])
+        put(b + "ssm_conv1d.weight", sd[pre + "mixer.conv1d.weight"][:, 0, :],
+            qtype=GGMLType.F32)
+        put(b + "ssm_conv1d.bias", sd[pre + "mixer.conv1d.bias"])
+        put(b + "ssm_dt.bias", sd[pre + "mixer.dt_bias"])
+        put(b + "ssm_a.weight",
+            -np.exp(sd[pre + "mixer.A_log"])[:, None], qtype=GGMLType.F32)
+        put(b + "ssm_d.weight", sd[pre + "mixer.D"][:, None],
+            qtype=GGMLType.F32)
+        put(b + "ssm_norm.weight",
+            sd[pre + "mixer.norm.weight"].reshape(n_group, d_inner // n_group),
+            qtype=GGMLType.F32)
         put(b + "ssm_out.weight", sd[pre + "mixer.out_proj.weight"])
 
     w.write()

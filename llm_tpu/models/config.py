@@ -354,6 +354,10 @@ def config_from_gguf(reader) -> ModelConfig:
                       attn_bias=True)
     if arch == "stablelm":
         cfg = replace(cfg, norm_kind="ln", attn_bias=True)
+    if arch == "bitnet":
+        # BitNet b1.58: squared-relu gated FFN + attn/ffn sub-norms before
+        # the output projections (llm_build_bitnet, llama-model.cpp:3634)
+        cfg = replace(cfg, act="relu2")
     if arch == "deepseek2":
         rope_dim = int(_ak(reader, Keys.Rope.DIMENSION_COUNT, 64) or 64)
         mscale_all = float(_ak(reader, "{arch}.rope.scaling.yarn_log_multiplier", 0.0) or 0.0)

@@ -118,8 +118,12 @@ def load_params(
             elif base == "ssm_conv1d" and kind == "weight":
                 # ne (d_conv, d_inner) -> [d_conv, d_inner] dense f32
                 layers[il][key] = _to_dense(reader, name, jnp.float32).T
-            elif base == "ssm_a":
-                # A decay factors stay f32 (they sit inside exp())
+            elif base == "ssm_norm":
+                # mamba2 grouped gate-norm weights [G, d_inner/G], dense f32
+                layers[il][key] = _to_dense(reader, name, jnp.float32)
+            elif base in ("ssm_a", "ssm_d"):
+                # A decay factors / D skips stay f32 (mamba2 stores them
+                # as (n_head, 1) 2-D tensors)
                 layers[il][key] = _to_dense(reader, name, jnp.float32)
             elif kind == "bias" or len(ti.shape) == 1:
                 layers[il][key] = _to_dense(reader, name, jnp.float32)

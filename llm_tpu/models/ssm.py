@@ -129,7 +129,8 @@ def forward_mamba(
         h = rms_norm(x, layer.get("attn_norm"), cfg.rms_eps)
         cs = jnp.take(conv_states[il], slot_idx, axis=0)
         ss = jnp.take(ssm_states[il], slot_idx, axis=0)
-        out, cs2, ss2 = mamba_layer(h, layer, cfg, cs, ss)
+        block = mamba2_layer if "ssm_norm" in layer else mamba_layer
+        out, cs2, ss2 = block(h, layer, cfg, cs, ss)
         new_conv.append(conv_states[il].at[slot_idx].set(cs2.astype(conv_states[il].dtype)))
         new_ssm.append(ssm_states[il].at[slot_idx].set(ss2.astype(ssm_states[il].dtype)))
         x = x + out.astype(x.dtype)
@@ -139,3 +140,73 @@ def forward_mamba(
     out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
     logits = qmm(hs, out_w)
     return logits, new_conv, new_ssm, hs.astype(jnp.float32)
+
+
+def ssm_scan2(s0, x, dt, A, B, C, n_group):
+    """Mamba-2 scan (SSD): scalar per-head decay (build_mamba2_layer,
+    /root/reference/src/llama-model.cpp:9951; ggml_ssm_scan mamba-2 path).
+
+    s0: [ns, H, hd, S]; x: [ns, nt, H, hd]; dt: [ns, nt, H] (pre-softplus);
+    A: [H] negative per-head; B, C: [ns, nt, G, S].
+    Returns (y [ns, nt, H, hd], s_last)."""
+    H = x.shape[2]
+    rep = H // n_group
+    dtp = _softplus(dt.astype(jnp.float32))  # [ns, nt, H]
+    dA = jnp.exp(dtp * A[None, None, :])  # [ns, nt, H]
+    Bh = jnp.repeat(B.astype(jnp.float32), rep, axis=2)  # [ns, nt, H, S]
+    Ch = jnp.repeat(C.astype(jnp.float32), rep, axis=2)
+    # dBx[t] = dt * x ⊗ B : [ns, nt, H, hd, S]
+    dBx = (dtp[..., None] * x.astype(jnp.float32))[..., None] * Bh[:, :, :, None, :]
+
+    def combine(a, b):
+        (a1, b1), (a2, b2) = a, b
+        return a1 * a2, b1 * a2[..., None, None] + b2
+
+    ones = jnp.ones(s0.shape[:2], jnp.float32)[:, None]  # [ns, 1, H]
+    aa = jnp.concatenate([ones, dA], axis=1)
+    bb = jnp.concatenate([s0[:, None].astype(jnp.float32), dBx], axis=1)
+    _, s_all = jax.lax.associative_scan(combine, (aa, bb), axis=1)
+    s_seq = s_all[:, 1:]  # [ns, nt, H, hd, S]
+    y = jnp.einsum("nthds,nths->nthd", s_seq, Ch)
+    return y, s_seq[:, -1]
+
+
+def mamba2_layer(x, layer, cfg: ModelConfig, conv_state, ssm_state):
+    """One mamba-2 block over [ns, nt, n_embd]. in_proj packs
+    [z | xBC | dt]; conv+silu over xBC; scalar-decay scan; +D*x; silu(z)
+    gate; grouped RMS norm; out_proj. Returns (out, conv', ssm')."""
+    ns, nt, _ = x.shape
+    di, ds, G = cfg.ssm_d_inner, cfg.ssm_d_state, max(cfg.ssm_n_group, 1)
+    H = cfg.ssm_dt_rank  # n_head (Mamba2Model converter: d_inner // head_dim)
+    hd = di // H
+    d_xbc = di + 2 * G * ds
+
+    zxbcdt = qmm(x.reshape(ns * nt, -1), layer["ssm_in"])
+    zxbcdt = zxbcdt.reshape(ns, nt, 2 * di + 2 * G * ds + H)
+    z = zxbcdt[..., :di]
+    xbc = zxbcdt[..., di:di + d_xbc]
+    dt = zxbcdt[..., di + d_xbc:]
+
+    xbc, new_conv = ssm_conv(xbc.astype(jnp.float32), conv_state,
+                             layer["ssm_conv1d"], layer["ssm_conv1d_b"])
+    xbc = jax.nn.silu(xbc)
+
+    xs = xbc[..., :di].reshape(ns, nt, H, hd)
+    Bm = xbc[..., di:di + G * ds].reshape(ns, nt, G, ds)
+    Cm = xbc[..., di + G * ds:].reshape(ns, nt, G, ds)
+    dt = dt + layer["ssm_dt_b"][None, None, :]
+
+    A = layer["ssm_a"].reshape(-1)  # [H] (stored (H, 1))
+    D = layer["ssm_d"].reshape(-1)
+    ss0 = ssm_state.reshape(-1, H, hd, ds)
+    y, new_ssm = ssm_scan2(ss0, xs, dt, A, Bm, Cm, G)
+    y = y + xs.astype(jnp.float32) * D[None, None, :, None]
+    y = y.reshape(ns, nt, di) * jax.nn.silu(z.astype(jnp.float32))
+
+    # grouped RMS norm: ssm_norm stored [G, di/G] (Mamba2Model converter)
+    yg = y.reshape(ns, nt, G, di // G)
+    yg = rms_norm(yg, None, cfg.rms_eps) * layer["ssm_norm"][None, None]
+    y = yg.reshape(ns, nt, di)
+
+    out = qmm(y.reshape(ns * nt, di).astype(jnp.bfloat16), layer["ssm_out"])
+    return out.reshape(ns, nt, -1), new_conv, new_ssm.reshape(ns, di, ds)

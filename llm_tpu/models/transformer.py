@@ -101,6 +101,8 @@ def _ffn(h, layer, cfg: ModelConfig, collect=None):
             cur = (g * up.astype(jnp.float32)).astype(h.dtype)
         else:
             cur = act(up.astype(jnp.float32)).astype(h.dtype)
+    if "ffn_sub_norm" in layer:  # bitnet: RMS sub-norm before down_proj
+        cur = rms_norm(cur, layer["ffn_sub_norm"], cfg.rms_eps)
     if collect is not None:
         collect("ffn_down", cur)
     return _maybe_add(_proj(cur, layer, "ffn_down", h.dtype),
@@ -399,6 +401,8 @@ def forward(
                 tok_pos=tok_pos,
             )
         att = att.reshape(T, H * Dv)
+        if "attn_sub_norm" in layer:  # bitnet: RMS sub-norm before o_proj
+            att = rms_norm(att, layer["attn_sub_norm"], cfg.rms_eps)
         _collect(layer_acts, "attn_output", att)
         attn_out = _proj(att, layer, "attn_output", dtype)
         attn_out = _maybe_add(attn_out, layer.get("attn_output_b"))

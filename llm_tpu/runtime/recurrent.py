@@ -29,10 +29,12 @@ class RecurrentSlots:
                          for _ in range(cfg.n_layers)]
             self.ssm = [jnp.zeros((n_slots + 1, H, D, D), dtype)
                         for _ in range(cfg.n_layers)]
-        else:  # mamba: conv shift state + ssm state
+        else:  # mamba: conv shift state + ssm state (mamba2's conv also
+            # carries the B/C channels: d_inner + 2*G*d_state)
             di, dc, ds = cfg.ssm_d_inner, cfg.ssm_d_conv, cfg.ssm_d_state
+            conv_ch = di + 2 * cfg.ssm_n_group * ds
             self.conv = [
-                jnp.zeros((n_slots + 1, max(dc - 1, 1), di), dtype)
+                jnp.zeros((n_slots + 1, max(dc - 1, 1), conv_ch), dtype)
                 for _ in range(cfg.n_layers)
             ]
             self.ssm = [

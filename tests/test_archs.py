@@ -674,3 +674,19 @@ def test_phimoe(tmp_path):
         layer.block_sparse_moe.forward = softmax_topk_forward.__get__(
             layer.block_sparse_moe)
     _check(m, "phimoe", tmp_path)
+
+
+def test_bitnet(tmp_path):
+    """BitNet b1.58: squared-relu gated FFN + RMS sub-norms before the
+    attention/FFN output projections (llm_build_bitnet,
+    llama-model.cpp:3634). Graph parity at f32; the ternary storage path
+    is covered by the TQ1_0/TQ2_0 codec + plane tests."""
+    cfg = transformers.BitNetConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, pad_token_id=0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.BitNetForCausalLM(cfg).eval()
+    _check(m, "bitnet", tmp_path)

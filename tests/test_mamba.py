@@ -149,3 +149,42 @@ def test_mamba_parallel_decode_batches_seqs(mamba_pair):
     assert ctx.decode(b) == 0
     np.testing.assert_allclose(ctx.get_logits(0), serial[0], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ctx.get_logits(1), serial[1], rtol=1e-5, atol=1e-5)
+
+
+def test_mamba2_vs_hf(tmp_path):
+    import torch
+    import transformers
+    """Mamba2 (SSD): scalar per-head decay scan, grouped gated RMS norm,
+    packed in_proj [z|xBC|dt] (build_mamba2_layer,
+    /root/reference/src/llama-model.cpp:9951)."""
+    cfg = transformers.Mamba2Config(
+        vocab_size=97, hidden_size=32, num_hidden_layers=2, state_size=16,
+        head_dim=8, expand=2, n_groups=1, num_heads=8, conv_kernel=4,
+        pad_token_id=0, tie_word_embeddings=False,
+    )
+    # n_groups=1 (all published mamba2 configs): HF's gated RMS norm spans
+    # the full d_inner while the reference norms per group — equal at G=1
+    torch.manual_seed(0)
+    m = transformers.Mamba2ForCausalLM(cfg).eval()
+    path = str(tmp_path / "mamba2.gguf")
+    from llm_tpu.convert.hf_llama import convert_hf_mamba2
+
+    convert_hf_mamba2(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    c0 = Context(GGUFReader(path), n_cells=32, dtype=jnp.float32)
+    b0 = Batch()
+    for i, t in enumerate(tokens):
+        b0.add(t, i, (0,), logits=True)
+    assert c0.decode(b0) == 0
+    ours = np.stack([c0.get_logits(i) for i in range(len(tokens))])
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=6e-3, rtol=6e-3)
+
+    # incremental decode (state carry) matches the one-shot prefill
+    ctx = Context(GGUFReader(path), n_cells=32, dtype=jnp.float32)
+    assert ctx.decode(Batch.text(tokens[:5], seq_id=0)) == 0
+    for i, t in enumerate(tokens[5:]):
+        assert ctx.decode(Batch.one(t, pos=5 + i, seq_id=0)) == 0
+    np.testing.assert_allclose(ctx.get_logits(), ref[-1], atol=6e-3, rtol=6e-3)
