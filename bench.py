@@ -41,7 +41,8 @@ def build(cfg_kw, scales_dtype=jnp.bfloat16):
     from llm_tpu.models.synthetic import make_synthetic_model
 
     params, cfg = make_synthetic_model(
-        qtype=GGMLType.Q4_K, on_device=True, scales_dtype=scales_dtype, **cfg_kw
+        qtype=GGMLType.Q4_K, on_device=True, scales_dtype=scales_dtype,
+        scan=True, **cfg_kw
     )
     return params, cfg
 
@@ -65,14 +66,10 @@ def main():
     t_build = time.time() - t0
     print(f"build: {t_build:.1f}s", file=sys.stderr)
 
-    kv_k = tuple(
-        jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
-        for _ in range(cfg.n_layers)
-    )
-    kv_v = tuple(
-        jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
-        for _ in range(cfg.n_layers)
-    )
+    kv_k = jnp.zeros((cfg.n_layers, S, cfg.n_kv_heads, cfg.head_dim),
+                     jnp.bfloat16)
+    kv_v = jnp.zeros((cfg.n_layers, S, cfg.n_kv_heads, cfg.head_dim_v),
+                     jnp.bfloat16)
 
     cell_idx = jnp.arange(S, dtype=jnp.int32)
 
@@ -82,10 +79,10 @@ def main():
         seq = jnp.zeros(T, jnp.int32)
         cbits = (cell_idx < T).astype(jnp.uint32)
         logits, nk, nv, _ = forward(
-            params, cfg, list(kv_k), list(kv_v), tokens, pos, seq, pos,
+            params, cfg, kv_k, kv_v, tokens, pos, seq, pos,
             cell_idx, cbits, jnp.asarray([T - 1], jnp.int32),
         )
-        return jnp.argmax(logits[0]).astype(jnp.int32), tuple(nk), tuple(nv)
+        return jnp.argmax(logits[0]).astype(jnp.int32), nk, nv
 
     def decode_loop(params, kv_k, kv_v, tok0, n_steps):
         def body(i, carry):
@@ -93,12 +90,12 @@ def main():
             pos = N_PREFILL + i
             cbits = (cell_idx <= pos).astype(jnp.uint32)
             logits, nk, nv, _ = forward(
-                params, cfg, list(kk), list(vv),
+                params, cfg, kk, vv,
                 tok[None], pos[None].astype(jnp.int32), jnp.zeros(1, jnp.int32),
                 pos[None].astype(jnp.int32), cell_idx, cbits,
                 jnp.zeros(1, jnp.int32),
             )
-            return jnp.argmax(logits[0]).astype(jnp.int32), tuple(nk), tuple(nv)
+            return jnp.argmax(logits[0]).astype(jnp.int32), nk, nv
 
         return jax.lax.fori_loop(0, n_steps, body, (tok0, kv_k, kv_v))
 
@@ -132,20 +129,18 @@ def main():
 
     # -- pp512: prefill throughput (PP tokens in one program) ------------------
     pp_tokens = jnp.asarray(np.arange(PP) % cfg.vocab_size, jnp.int32)
-    kv_k2 = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
-                  for _ in range(cfg.n_layers))
-    kv_v2 = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
-                  for _ in range(cfg.n_layers))
+    kv_k2 = jnp.zeros_like(kv_k)
+    kv_v2 = jnp.zeros_like(kv_v)
     t0 = time.time()
     tokp, kv_k2, kv_v2 = prefill_j(params, kv_k2, kv_v2, pp_tokens)
     jax.block_until_ready(tokp)
     print(f"pp{PP} warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
     pp_times = []
     for _ in range(reps):
-        kk = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
-                   for _ in range(cfg.n_layers))
-        vv = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
-                   for _ in range(cfg.n_layers))
+        kk = jnp.zeros(
+            (cfg.n_layers, S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+        vv = jnp.zeros(
+            (cfg.n_layers, S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
         t0 = time.perf_counter()
         tokp, kk, vv = prefill_j(params, kk, vv, pp_tokens)
         jax.block_until_ready(tokp)

@@ -70,11 +70,31 @@ def _fuse_projections(layers: list[dict]) -> None:
                 del layer["ffn_gate"], layer["ffn_up"]
 
 
+def stack_layers(layers: list[dict]):
+    """Stack homogeneous per-layer param dicts into one pytree with a
+    leading n_layers dim (leaves [L, ...]; QTensor meta preserved) for the
+    lax.scan decoder path — the compiled program stops growing with depth.
+    Returns None when layers are not uniform (mixed keys/shapes/quant
+    recipes)."""
+    import jax
+
+    if not layers:
+        return None
+    keys = set(layers[0].keys())
+    if any(set(l.keys()) != keys for l in layers):
+        return None
+    try:
+        return jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
+    except (ValueError, TypeError):
+        return None
+
+
 def load_params(
     reader: GGUFReader,
     dense_dtype=jnp.bfloat16,
     use_planes: bool = True,
     fuse: bool = True,
+    scan_layers: bool = False,
 ) -> tuple[dict, ModelConfig]:
     """Returns (params, config). params layout documented in
     models/transformer.py::forward."""
@@ -179,4 +199,9 @@ def load_params(
     params.setdefault("output", None)
     if fuse and use_planes:
         _fuse_projections(layers)
+    if scan_layers and not cfg.is_recurrent:
+        stacked = stack_layers(layers)
+        if stacked is not None:
+            params["layers_stacked"] = stacked
+            params["layers"] = []  # scan mode: no per-layer access
     return params, cfg

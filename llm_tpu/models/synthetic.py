@@ -150,6 +150,7 @@ def make_synthetic_model(
     fuse: bool = True,
     n_expert: int = 0,
     n_expert_used: int = 0,
+    scan: bool = False,
 ) -> tuple[dict, ModelConfig]:
     """Build (params, cfg) for a llama-shaped model with random weights."""
     import jax
@@ -250,6 +251,13 @@ def make_synthetic_model(
         dev_key, sub = jax.random.split(dev_key)
         params = jax.jit(_gen_top)(sub)
         params["layers"] = layers
+        if scan:
+            from .loader import stack_layers
+
+            stacked = stack_layers(layers)
+            assert stacked is not None
+            params["layers_stacked"] = stacked
+            params["layers"] = []
         return params, cfg
 
 
@@ -301,6 +309,13 @@ def make_synthetic_model(
         from .loader import _fuse_projections
 
         _fuse_projections(layers)
+    if scan:
+        from .loader import stack_layers
+
+        stacked = stack_layers(layers)
+        assert stacked is not None
+        params["layers_stacked"] = stacked
+        params["layers"] = []
     return params, cfg
 
 

@@ -264,6 +264,10 @@ def forward(
     import os
 
     _flash_env = os.environ.get("LLM_TPU_FLASH", "1")
+    # kv_k is a per-layer list (python loop) or a stacked [L, ...] array /
+    # (q8, scales) pair (lax.scan path)
+    kv_sample = kv_k[0] if isinstance(kv_k, list) else kv_k
+    kv_is_q8 = isinstance(kv_sample, tuple)
     use_flash = (
         _flash_env != "0"
         and not (_flash_env == "decode" and T > 8)
@@ -273,8 +277,8 @@ def forward(
         and Dk % 128 == 0
         and cfg_rope.mode in (0, 2)
         and (
-            not isinstance(kv_k[0], tuple)
-            or kv_k[0][1].shape[-1] == 1  # q8 cache with per-head scales
+            not kv_is_q8
+            or kv_sample[1].shape[-1] == 1  # q8 cache with per-head scales
         )
     )
     if use_flash:
@@ -291,9 +295,12 @@ def forward(
             cos_cf2 = cos_cf2.astype(dtype)
             sin_cf2 = sin_cf2.astype(dtype)
 
-    new_k, new_v = [], []
-    for il, layer in enumerate(params["layers"]):
-        layer_acts: dict = {}
+    def _layer_body(x, layer, kv_k_l, kv_v_l, is_swa, layer_acts):
+        """One decoder layer; returns (x, k_cache, v_cache). Shared between
+        the per-layer python loop and the lax.scan path."""
+        swa_rope = cfg.rope_swa is not None and is_swa
+        swa_tab = is_swa and (cfg.rope_swa is not None or dual)
+        nope = cfg.nope_global_layers and not is_swa  # cohere2 NoPE layers
         # post-norm archs (olmo2) carry no input norms: attend over x
         # directly; olmo-style nonparam_norm normalizes without weights
         h = _norm(x, layer.get("attn_norm"), cfg, layer.get("attn_norm_b")) \
@@ -356,20 +363,14 @@ def forward(
             q = rms_norm(q, layer.get("attn_q_norm"), cfg.rms_eps)
             k = rms_norm(k, layer.get("attn_k_norm"), cfg.rms_eps)
 
-        is_swa = cfg.layer_is_swa(il)
-        swa_rope = cfg.rope_swa is not None and is_swa
-        swa_tab = is_swa and (cfg.rope_swa is not None or dual)
-        nope = cfg.nope_global_layers and not is_swa  # cohere2 NoPE layers
         if not nope:
             q = apply_rope(q, cos_t2 if swa_rope else cos_t,
                            sin_t2 if swa_rope else sin_t,
                            cfg_rope.mode, cfg_rope.n_dims)
         # K enters the cache UNROPED; rotated on read with cell positions.
         widx_l = swa_write_idx if (dual and is_swa) else write_idx
-        k_cache = _kv_write(kv_k[il], widx_l, k)
-        v_cache = _kv_write(kv_v[il], widx_l, v)
-        new_k.append(k_cache)
-        new_v.append(v_cache)
+        k_cache = _kv_write(kv_k_l, widx_l, k)
+        v_cache = _kv_write(kv_v_l, widx_l, v)
 
         layer_bias = bias_swa if (bias_swa is not None and is_swa) else bias
         if use_flash:
@@ -452,9 +453,50 @@ def forward(
         x = x + ffn_out + attn_out if cfg.parallel_residual else x + ffn_out
         if "cvec" in layer:  # control-vector steering (build_cvec parity)
             x = x + layer["cvec"].astype(x.dtype)
-        acts.append(layer_acts)
-        if collect_hidden:
-            hiddens.append(jnp.take(x, out_idx, axis=0).astype(jnp.float32))
+        return x, k_cache, v_cache
+
+    layers_stacked = params.get("layers_stacked")
+    if (layers_stacked is not None and not collect_acts
+            and not collect_hidden and cfg.swa_pattern == 0 and not dual
+            and cfg.n_expert == 0):
+        # homogeneous decoder stack: ONE scanned layer body — the program
+        # (and its compile time) no longer grows with n_layers. Weight
+        # planes stay OUTSIDE the scan and are indexed inside the Pallas
+        # kernels by a scalar-prefetch layer id (StackedWeight) — slicing
+        # them through scan xs would copy the full weights every step.
+        # Small leaves (norms, biases) and the KV cache ride scan xs.
+        from ..ops.qmatmul import StackedWeight
+        from ..quant.qtensor import QTensor
+
+        big, small = {}, {}
+        for key, val in layers_stacked.items():
+            if isinstance(val, QTensor) or getattr(val, "ndim", 0) >= 3:
+                big[key] = val
+            else:
+                small[key] = val
+
+        def _scan_step(x, xs):
+            il, small_l, kk, vv = xs
+            layer = dict(small_l)
+            for key, w in big.items():
+                layer[key] = StackedWeight(w, il)
+            x, nk, nv = _layer_body(x, layer, kk, vv, False, {})
+            return x, (nk, nv)
+
+        lids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        x, (new_k, new_v) = jax.lax.scan(
+            _scan_step, x, (lids, small, kv_k, kv_v))
+    else:
+        new_k, new_v = [], []
+        for il, layer in enumerate(params["layers"]):
+            layer_acts: dict = {}
+            x, kc, vc = _layer_body(x, layer, kv_k[il], kv_v[il],
+                                    cfg.layer_is_swa(il), layer_acts)
+            new_k.append(kc)
+            new_v.append(vc)
+            acts.append(layer_acts)
+            if collect_hidden:
+                hiddens.append(jnp.take(x, out_idx, axis=0).astype(jnp.float32))
 
     x = _norm(x, params.get("output_norm"), cfg, params.get("output_norm_b"))
     hs = jnp.take(x, out_idx, axis=0)

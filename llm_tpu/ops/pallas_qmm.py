@@ -107,17 +107,23 @@ def _corr(xg_ref, m_ref, cdtype):
     lane dim is the full B (Mosaic block-shape rule); contracting dim 0 of
     both operands yields (B, TN) without a transpose."""
     return jax.lax.dot_general(
-        xg_ref[...].astype(cdtype), m_ref[...].astype(cdtype),
+        xg_ref[...].astype(cdtype), _sq(m_ref).astype(cdtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
+def _sq(ref):
+    """View a block ref, dropping the leading layer dim of stacked planes
+    (block size 1 on the stacked axis)."""
+    return ref[0] if ref.ndim == 3 else ref[...]
+
+
 def _make_w_i8(q_ref, s_ref, gs, zp, cdtype, ptk):
     def make_w(c):
-        q = q_ref[c * ptk:(c + 1) * ptk, :].astype(jnp.float32)
+        q = _sq(q_ref)[c * ptk:(c + 1) * ptk, :].astype(jnp.float32)
         gpc = ptk // gs
-        return _dequant_w(q, s_ref[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
+        return _dequant_w(q, _sq(s_ref)[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
     return make_w
 
 
@@ -125,10 +131,10 @@ def _make_w_p4(q_ref, s_ref, gs, zp, cdtype, ptk):
     half = ptk // 2
 
     def make_w(c):
-        packed = q_ref[c * half:(c + 1) * half, :].astype(jnp.int32)
+        packed = _sq(q_ref)[c * half:(c + 1) * half, :].astype(jnp.int32)
         q = _unpack_p4_chunk(packed, ptk)
         gpc = ptk // gs
-        return _dequant_w(q, s_ref[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
+        return _dequant_w(q, _sq(s_ref)[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
     return make_w
 
 
@@ -159,8 +165,8 @@ def _qmm_kernel_p4_m(x_ref, xg_ref, q_ref, s_ref, m_ref, o_ref, acc_ref, *, gs, 
 )
 def qmm_pallas(
     x: jnp.ndarray,  # [B, K] (bf16/f32)
-    qs: jnp.ndarray,  # [K, N] int8 or [K//2, N] uint8 (p4)
-    scales: jnp.ndarray,  # [K//gs, N]
+    qs: jnp.ndarray,  # [K, N] int8 or [K//2, N] uint8 (p4); [L, ...] stacked
+    scales: jnp.ndarray,  # [K//gs, N] (or [L, K//gs, N])
     mins: jnp.ndarray | None = None,  # [K//gs, N] group offsets, or None
     gs: int = 32,
     zp: int = 0,
@@ -169,9 +175,16 @@ def qmm_pallas(
     tile_k: int = PACK_TK,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    lidx: jnp.ndarray | None = None,  # [1] int32 layer index (stacked planes)
 ) -> jnp.ndarray:
     """y[b,n] = sum_k x[b,k] * (q[k,n] - zp) * scales[k//gs, n]
-                - sum_g groupsum(x)[b,g] * mins[g,n]             (f32)"""
+                - sum_g groupsum(x)[b,g] * mins[g,n]             (f32)
+
+    With lidx, the weight planes carry a leading layer dim [L, ...] and the
+    kernel DMAs layer lidx's tiles straight from the stacked HBM buffer —
+    the lax.scan decoder indexes weights WITHOUT materializing per-layer
+    copies (a full-weights copy per step would halve decode bandwidth)."""
+    stacked = lidx is not None
     B, K = x.shape
     N = qs.shape[-1]
     tile_n = min(tile_n, N)
@@ -193,37 +206,60 @@ def qmm_pallas(
         chunk = PACK_TK if tile_k % PACK_TK == 0 else tile_k
         kernel = functools.partial(kfn, gs=gs, zp=zp, cdtype=cdtype, ptk=chunk)
 
-    x_spec = pl.BlockSpec((B, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    if stacked:
+        base = kernel
+        kernel = lambda s_ref, *refs: base(*refs)  # index maps consume s_ref
+
+        def wmap(index_map):
+            return lambda i, j, s: (s[0],) + index_map(i, j)
+
+        def wstat(index_map):
+            return lambda i, j, s: index_map(i, j)
+
+        def wblock(shape):
+            return (1,) + shape
+    else:
+        def wmap(index_map):
+            return index_map
+
+        wstat = wmap
+
+        def wblock(shape):
+            return shape
+
+    x_spec = pl.BlockSpec((B, tile_k), wstat(lambda i, j: (0, j)),
+                          memory_space=pltpu.VMEM)
     group_spec = pl.BlockSpec(
-        (tile_k // gs, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        wblock((tile_k // gs, tile_n)), wmap(lambda i, j: (j, i)),
+        memory_space=pltpu.VMEM
     )
     in_specs = [x_spec]
     args = [x]
     if mins is not None:
         xg = x.astype(jnp.float32).reshape(B, K // gs, gs).sum(-1).astype(cdtype)
         in_specs.append(
-            pl.BlockSpec((tile_k // gs, B), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile_k // gs, B), wstat(lambda i, j: (j, 0)),
+                         memory_space=pltpu.VMEM)
         )
         args.append(xg.T)
     in_specs.append(
-        pl.BlockSpec((tile_k // kfac, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec(wblock((tile_k // kfac, tile_n)),
+                     wmap(lambda i, j: (j, i)), memory_space=pltpu.VMEM)
     )
     args.append(qs)
     in_specs.append(group_spec)
     args.append(scales)
     nbytes = qs.size * qs.dtype.itemsize + scales.size * scales.dtype.itemsize
+    if stacked:
+        nbytes //= qs.shape[0]
     if mins is not None:
         in_specs.append(group_spec)
         args.append(mins)
-        nbytes += mins.size * mins.dtype.itemsize
+        nbytes += mins.size * mins.dtype.itemsize // (qs.shape[0] if stacked else 1)
 
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, tile_n), jnp.float32)],
+    out_spec = pl.BlockSpec((B, tile_n), wstat(lambda i, j: (0, i)),
+                            memory_space=pltpu.VMEM)
+    common = dict(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             **({"vmem_limit_bytes": _VMEM_LIMIT} if _VMEM_LIMIT else {}),
@@ -233,7 +269,28 @@ def qmm_pallas(
             bytes_accessed=nbytes + B * K * 2 + B * N * 4,
             transcendentals=0,
         ),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         interpret=interpret,
+    )
+    if stacked:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_spec,
+                scratch_shapes=[pltpu.VMEM((B, tile_n), jnp.float32)],
+            ),
+            **common,
+        )(jnp.asarray(lidx, jnp.int32).reshape(1), *args)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((B, tile_n), jnp.float32)],
+        **common,
     )(*args)
 
 

@@ -20,6 +20,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..quant.qtensor import QTensor
 from .pallas_qmm import qmm_pallas
@@ -155,17 +156,20 @@ def _pallas_ok(qt: QTensor, k: int, b: int) -> bool:
 
 def _vmem_estimate(b: int, tile_n: int, tile_k: int, gs: int, layout: str,
                    ptk: int = 256) -> int:
-    """Rough scoped-VMEM bytes for one qmm grid step: out + acc blocks,
-    x (+groupsum) blocks, weight planes, and the dequant temporaries."""
-    out_acc = 2 * b * tile_n * 4
+    """Scoped-VMEM bytes for one qmm grid step. Mosaic DOUBLE-BUFFERS every
+    pipelined in/out block (next tile streams while this one computes), so
+    block buffers count twice; the accumulator scratch and the dequant
+    temporaries are single."""
     xblk = b * tile_k * 2 + (tile_k // gs) * b * 2
     qs = (tile_k // (2 if layout == "p4" else 1)) * tile_n
     scales = 2 * (tile_k // gs) * tile_n * 2
+    out = b * tile_n * 4
+    acc = b * tile_n * 4
     wtmp = ptk * tile_n * (4 + 2)  # f32 unpack + cdtype dequant chunk
-    return out_acc + xblk + qs + scales + wtmp
+    return 2 * (xblk + qs + scales + out) + acc + wtmp
 
 
-_VMEM_BUDGET = 12 << 20  # stay under Mosaic's 16MB scoped-vmem default
+_VMEM_BUDGET = 13 << 20  # inside Mosaic's 16MB scoped-vmem default
 
 
 def _fit_tiles(b: int, tile_n: int, tile_k: int, gs: int, layout: str,
@@ -183,20 +187,66 @@ def _fit_tiles(b: int, tile_n: int, tile_k: int, gs: int, layout: str,
     return tile_n, tile_k
 
 
+class StackedWeight:
+    """A per-layer view into depth-stacked weights ([L, ...] leaves) plus a
+    traced layer index. The Pallas path DMAs layer idx's tiles straight out
+    of the stacked HBM buffer (scalar-prefetch index maps) so the lax.scan
+    decoder never materializes per-layer weight copies."""
+
+    __slots__ = ("w", "idx")
+
+    def __init__(self, w, idx):
+        self.w = w  # stacked QTensor (kmajor leaves [L, ...]) or dense [L, N, K]
+        self.idx = idx  # traced int32 scalar
+
+
+def _slice_stacked(w, idx):
+    """Materialize layer idx of a stacked weight (XLA fallback path)."""
+    take = lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
+    if isinstance(w, QTensor):
+        return QTensor(
+            qs=take(w.qs), scales=take(w.scales),
+            mins=take(w.mins) if w.mins is not None else None,
+            group_size=w.group_size, ggml_type=w.ggml_type, layout=w.layout,
+            zp=w.zp, pack_tk=w.pack_tk, kmajor=w.kmajor,
+        )
+    return take(w)
+
+
 def qmm(
     x: jnp.ndarray,
-    w: QTensor | jnp.ndarray,
+    w: "QTensor | jnp.ndarray | StackedWeight",
     dtype=None,
     out_dtype=None,
 ) -> jnp.ndarray:
     """y[..., n] = sum_k x[..., k] * W[k, n].
 
-    Accepts a QTensor (any layout) or a dense jnp array [N, K] (row-major,
-    as GGUF/converters produce dense weights). Accumulates in f32.
+    Accepts a QTensor (any layout), a dense jnp array [N, K] (row-major,
+    as GGUF/converters produce dense weights), or a StackedWeight (scan
+    path). Accumulates in f32.
     """
     dtype = dtype or _DEFAULT_DTYPE
     lead = x.shape[:-1]
     k = x.shape[-1]
+
+    lidx = None
+    if isinstance(w, StackedWeight):
+        if isinstance(w.w, QTensor):
+            probe = QTensor(
+                qs=w.w.qs[0], scales=w.w.scales[0],
+                mins=w.w.mins[0] if w.w.mins is not None else None,
+                group_size=w.w.group_size, ggml_type=w.w.ggml_type,
+                layout=w.w.layout, zp=w.w.zp, pack_tk=w.w.pack_tk,
+                kmajor=w.w.kmajor,
+            )
+            if _pallas_ok(probe, k, int(np.prod(lead)) if lead else 1):
+                lidx = w.idx
+                stacked_qt = w.w
+                w = probe  # tile decisions read the per-layer geometry
+            else:
+                w = _slice_stacked(w.w, w.idx)
+        else:
+            w = _slice_stacked(w.w, w.idx)
 
     if isinstance(w, QTensor):
         x2 = x.reshape(-1, k)
@@ -222,14 +272,24 @@ def qmm(
             tile_n, tile_k = _fit_tiles(
                 b + pad, min(tile_n, w.out_features), min(tile_k, k),
                 w.group_size, w.layout, min_tk)
-            y = qmm_pallas(
-                x2.astype(dtype), w.qs, w.scales,
-                w.mins if _FUSE_MINS else None,
-                gs=w.group_size, zp=w.zp, layout=w.layout,
-                tile_n=tile_n, tile_k=tile_k, interpret=_INTERPRET,
-                compute_dtype=dtype,
-            )
-            if w.mins is not None and not _FUSE_MINS:
+            if lidx is not None:
+                # stacked planes + always-fused mins: no per-layer slices
+                y = qmm_pallas(
+                    x2.astype(dtype), stacked_qt.qs, stacked_qt.scales,
+                    stacked_qt.mins,
+                    gs=w.group_size, zp=w.zp, layout=w.layout,
+                    tile_n=tile_n, tile_k=tile_k, interpret=_INTERPRET,
+                    compute_dtype=dtype, lidx=lidx,
+                )
+            else:
+                y = qmm_pallas(
+                    x2.astype(dtype), w.qs, w.scales,
+                    w.mins if _FUSE_MINS else None,
+                    gs=w.group_size, zp=w.zp, layout=w.layout,
+                    tile_n=tile_n, tile_k=tile_k, interpret=_INTERPRET,
+                    compute_dtype=dtype,
+                )
+            if w.mins is not None and not _FUSE_MINS and lidx is None:
                 g = w.group_size
                 xg = x2.astype(jnp.float32).reshape(b + pad, k // g, g).sum(-1)
                 y = y - jax.lax.dot_general(

@@ -68,6 +68,7 @@ class Context:
         mesh=None,
         swa_full: bool = False,
         n_seq_hint: int = 1,
+        scan_layers: bool = False,
     ):
         """mesh: an optional jax.sharding.Mesh (axes dp/sp/tp, see
         parallel/sharding.make_mesh). When given, weights are TP-sharded,
@@ -79,13 +80,30 @@ class Context:
         swa_full: give SWA layers full-size caches instead of the ISWA
         dual-cache ring (the reference's --swa-full, llama.h:374).
         n_seq_hint: expected concurrent sequences — sizes the SWA ring at
-        n_seq_hint * (window + n_ubatch) cells (the iswa sizing rule)."""
+        n_seq_hint * (window + n_ubatch) cells (the iswa sizing rule).
+        scan_layers: lax.scan over a stacked homogeneous decoder stack —
+        compile time stops growing with depth (requires uniform layers; no
+        runtime LoRA/cvec/imatrix, no ISWA dual cache)."""
         t0 = time.perf_counter()
+        if mesh is not None and scan_layers:
+            raise ValueError("scan_layers does not compose with a mesh yet "
+                             "— use the per-layer path for sharded runs")
         self.reader = reader
         if params_cfg is not None:
             self.params, self.cfg = params_cfg
+            if scan_layers and "layers_stacked" not in self.params \
+                    and not self.cfg.is_recurrent:
+                from ..models.loader import stack_layers
+
+                stacked = stack_layers(self.params["layers"])
+                if stacked is not None:
+                    self.params = dict(self.params)
+                    self.params["layers_stacked"] = stacked
+                    self.params["layers"] = []
         else:
-            self.params, self.cfg = load_params(reader, dense_dtype=dtype, use_planes=use_planes)
+            self.params, self.cfg = load_params(
+                reader, dense_dtype=dtype, use_planes=use_planes,
+                scan_layers=scan_layers)
         self.dtype = dtype
         self.kv_dtype = kv_dtype if kv_dtype is not None else dtype
         self.n_ubatch = n_ubatch
@@ -148,6 +166,14 @@ class Context:
                 self.cfg.head_dim, self.cfg.head_dim_v, self.kv_dtype,
                 row_counts=row_counts,
             )
+            if "layers_stacked" in self.params and row_counts is None:
+                # scan path: KV as stacked [L, ...] arrays (scan xs)
+                stk = lambda xs: (
+                    tuple(jnp.stack(p) for p in zip(*xs))
+                    if isinstance(xs[0], tuple) else jnp.stack(xs)
+                )
+                self.kv.k = stk(self.kv.k)
+                self.kv.v = stk(self.kv.v)
             if mesh is not None:
                 from ..parallel.sharding import kv_shardings
 

@@ -284,3 +284,67 @@ def test_seq_ids_above_32():
     assert ctx.seq_pos_max(63) == 2
     ctx.seq_rm(63)
     assert ctx.seq_pos_max(63) == -1
+
+
+def test_scan_layers_matches_loop():
+    """The lax.scan decoder path (stacked layer params + stacked KV) must
+    match the per-layer python loop exactly — same weights, same inputs."""
+    from llm_tpu.gguf.constants import GGMLType
+    from llm_tpu.models.loader import stack_layers
+    from llm_tpu.models.synthetic import make_synthetic_model
+    from llm_tpu.models.transformer import forward
+
+    params, cfg = make_synthetic_model(
+        n_embd=64, n_layers=3, n_heads=4, n_kv_heads=2, n_ff=128,
+        vocab=64, qtype=GGMLType.Q8_0, dtype=jnp.float32, fuse=True)
+    T, S = 5, 16
+    tok = jnp.asarray(np.arange(T) % 64, jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    seq = jnp.zeros(T, jnp.int32)
+    cpos = jnp.concatenate([pos, jnp.zeros(S - T, jnp.int32)])
+    cbits = jnp.asarray((np.arange(S) < T).astype(np.uint32))
+    oidx = jnp.arange(T, dtype=jnp.int32)
+    kv_k = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.float32)
+            for _ in range(cfg.n_layers)]
+    kv_v = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.float32)
+            for _ in range(cfg.n_layers)]
+    ref, ref_k, _, _ = forward(params, cfg, kv_k, kv_v, tok, pos, seq, pos,
+                               cpos, cbits, oidx, dtype=jnp.float32)
+
+    stacked = stack_layers(params["layers"])
+    assert stacked is not None
+    p2 = dict(params)
+    p2["layers_stacked"] = stacked
+    p2["layers"] = []
+    kk = jnp.stack(kv_k)
+    vv = jnp.stack(kv_v)
+    got, got_k, _, _ = forward(p2, cfg, kk, vv, tok, pos, seq, pos,
+                               cpos, cbits, oidx, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_k[1]), np.asarray(ref_k[1]),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_context_scan_layers_decode():
+    """Context(scan_layers=True) produces the same logits as the loop
+    engine across prefill + incremental decode."""
+    from llm_tpu.models.synthetic import make_synthetic_model
+
+    params, cfg = make_synthetic_model(
+        n_embd=64, n_layers=3, n_heads=4, n_kv_heads=2, n_ff=128,
+        vocab=64, qtype=None, dtype=jnp.float32, fuse=False)
+    ref = Context(None, n_cells=32, dtype=jnp.float32,
+                  params_cfg=(params, cfg))
+    scan = Context(None, n_cells=32, dtype=jnp.float32,
+                   params_cfg=(params, cfg), scan_layers=True)
+    assert "layers_stacked" in scan.params
+    toks = [3, 1, 4, 1, 5]
+    for c in (ref, scan):
+        assert c.decode(Batch.text(toks, seq_id=0)) == 0
+    np.testing.assert_allclose(scan.get_logits(), ref.get_logits(),
+                               atol=2e-5, rtol=2e-5)
+    for c in (ref, scan):
+        assert c.decode(Batch.one(9, pos=len(toks), seq_id=0)) == 0
+    np.testing.assert_allclose(scan.get_logits(), ref.get_logits(),
+                               atol=2e-5, rtol=2e-5)
