@@ -525,6 +525,96 @@ def convert_hf_mamba2(
     return path
 
 
+def convert_hf_t5(
+    model,
+    path: str,
+    out_type: GGMLType = GGMLType.F32,
+    vocab: dict | None = None,
+):
+    """HF T5ForConditionalGeneration -> GGUF (parity: convert_hf_to_gguf.py
+    T5Model; tensor names per llama-arch.cpp T5 table: enc.blk.N.* /
+    dec.blk.N.* with attn_o / cross_attn_* / attn_rel_b)."""
+    import numpy as np
+
+    hf_cfg = model.config
+    a = "t5"
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), 512)
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.d_model))
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.num_layers))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), int(hf_cfg.d_ff))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), int(hf_cfg.num_heads))
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), int(hf_cfg.num_heads))
+    w.add_kv(Keys.Attention.KEY_LENGTH.format(arch=a), int(hf_cfg.d_kv))
+    w.add_kv(Keys.Attention.VALUE_LENGTH.format(arch=a), int(hf_cfg.d_kv))
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a),
+             float(hf_cfg.layer_norm_epsilon))
+    w.add_kv(f"{a}.attention.relative_buckets_count",
+             int(hf_cfg.relative_attention_num_buckets))
+    w.add_kv(f"{a}.decoder_start_token_id",
+             int(hf_cfg.decoder_start_token_id))
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
+    if vocab:
+        for key, val in vocab.items():
+            w.add_kv(key, val)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    def put(name, arr, qtype=None):
+        w.add_tensor(name, arr, ggml_type=qtype or (out_type if arr.ndim == 2 else GGMLType.F32))
+
+    put("token_embd.weight", sd["shared.weight"])
+    put("enc.output_norm.weight", sd["encoder.final_layer_norm.weight"])
+    put("dec.output_norm.weight", sd["decoder.final_layer_norm.weight"])
+    if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", True):
+        put("output.weight", sd["lm_head.weight"])
+
+    for il in range(hf_cfg.num_layers):
+        e = f"encoder.block.{il}."
+        b = f"enc.blk.{il}."
+        put(b + "attn_q.weight", sd[e + "layer.0.SelfAttention.q.weight"])
+        put(b + "attn_k.weight", sd[e + "layer.0.SelfAttention.k.weight"])
+        put(b + "attn_v.weight", sd[e + "layer.0.SelfAttention.v.weight"])
+        put(b + "attn_o.weight", sd[e + "layer.0.SelfAttention.o.weight"])
+        put(b + "attn_norm.weight", sd[e + "layer.0.layer_norm.weight"])
+        rk = e + "layer.0.SelfAttention.relative_attention_bias.weight"
+        if rk in sd:
+            put(b + "attn_rel_b.weight", sd[rk], qtype=GGMLType.F32)
+        if e + "layer.1.DenseReluDense.wi.weight" in sd:
+            put(b + "ffn_up.weight", sd[e + "layer.1.DenseReluDense.wi.weight"])
+        else:  # gated (t5 v1.1): wi_0 = gate, wi_1 = up
+            put(b + "ffn_gate.weight", sd[e + "layer.1.DenseReluDense.wi_0.weight"])
+            put(b + "ffn_up.weight", sd[e + "layer.1.DenseReluDense.wi_1.weight"])
+        put(b + "ffn_down.weight", sd[e + "layer.1.DenseReluDense.wo.weight"])
+        put(b + "ffn_norm.weight", sd[e + "layer.1.layer_norm.weight"])
+
+        d = f"decoder.block.{il}."
+        b = f"dec.blk.{il}."
+        put(b + "attn_q.weight", sd[d + "layer.0.SelfAttention.q.weight"])
+        put(b + "attn_k.weight", sd[d + "layer.0.SelfAttention.k.weight"])
+        put(b + "attn_v.weight", sd[d + "layer.0.SelfAttention.v.weight"])
+        put(b + "attn_o.weight", sd[d + "layer.0.SelfAttention.o.weight"])
+        put(b + "attn_norm.weight", sd[d + "layer.0.layer_norm.weight"])
+        rk = d + "layer.0.SelfAttention.relative_attention_bias.weight"
+        if rk in sd:
+            put(b + "attn_rel_b.weight", sd[rk], qtype=GGMLType.F32)
+        put(b + "cross_attn_q.weight", sd[d + "layer.1.EncDecAttention.q.weight"])
+        put(b + "cross_attn_k.weight", sd[d + "layer.1.EncDecAttention.k.weight"])
+        put(b + "cross_attn_v.weight", sd[d + "layer.1.EncDecAttention.v.weight"])
+        put(b + "cross_attn_o.weight", sd[d + "layer.1.EncDecAttention.o.weight"])
+        put(b + "cross_attn_norm.weight", sd[d + "layer.1.layer_norm.weight"])
+        if d + "layer.2.DenseReluDense.wi.weight" in sd:
+            put(b + "ffn_up.weight", sd[d + "layer.2.DenseReluDense.wi.weight"])
+        else:
+            put(b + "ffn_gate.weight", sd[d + "layer.2.DenseReluDense.wi_0.weight"])
+            put(b + "ffn_up.weight", sd[d + "layer.2.DenseReluDense.wi_1.weight"])
+        put(b + "ffn_down.weight", sd[d + "layer.2.DenseReluDense.wo.weight"])
+        put(b + "ffn_norm.weight", sd[d + "layer.2.layer_norm.weight"])
+
+    w.write()
+    return path
+
+
 def convert_hf_clip_mmproj(
     vision_model,
     path: str,

@@ -115,10 +115,17 @@ class ModelConfig:
     kv_lora_rank: int = 0
     q_lora_rank: int = 0
     qk_rope_dim: int = 0
+    # t5 encoder-decoder (llama-hparams n_rel_attn_bkts; dec start token)
+    t5_rel_buckets: int = 0
+    dec_start_token: int = -1
 
     @property
     def is_recurrent(self) -> bool:
         return self.ssm_d_state > 0 or self.wkv_head_size > 0
+
+    @property
+    def is_enc_dec(self) -> bool:
+        return self.arch in ("t5", "t5encoder")
 
     @property
     def n_rep(self) -> int:
@@ -354,6 +361,17 @@ def config_from_gguf(reader) -> ModelConfig:
                       attn_bias=True)
     if arch == "stablelm":
         cfg = replace(cfg, norm_kind="ln", attn_bias=True)
+    if arch in ("t5", "t5encoder"):
+        # fixed 1.0 attention scale; relative-position buckets; tied head
+        # scales logits by d_model^-0.5 (llm_build_t5, HF T5 semantics)
+        tied = "output.weight" not in reader.tensors
+        cfg = replace(
+            cfg,
+            attn_scale=1.0,
+            t5_rel_buckets=int(_ak(reader, "{arch}.attention.relative_buckets_count", 32) or 32),
+            dec_start_token=int(_ak(reader, "{arch}.decoder_start_token_id", 0) or 0),
+            logit_scale=(n_embd ** -0.5) if tied else 1.0,
+        )
     if arch == "bitnet":
         # BitNet b1.58: squared-relu gated FFN + attn/ffn sub-norms before
         # the output projections (llm_build_bitnet, llama-model.cpp:3634)

@@ -21,6 +21,7 @@ from ..quant.qtensor import concat_qtensors, qtensor_from_gguf, supported_plane_
 from .config import ModelConfig, config_from_gguf
 
 _BLK_RE = re.compile(r"^blk\.(\d+)\.(.+?)\.(weight|bias)$")
+_T5_RE = re.compile(r"^(enc|dec)\.blk\.(\d+)\.(.+?)\.(weight|bias)$")
 
 _PLANE_TYPES = set(supported_plane_types())
 
@@ -102,8 +103,33 @@ def load_params(
 
     layers: list[dict] = [{} for _ in range(cfg.n_layers)]
     params: dict = {"layers": layers}
+    if cfg.is_enc_dec:
+        params["enc_layers"] = [{} for _ in range(cfg.n_layers)]
+        params["dec_layers"] = [{} for _ in range(cfg.n_layers)]
 
     for name, ti in reader.tensors.items():
+        m5 = _T5_RE.match(name) if cfg.is_enc_dec else None
+        if m5:
+            side, il, base, kind = (m5.group(1), int(m5.group(2)),
+                                    m5.group(3), m5.group(4))
+            if il >= cfg.n_layers:
+                continue
+            key = {"attn_o": "attn_output",
+                   "cross_attn_o": "cross_attn_output"}.get(base, base)
+            if kind == "bias":
+                key += "_b"
+            tgt = params["enc_layers" if side == "enc" else "dec_layers"][il]
+            if base == "attn_rel_b" or kind == "bias" or len(ti.shape) == 1:
+                tgt[key] = _to_dense(reader, name, jnp.float32)
+            else:
+                tgt[key] = _load_matrix(reader, name, dense_dtype, use_planes)
+            continue
+        if name == "enc.output_norm.weight":
+            params["enc_output_norm"] = _to_dense(reader, name, jnp.float32)
+            continue
+        if name == "dec.output_norm.weight":
+            params["dec_output_norm"] = _to_dense(reader, name, jnp.float32)
+            continue
         m = _BLK_RE.match(name)
         if m:
             il, base, kind = int(m.group(1)), m.group(2), m.group(3)

@@ -125,6 +125,23 @@ def main(argv=None):
     t0 = time.perf_counter()
     reader = GGUFReader(args.model)
     tok = tokenizer_from_gguf(reader)
+
+    if reader.architecture in ("t5", "t5encoder"):
+        # encoder-decoder flow: encode the prompt, decode from
+        # decoder_start_token_id (llama-cli's llama_encode path for T5)
+        from ..runtime.t5 import T5Session
+
+        sess = T5Session(reader, n_cells=args.ctx_size,
+                         dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+        prompt = args.prompt
+        if args.file:
+            prompt = open(args.file, encoding="utf-8").read()
+        ptoks = tok.encode(prompt, add_special=True, parse_special=True)
+        eos = tok.vocab.eos_id if tok.vocab.eos_id >= 0 else 1
+        out = sess.generate(ptoks, n_predict=args.n_predict, eos_id=eos)
+        print("".join(tok.piece(t) for t in out))
+        return
+
     ctx = Context(
         reader,
         n_cells=args.ctx_size,
