@@ -96,9 +96,14 @@ def load_params(
     use_planes: bool = True,
     fuse: bool = True,
     scan_layers: bool = False,
+    progress_callback=None,
 ) -> tuple[dict, ModelConfig]:
     """Returns (params, config). params layout documented in
-    models/transformer.py::forward."""
+    models/transformer.py::forward.
+
+    progress_callback(frac) -> bool: called as tensors load (the reference's
+    llama_progress_callback, llama.h:314-317); returning False cancels the
+    load (test-model-load-cancel semantics) by raising InterruptedError."""
     cfg = config_from_gguf(reader)
 
     layers: list[dict] = [{} for _ in range(cfg.n_layers)]
@@ -107,7 +112,11 @@ def load_params(
         params["enc_layers"] = [{} for _ in range(cfg.n_layers)]
         params["dec_layers"] = [{} for _ in range(cfg.n_layers)]
 
-    for name, ti in reader.tensors.items():
+    n_total = max(1, len(reader.tensors))
+    for i_tensor, (name, ti) in enumerate(reader.tensors.items()):
+        if progress_callback is not None:
+            if progress_callback(i_tensor / n_total) is False:
+                raise InterruptedError("model load cancelled")
         m5 = _T5_RE.match(name) if cfg.is_enc_dec else None
         if m5:
             side, il, base, kind = (m5.group(1), int(m5.group(2)),
@@ -223,6 +232,8 @@ def load_params(
             params["output"] = _load_matrix(
                 reader, "token_embd.weight", dense_dtype, use_planes, kmajor=True)
     params.setdefault("output", None)
+    if progress_callback is not None:
+        progress_callback(1.0)
     if fuse and use_planes:
         _fuse_projections(layers)
     if scan_layers and not cfg.is_recurrent:

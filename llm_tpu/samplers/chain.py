@@ -447,3 +447,66 @@ class Chain(Sampler):
             cur.selected = int(np.argmax(cur.logits))
         tok = int(cur.ids[cur.selected])
         return tok
+
+
+class Infill(Sampler):
+    """Infill sampler (llama_sampler_init_infill, llama.h:1357-1377; impl
+    llama-sampling.cpp:2308): meant to run after top_k + top_p. Biases
+    toward EOG when text probability is weak, merges candidates sharing a
+    text prefix, applies the 0.2 / 1/(n+1) probability floors, and falls
+    back to EOT when nothing survives."""
+
+    name = "infill"
+    THOLD = 0.2
+
+    def __init__(self, tok):
+        self.tok = tok  # tokenizer (piece + vocab eog/eot ids)
+
+    def apply(self, cur: Candidates) -> None:
+        p = cur.probs()
+        vocab = self.tok.vocab
+        eog = np.array([vocab.is_eog(int(t)) for t in cur.ids])
+        p_eog = float(p[eog].sum())
+        p_txt = float(p[~eog].sum())
+
+        # 1. EOG dominance: keep only EOG candidates
+        if 3.0 * p_eog * len(cur.ids) > p_txt:
+            cur.keep(eog)
+            cur.logits = np.log(np.maximum(p[eog] / max(p_eog, 1e-30), 1e-30))
+            return
+
+        # 2. merge tokens whose text is a prefix of another candidate's
+        pieces = [self.tok.piece(int(t)) for t in cur.ids]
+        order = np.argsort(-p, kind="stable")
+        alive = np.ones(len(cur.ids), bool)
+        pm = p.copy()
+        for i0 in range(len(cur.ids)):
+            for i1 in range(len(cur.ids)):
+                if i0 == i1 or not alive[i0] or not alive[i1]:
+                    continue
+                t0, t1 = pieces[i0], pieces[i1]
+                if t0 and len(t0) <= len(t1) and t1.startswith(t0):
+                    dst, src = (i0, i1) if pm[i0] >= pm[i1] else (i1, i0)
+                    pm[dst] += pm[src]
+                    pm[src] = 0.0
+                    alive[src] = False
+
+        # 3. drop low-probability non-EOG tokens (thold 0.2)
+        keep = alive & (eog | (pm >= self.THOLD))
+        n_non_eog = int((keep & ~eog).sum())
+        if n_non_eog == 0:
+            # 4. nothing textual left -> single EOT
+            eot = vocab.eot_id if vocab.eot_id >= 0 else vocab.eos_id
+            cur.ids = np.asarray([eot], np.int32)
+            cur.logits = np.asarray([1.0], np.float32)
+            return
+        pm = pm * keep
+        pm = pm / pm.sum()
+        thold2 = 1.0 / (n_non_eog + 1)
+        keep2 = keep & (eog | (pm >= thold2))
+        pm2 = pm * keep2
+        pm2 = pm2 / pm2.sum()
+        sel = np.flatnonzero(keep2)
+        cur.keep(sel)
+        cur.logits = np.log(np.maximum(pm2[sel], 1e-30)).astype(np.float32)
+        _ = order  # merge order parity is by probability, handled via pm

@@ -93,6 +93,11 @@ class ServerApp:
 
     # -- endpoints ----------------------------------------------------------------
 
+    async def webui(self, request):
+        from .webui import INDEX_HTML
+
+        return web.Response(text=INDEX_HTML, content_type="text/html")
+
     async def health(self, request):
         return web.json_response({"status": "ok"})
 
@@ -179,6 +184,10 @@ class ServerApp:
             f"llm_tpu_tokens_prompt_total {m['tokens_prompt_total']}",
             "# TYPE llm_tpu_busy_slots gauge",
             f"llm_tpu_busy_slots {m['busy_slots']}",
+            "# TYPE llm_tpu_draft_proposed_total counter",
+            f"llm_tpu_draft_proposed_total {m.get('draft_proposed_total', 0)}",
+            "# TYPE llm_tpu_draft_accepted_total counter",
+            f"llm_tpu_draft_accepted_total {m.get('draft_accepted_total', 0)}",
         ]
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
@@ -436,6 +445,7 @@ class ServerApp:
 
     def build(self) -> web.Application:
         app = web.Application()
+        app.router.add_get("/", self.webui)
         app.router.add_get("/health", self.health)
         app.router.add_get("/props", self.props)
         app.router.add_get("/v1/models", self.models)

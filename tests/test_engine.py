@@ -348,3 +348,19 @@ def test_context_scan_layers_decode():
         assert c.decode(Batch.one(9, pos=len(toks), seq_id=0)) == 0
     np.testing.assert_allclose(scan.get_logits(), ref.get_logits(),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_model_load_progress_and_cancel(tiny_gguf):
+    """Load progress callback + cancellation (llama.h:314-317,
+    test-model-load-cancel parity)."""
+    from llm_tpu.models.loader import load_params
+
+    path, _ = tiny_gguf
+    seen = []
+    load_params(GGUFReader(path), dense_dtype=jnp.float32,
+                progress_callback=lambda f: seen.append(f) or True)
+    assert seen and seen[-1] == 1.0 and seen == sorted(seen)
+
+    with pytest.raises(InterruptedError):
+        load_params(GGUFReader(path), dense_dtype=jnp.float32,
+                    progress_callback=lambda f: f < 0.5)

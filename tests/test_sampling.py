@@ -146,3 +146,47 @@ def test_build_chain_greedy_and_sampling():
     toks = {c2.sample(logits) for _ in range(50)}
     assert toks.issubset(set(range(10)))
     assert 4 in toks
+
+
+def test_infill_sampler():
+    """Infill sampler parity cases (llama.h:1357-1377 doc examples)."""
+    from llm_tpu.samplers.chain import Candidates, Infill
+
+    class _V:
+        eos_id, eot_id = 90, 91
+
+        def is_eog(self, t):
+            return t in (90, 91)
+
+    class _T:
+        vocab = _V()
+        pieces = {0: "hel", 1: "hell", 2: "hello", 3: "dummy", 90: "", 91: ""}
+
+        def piece(self, t):
+            return self.pieces.get(t, f"<{t}>")
+
+    tok = _T()
+    s = Infill(tok)
+
+    # prefix merging: hel/hell/hello combine into the strongest
+    logits = np.log(np.asarray([0.5, 0.2, 0.1, 0.2], np.float64))
+    cur = Candidates(ids=np.asarray([0, 1, 2, 3], np.int32),
+                     logits=logits.astype(np.float32))
+    s.apply(cur)
+    p = cur.probs()
+    m = {int(i): float(x) for i, x in zip(cur.ids, p)}
+    # 0.5+0.2+0.1 merge into "hel" (0.8); the final 1/(n+1) floor then
+    # drops "dummy" (0.2 < 1/2), leaving the merged token at p=1
+    assert set(m) == {0} and abs(m[0] - 1.0) < 1e-3
+
+    # EOG dominance: strong eos prob -> only EOG kept
+    cur = Candidates(ids=np.asarray([3, 90], np.int32),
+                     logits=np.asarray([0.0, 2.0], np.float32))
+    s.apply(cur)
+    assert list(cur.ids) == [90]
+
+    # nothing textual above threshold -> single EOT
+    ids = np.arange(20, dtype=np.int32)
+    cur = Candidates(ids=ids, logits=np.zeros(20, np.float32))
+    s.apply(cur)
+    assert list(cur.ids) == [91]

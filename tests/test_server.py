@@ -438,3 +438,14 @@ def test_server_thread_safety_stress(spec_paths):
         assert all(s.state.name == "IDLE" for s in eng.slots)
     finally:
         eng.stop()
+
+
+def test_webui_served(client):
+    async def run(c):
+        r = await c.get("/")
+        assert r.status == 200
+        body = await r.text()
+        assert "chat/completions" in body
+        return True
+
+    assert asyncio.run(_with_client(client, run))
