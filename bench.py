@@ -36,6 +36,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
 
+def GGMLType_Q4K():
+    from llm_tpu.gguf.constants import GGMLType
+
+    return GGMLType.Q4_K
+
+
 def build(cfg_kw, scales_dtype=jnp.bfloat16):
     from llm_tpu.gguf.constants import GGMLType
     from llm_tpu.models.synthetic import make_synthetic_model
@@ -122,10 +128,72 @@ def main():
         tok, kv_k, kv_v = decode_j(params, kv_k, kv_v, tok, N_GEN)
         jax.block_until_ready(tok)
         times.append(time.perf_counter() - t0)
-    tps = N_GEN / float(np.mean(times))
+    tg_scan = N_GEN / float(np.mean(times))
     sigma = float(np.std([N_GEN / t for t in times]))
-    print(f"tg{N_GEN}: {tps:.2f} ± {sigma:.2f} t/s (times: "
+    print(f"tg{N_GEN} (scan): {tg_scan:.2f} ± {sigma:.2f} t/s (times: "
           f"{['%.3f' % t for t in times]})", file=sys.stderr)
+
+    # -- decode via the unrolled per-layer path (XLA can overlap weight
+    # streaming across layer boundaries there; scan serializes them). The
+    # tunnel's compile service sometimes wedges on large programs, so this
+    # section runs under a SIGALRM watchdog and is skipped on timeout.
+    tg_loop = 0.0
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("loop-path compile watchdog")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(900)
+    try:
+        from llm_tpu.models.synthetic import make_synthetic_model as _msm
+
+        params_l, cfg_l = _msm(qtype=GGMLType_Q4K(), on_device=True,
+                               scales_dtype=jnp.bfloat16, scan=False, **geo)
+        jax.block_until_ready(params_l["tok_embd"].qs)
+        kvk_l = tuple(jnp.zeros((S, cfg_l.n_kv_heads, cfg_l.head_dim), jnp.bfloat16)
+                      for _ in range(cfg_l.n_layers))
+        kvv_l = tuple(jnp.zeros((S, cfg_l.n_kv_heads, cfg_l.head_dim_v), jnp.bfloat16)
+                      for _ in range(cfg_l.n_layers))
+
+        def decode_loop_l(params, kk, vv, tok0, n_steps):
+            def body(i, carry):
+                tok, kk, vv = carry
+                pos = N_PREFILL + i
+                cbits = (cell_idx <= pos).astype(jnp.uint32)
+                logits, nk, nv, _ = forward(
+                    params, cfg_l, list(kk), list(vv),
+                    tok[None], pos[None].astype(jnp.int32),
+                    jnp.zeros(1, jnp.int32), pos[None].astype(jnp.int32),
+                    cell_idx, cbits, jnp.zeros(1, jnp.int32),
+                )
+                return (jnp.argmax(logits[0]).astype(jnp.int32),
+                        tuple(nk), tuple(nv))
+
+            return jax.lax.fori_loop(0, n_steps, body, (tok0, kk, vv))
+
+        dj = jax.jit(decode_loop_l, static_argnums=(4,), donate_argnums=(1, 2))
+        t0 = time.time()
+        tokl, kvk_l, kvv_l = dj(params_l, kvk_l, kvv_l,
+                                jnp.zeros((), jnp.int32), N_GEN)
+        jax.block_until_ready(tokl)
+        print(f"loop decode warmup(+compile): {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        lt = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            tokl, kvk_l, kvv_l = dj(params_l, kvk_l, kvv_l, tokl, N_GEN)
+            jax.block_until_ready(tokl)
+            lt.append(time.perf_counter() - t0)
+        tg_loop = N_GEN / float(np.mean(lt))
+        print(f"tg{N_GEN} (loop): {tg_loop:.2f} t/s", file=sys.stderr)
+        del params_l, kvk_l, kvv_l
+    except (TimeoutError, Exception) as e:  # noqa: BLE001
+        print(f"loop-path decode skipped: {e}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+
+    tps = max(tg_scan, tg_loop)
 
     # -- pp512: prefill throughput (PP tokens in one program) ------------------
     pp_tokens = jnp.asarray(np.arange(PP) % cfg.vocab_size, jnp.int32)
@@ -201,6 +269,8 @@ def main():
     eng_step_ms = eng_dt / n_eng * 1e3
     print(f"engine tg{n_eng}: {eng_tps:.2f} t/s ({eng_step_ms:.1f} ms/step, "
           f"rtt {rtt_ms:.1f} ms) | TTFT p50 {ttft_ms:.1f} ms", file=sys.stderr)
+    print(f"tg128 headline: {tps:.2f} t/s (scan {tg_scan:.2f} / loop "
+          f"{tg_loop:.2f})", file=sys.stderr)
 
     baseline = 120.60  # tg128 Q4_K_M 7B-class, CUDA (llama-bench README:168)
     print(json.dumps({
@@ -210,6 +280,8 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(tps / baseline, 4),
         "extra": {
+            "tg128_scan_path": round(tg_scan, 2),
+            "tg128_loop_path": round(tg_loop, 2),
             "pp512_tok_per_s": round(pp_tps, 1),
             "engine_tg_tok_per_s": round(eng_tps, 2),
             "engine_step_ms": round(eng_step_ms, 2),
