@@ -392,6 +392,12 @@ def config_from_gguf(reader) -> ModelConfig:
             # non-MLA-cache mode: K/V expand to full heads (llm_build_deepseek2)
             n_kv_heads=n_heads,
         )
+    if arch in ("rwkv7", "arwkv7"):
+        cfg = replace(
+            cfg,
+            norm_kind="ln",
+            wkv_head_size=int(_ak(reader, "{arch}.wkv.head_size", 64) or 64),
+        )
     if arch == "rwkv6":
         cfg = replace(
             cfg,

@@ -175,3 +175,175 @@ def forward_rwkv6(
     out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
     logits = qmm(hs.astype(jnp.bfloat16), out_w)
     return logits, new_shift, new_wkv, hs.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# RWKV7 (parity: llm_build_rwkv7 / build_rwkv7_time_mix,
+# /root/reference/src/llama-model.cpp:13056-13330, and the wkv7 recurrence
+# ggml_rwkv_wkv7 — CPU semantics ggml/src/ggml-cpu/ops.cpp:9694-9707:
+#   sa_i = sum_j a_j * S[i,j]
+#   S[i,j] = S[i,j]*w_j + v_i*k_j + sa_i*b_j ;  y_i = sum_j S[i,j] * r_j )
+# ---------------------------------------------------------------------------
+
+
+def wkv7(r, w, k, v, a, b, s0):
+    """RWKV7 recurrence. r/w/k/v/a/b: [ns, nt, H, D] f32;
+    s0: [ns, H, D, D] with i = value dim, j = key dim.
+    Returns (y [ns, nt, H, D], s_last)."""
+
+    def step(state, xs):
+        rt, wt, kt, vt, at, bt = xs  # [ns, H, D]
+        sa = jnp.einsum("nhj,nhij->nhi", at, state)
+        state = (state * wt[..., None, :]
+                 + vt[..., :, None] * kt[..., None, :]
+                 + sa[..., :, None] * bt[..., None, :])
+        y = jnp.einsum("nhij,nhj->nhi", state, rt)
+        return state, y
+
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (r, w, k, v, a, b))
+    s_last, ys = jax.lax.scan(step, s0, xs)
+    return jnp.moveaxis(ys, 0, 1), s_last
+
+
+def _lora_f32(x, w1, w2, bias=None):
+    """bias + w2 @ (w1 @ x) with dense rows-layout f32 tensors
+    (w1 [r, E], w2 [E, r])."""
+    t = jnp.einsum("nte,re->ntr", x, w1.astype(jnp.float32))
+    out = jnp.einsum("ntr,er->nte", t, w2.astype(jnp.float32))
+    return out if bias is None else out + bias.astype(jnp.float32)
+
+
+def time_mix7(x, att_shift, v_first, layer, cfg: ModelConfig):
+    """RWKV7 time mix; returns (out, new shift row, v_first)."""
+    ns, nt, E = x.shape
+    D = cfg.wkv_head_size
+    H = E // D
+    has_gate = "time_mix_g1" in layer
+
+    sx = _shifted(x, att_shift) - x
+    fused = layer["time_mix_lerp_fused"].astype(jnp.float32)  # [n_mix, E]
+    n_mix = fused.shape[0]
+    # interpolation targets in view order r, w, k, v, a, (g)
+    xs = [x + sx * fused[i] for i in range(n_mix)]
+    xr, xw, xk, xv, xa = xs[:5]
+    xg = xs[5] if has_gate else None
+
+    r = _mm(xr, layer["time_mix_receptance"]).astype(jnp.float32)
+    # decay: w = exp(-0.606531 * sigmoid(w0 + w2 @ tanh(w1 @ xw)))
+    t1 = jnp.tanh(jnp.einsum("nte,re->ntr", xw,
+                             _rows(layer["time_mix_w1"])))
+    dd = jnp.einsum("ntr,er->nte", t1, _rows(layer["time_mix_w2"]))
+    dd = dd + layer["time_mix_w0"].astype(jnp.float32)
+    w = jnp.exp(-0.606531 * jax.nn.sigmoid(dd))
+
+    k = _mm(xk, layer["time_mix_key"]).astype(jnp.float32)
+    v = _mm(xv, layer["time_mix_value"]).astype(jnp.float32)
+    if v_first is None:
+        v_first = v
+    else:
+        mixv = jax.nn.sigmoid(_lora_f32(
+            xv, _rows(layer["time_mix_v1"]), _rows(layer["time_mix_v2"]),
+            layer["time_mix_v0"]))
+        v = v + (v_first - v) * mixv
+
+    g = None
+    if has_gate:
+        g = jnp.einsum(
+            "ntr,er->nte",
+            jax.nn.sigmoid(jnp.einsum("nte,re->ntr", xg,
+                                      _rows(layer["time_mix_g1"]))),
+            _rows(layer["time_mix_g2"]))
+
+    a = jax.nn.sigmoid(_lora_f32(
+        xa, _rows(layer["time_mix_a1"]), _rows(layer["time_mix_a2"]),
+        layer["time_mix_a0"]))
+
+    kk = (k * layer["time_mix_k_k"].astype(jnp.float32)).reshape(ns, nt, H, D)
+    kk = kk / jnp.maximum(jnp.linalg.norm(kk, axis=-1, keepdims=True), 1e-12)
+    ka = k * layer["time_mix_k_a"].astype(jnp.float32)
+    k = k + a * ka - ka
+
+    shp = (ns, nt, H, D)
+    return (r.reshape(shp), w.reshape(shp), k.reshape(shp), v.reshape(shp),
+            a.reshape(shp), kk, g, x[:, -1, :], v_first)
+
+
+def _rows(w):
+    """Dense rows-layout small matrix as f32."""
+    return w.astype(jnp.float32)
+
+
+def forward_rwkv7(
+    params: dict,
+    cfg: ModelConfig,
+    shift_states: list,  # per layer [n_slots, 2, E] f32
+    wkv_states: list,  # per layer [n_slots, H, D, D] f32
+    tokens: jnp.ndarray,  # [ns, nt]
+    slot_idx: jnp.ndarray,  # [ns]
+    out_idx: jnp.ndarray,  # [O]
+    dtype=jnp.bfloat16,
+):
+    ns, nt = tokens.shape
+    E = cfg.n_embd
+    D = cfg.wkv_head_size
+    H = E // D
+    eps = cfg.rms_eps
+
+    x = qembed(params["tok_embd"], tokens.reshape(-1), dtype=jnp.float32)
+    x = layer_norm(x, params.get("tok_norm"), params.get("tok_norm_b"), eps)
+    x = x.reshape(ns, nt, E).astype(jnp.float32)
+
+    v_first = None
+    new_shift, new_wkv = [], []
+    for il, layer in enumerate(params["layers"]):
+        tsh = jnp.take(shift_states[il], slot_idx, axis=0)
+        wkv0 = jnp.take(wkv_states[il], slot_idx, axis=0).astype(jnp.float32)
+
+        att_norm = layer_norm(x, layer["attn_norm"], layer.get("attn_norm_b"), eps)
+        r, w, k, v, a, kk, g, att_last, v_first = time_mix7(
+            att_norm, tsh[:, 0], v_first, layer, cfg)
+        y, wkv1 = wkv7(r, w, k, v, -kk, kk * a, wkv0)
+        y = y.reshape(ns * nt, H, D)
+        if "time_mix_ln" in layer:
+            mu = y.mean(-1, keepdims=True)
+            var = ((y - mu) ** 2).mean(-1, keepdims=True)
+            y = (y - mu) / jnp.sqrt(var + 64e-5)
+            y = (y.reshape(ns, nt, E) * layer["time_mix_ln"]
+                 + layer["time_mix_ln_b"])
+        else:
+            y = y.reshape(ns, nt, E)
+        # bonus term: v * sum_per_head(k * r * r_k)
+        rk = (k * r * layer["time_mix_r_k"].astype(jnp.float32)
+              .reshape(H, D)[None, None]).sum(-1, keepdims=True)
+        y = y + (v * rk).reshape(ns, nt, E)
+        if g is not None:
+            y = y * g
+        att_out = _mm(y.astype(jnp.bfloat16),
+                      layer["time_mix_output"]).astype(jnp.float32)
+        x = x + att_out
+
+        ffn_norm = layer_norm(x, layer["attn_norm_2"],
+                              layer.get("attn_norm_2_b"), eps)
+        # rwkv7 channel mix: single k lerp, relu^2, no receptance gate
+        # (build_rwkv7_channel_mix, llama-model.cpp:13062)
+        sx = _shifted(ffn_norm, tsh[:, 1]) - ffn_norm
+        xk2 = ffn_norm + sx * layer["channel_mix_lerp_k"]
+        kk2 = jnp.square(jax.nn.relu(
+            _mm(xk2, layer["channel_mix_key"]).astype(jnp.float32)))
+        cm = _mm(kk2.astype(jnp.bfloat16),
+                 layer["channel_mix_value"]).astype(jnp.float32)
+        x = x + cm
+        ffn_last = ffn_norm[:, -1, :]
+
+        new_tsh = jnp.stack([att_last, ffn_last], axis=1)
+        new_shift.append(shift_states[il].at[slot_idx].set(
+            new_tsh.astype(shift_states[il].dtype)))
+        new_wkv.append(wkv_states[il].at[slot_idx].set(
+            wkv1.astype(wkv_states[il].dtype)))
+
+    x = layer_norm(x.reshape(ns * nt, E), params.get("output_norm"),
+                   params.get("output_norm_b"), eps)
+    hs = jnp.take(x, out_idx, axis=0)
+    out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
+    logits = qmm(hs.astype(jnp.bfloat16), out_w)
+    return logits, new_shift, new_wkv, hs.astype(jnp.float32)

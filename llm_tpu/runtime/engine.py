@@ -441,7 +441,10 @@ class Context:
             return self._steps[key]
         cfg, dtype = self.cfg, self.dtype
         if cfg.wkv_head_size > 0:
-            from ..models.rwkv import forward_rwkv6 as fwd
+            if cfg.arch in ("rwkv7", "arwkv7"):
+                from ..models.rwkv import forward_rwkv7 as fwd
+            else:
+                from ..models.rwkv import forward_rwkv6 as fwd
         else:
             from ..models.ssm import forward_mamba as fwd
 

@@ -147,3 +147,140 @@ def test_rwkv6_seq_fork(rwkv_path):
     l0 = ctx.get_logits().copy()
     assert ctx.decode(Batch.one(13, seq_id=1)) == 0
     np.testing.assert_allclose(ctx.get_logits(), l0, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# RWKV7 (llm_build_rwkv7 / ggml_rwkv_wkv7 parity)
+# ---------------------------------------------------------------------------
+
+
+def test_wkv7_recurrence_matches_loop():
+    """Vectorized wkv7 scan == the reference CPU kernel's per-element loop
+    (ggml/src/ggml-cpu/ops.cpp:9684-9707 semantics)."""
+    from llm_tpu.models.rwkv import wkv7
+
+    rng = np.random.default_rng(3)
+    ns, nt, H, D = 2, 5, 2, 4
+    r, w, k, v, a, b = (rng.normal(size=(ns, nt, H, D)).astype(np.float32)
+                        for _ in range(6))
+    w = np.exp(-np.exp(w))  # decays in (0, 1)
+    s0 = rng.normal(size=(ns, H, D, D)).astype(np.float32)
+
+    want_y = np.zeros((ns, nt, H, D), np.float32)
+    S = s0.copy()
+    for t in range(nt):
+        for n in range(ns):
+            for h in range(H):
+                for i in range(D):
+                    sa = float((a[n, t, h] * S[n, h, i]).sum())
+                    S[n, h, i] = (S[n, h, i] * w[n, t, h]
+                                  + v[n, t, h, i] * k[n, t, h]
+                                  + sa * b[n, t, h])
+                    want_y[n, t, h, i] = float((S[n, h, i] * r[n, t, h]).sum())
+
+    y, s_last = wkv7(*(jnp.asarray(x) for x in (r, w, k, v, a, b)),
+                     jnp.asarray(s0))
+    np.testing.assert_allclose(np.asarray(y), want_y, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_last), S, atol=1e-4, rtol=1e-4)
+
+
+def _write_rwkv7(path, vocab=97, E=32, layers=2, head=8, r_decay=4, r_iclr=4,
+                 r_g=4, gate=True):
+    rng = np.random.default_rng(5)
+    w = GGUFWriter(path, arch="rwkv7")
+    a = "rwkv7"
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), 1 << 20)
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), E)
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), layers)
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), E * 2)
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), 0)
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), 1e-5)
+    w.add_kv(f"{a}.wkv.head_size", head)
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), vocab)
+    for key, val in _test_vocab(vocab).items():
+        w.add_kv(key, val)
+
+    def mat(name, n, kk, scale=0.2):
+        w.add_tensor(name, (rng.normal(size=(n, kk)) * scale).astype(np.float32))
+
+    def vec(name, n, scale=0.1, off=0.0):
+        w.add_tensor(name, (off + rng.normal(size=(n,)) * scale).astype(np.float32))
+
+    w.add_tensor("token_embd.weight",
+                 (rng.normal(size=(vocab, E)) * 0.2).astype(np.float32))
+    vec("token_embd_norm.weight", E, off=1.0)
+    vec("token_embd_norm.bias", E)
+    vec("output_norm.weight", E, off=1.0)
+    vec("output_norm.bias", E)
+    mat("output.weight", vocab, E)
+    n_mix = 6 if gate else 5
+    for il in range(layers):
+        b = f"blk.{il}."
+        vec(b + "attn_norm.weight", E, off=1.0)
+        vec(b + "attn_norm.bias", E)
+        vec(b + "attn_norm_2.weight", E, off=1.0)
+        vec(b + "attn_norm_2.bias", E)
+        w.add_tensor(b + "time_mix_lerp_fused.weight",
+                     (0.5 + rng.normal(size=(n_mix, E)) * 0.1).astype(np.float32))
+        vec(b + "time_mix_w0.weight", E, off=-0.5)
+        mat(b + "time_mix_w1.weight", r_decay, E)
+        mat(b + "time_mix_w2.weight", E, r_decay)
+        vec(b + "time_mix_a0.weight", E)
+        mat(b + "time_mix_a1.weight", r_iclr, E)
+        mat(b + "time_mix_a2.weight", E, r_iclr)
+        if il > 0:
+            vec(b + "time_mix_v0.weight", E)
+            mat(b + "time_mix_v1.weight", r_iclr, E)
+            mat(b + "time_mix_v2.weight", E, r_iclr)
+        if gate:
+            mat(b + "time_mix_g1.weight", r_g, E)
+            mat(b + "time_mix_g2.weight", E, r_g)
+        vec(b + "time_mix_k_k.weight", E, off=0.8)
+        vec(b + "time_mix_k_a.weight", E, off=0.5)
+        vec(b + "time_mix_r_k.weight", E)
+        for nm in ("key", "value", "receptance", "output"):
+            mat(b + f"time_mix_{nm}.weight", E, E)
+        vec(b + "time_mix_ln.weight", E, off=1.0)
+        vec(b + "time_mix_ln.bias", E)
+        vec(b + "channel_mix_lerp_k.weight", E, off=0.5)
+        mat(b + "channel_mix_key.weight", E * 2, E)
+        mat(b + "channel_mix_value.weight", E, E * 2)
+    w.write()
+    return path
+
+
+@pytest.fixture(scope="module")
+def rwkv7_path(tmp_path_factory):
+    return _write_rwkv7(str(tmp_path_factory.mktemp("rwkv7") / "tiny_rwkv7.gguf"))
+
+
+def test_rwkv7_loads_and_decodes(rwkv7_path):
+    ctx = Context(GGUFReader(rwkv7_path), n_cells=16, dtype=jnp.float32)
+    assert ctx.cfg.arch == "rwkv7" and ctx.cfg.is_recurrent
+    assert ctx.decode(Batch.text([1, 2, 3, 4, 5], seq_id=0)) == 0
+    lg = ctx.get_logits()
+    assert np.isfinite(lg).all() and lg.shape == (97,)
+
+
+def test_rwkv7_chunked_matches_full(rwkv7_path):
+    """State carry: decoding token-by-token == one prefill (the recurrence
+    is exact across chunk boundaries)."""
+    toks = [3, 1, 4, 1, 5, 9, 2]
+    c1 = Context(GGUFReader(rwkv7_path), n_cells=16, dtype=jnp.float32)
+    assert c1.decode(Batch.text(toks, seq_id=0)) == 0
+    full = c1.get_logits()
+
+    c2 = Context(GGUFReader(rwkv7_path), n_cells=16, dtype=jnp.float32)
+    for i, t in enumerate(toks):
+        assert c2.decode(Batch.one(t, pos=i, seq_id=0)) == 0
+    np.testing.assert_allclose(c2.get_logits(), full, atol=2e-4, rtol=2e-4)
+
+
+def test_rwkv7_seq_isolation(rwkv7_path):
+    ctx = Context(GGUFReader(rwkv7_path), n_cells=16, dtype=jnp.float32)
+    assert ctx.decode(Batch.text([5, 6, 7], seq_id=0)) == 0
+    a = ctx.get_logits().copy()
+    assert ctx.decode(Batch.text([9, 9, 9, 9], seq_id=1)) == 0
+    ctx2 = Context(GGUFReader(rwkv7_path), n_cells=16, dtype=jnp.float32)
+    assert ctx2.decode(Batch.text([5, 6, 7], seq_id=0)) == 0
+    np.testing.assert_allclose(a, ctx2.get_logits(), atol=1e-5)
