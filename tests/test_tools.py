@@ -194,3 +194,112 @@ def test_eval_scoring(tiny_f32, tmp_path):
     ])
     res = multiple_choice_score(ctx, tok, mc)
     assert res["n_tasks"] == 1
+
+
+def _write_wavtokenizer(path, vocab=64, feat=16, pos_embd=32, cn_embd=24,
+                        n_fft=64):
+    """Tiny WavTokenizer-decoder GGUF in the reference tensor layout
+    (llama-arch.cpp WAVTOKENIZER_DEC table)."""
+    from llm_tpu.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(2)
+    a = "wavtokenizer-dec"
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(f"{a}.context_length", 8192)
+    w.add_kv(f"{a}.embedding_length", cn_embd)
+    w.add_kv(f"{a}.block_count", 0)
+    w.add_kv(f"{a}.feed_forward_length", 0)
+    w.add_kv(f"{a}.attention.head_count", 1)
+    w.add_kv(f"{a}.features_length", feat)
+    w.add_kv(f"{a}.posnet.embedding_length", pos_embd)
+    w.add_kv(f"{a}.posnet.block_count", 6)
+    w.add_kv(f"{a}.convnext.embedding_length", cn_embd)
+    w.add_kv(f"{a}.convnext.block_count", 2)
+    w.add_kv(f"{a}.attention.layer_norm_epsilon", 1e-6)
+    w.add_kv(f"{a}.attention.group_norm_epsilon", 1e-6)
+    w.add_kv(f"{a}.attention.group_norm_groups", 4)
+    w.add_kv(f"{a}.vocab_size", vocab)
+
+    def mat(name, *shape, scale=0.2):
+        w.add_tensor(name, (rng.normal(size=shape) * scale).astype(np.float32))
+
+    def vec(name, n, off=0.0):
+        w.add_tensor(name, (off + rng.normal(size=(n,)) * 0.05).astype(np.float32))
+
+    n_out = n_fft + 2
+    mat("token_embd.weight", vocab, feat)
+    mat("conv1d.weight", pos_embd, feat, 7)
+    vec("conv1d.bias", pos_embd)
+    vec("token_embd_norm.weight", cn_embd, off=1.0)
+    vec("token_embd_norm.bias", cn_embd)
+    vec("output_norm.weight", cn_embd, off=1.0)
+    vec("output_norm.bias", cn_embd)
+    mat("output.weight", n_out, cn_embd)
+    vec("output.bias", n_out)
+    for il in range(6):
+        b = f"posnet.{il}."
+        if il == 2:  # attention block
+            vec(b + "attn_norm.weight", pos_embd, off=1.0)
+            vec(b + "attn_norm.bias", pos_embd)
+            for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+                mat(b + nm + ".weight", pos_embd, pos_embd, 1)
+                vec(b + nm + ".bias", pos_embd)
+        elif il == 5:  # final group norm
+            vec(b + "norm.weight", pos_embd, off=1.0)
+            vec(b + "norm.bias", pos_embd)
+        else:  # resnet block
+            vec(b + "norm1.weight", pos_embd, off=1.0)
+            vec(b + "norm1.bias", pos_embd)
+            vec(b + "norm2.weight", pos_embd, off=1.0)
+            vec(b + "norm2.bias", pos_embd)
+            mat(b + "conv1.weight", pos_embd, pos_embd, 3)
+            vec(b + "conv1.bias", pos_embd)
+            mat(b + "conv2.weight", pos_embd, pos_embd, 3)
+            vec(b + "conv2.bias", pos_embd)
+    # posnet embd (32) -> convnext embd (24): reference models keep these
+    # equal via tok_norm bridging; here we make them equal for simplicity
+    for il in range(2):
+        b = f"convnext.{il}."
+        mat(b + "dw.weight", cn_embd, 1, 7)
+        vec(b + "dw.bias", cn_embd)
+        vec(b + "norm.weight", cn_embd, off=1.0)
+        vec(b + "norm.bias", cn_embd)
+        mat(b + "pw1.weight", cn_embd * 3, cn_embd)
+        vec(b + "pw1.bias", cn_embd * 3)
+        mat(b + "pw2.weight", cn_embd, cn_embd * 3)
+        vec(b + "pw2.bias", cn_embd)
+        vec(b + "gamma.weight", cn_embd)
+    w.write()
+    return path
+
+
+def test_tts_vocoder_pipeline(tmp_path):
+    """WavTokenizer decode + ISTFT synthesis produce a finite waveform of
+    the documented length ((n_codes-1)*hop + win - 2*pad, tts.cpp:210)."""
+    from llm_tpu.gguf.reader import GGUFReader
+    from llm_tpu.models.wavtokenizer import (embd_to_audio,
+                                             load_wavtokenizer, wavtok_decode)
+    from llm_tpu.tools.tts import write_wav
+
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "wavtok.gguf")
+    # use equal posnet/convnext widths (24) so the graph composes
+    _write_wavtokenizer(path, pos_embd=24, cn_embd=24)
+    p = load_wavtokenizer(GGUFReader(path))
+    codes = jnp.asarray(np.arange(10) % 64, jnp.int32)
+    embd = np.asarray(wavtok_decode(p, codes))
+    assert embd.shape == (10, 66)
+    assert np.isfinite(embd).all()
+
+    audio = embd_to_audio(embd, n_fft=64, n_hop=16)
+    n_win, n_hop = 64, 16
+    n_pad = (n_win - n_hop) // 2
+    assert len(audio) == (10 - 1) * n_hop + n_win - 2 * n_pad
+    assert np.isfinite(audio).all()
+
+    wav = str(tmp_path / "out.wav")
+    write_wav(wav, audio)
+    raw = open(wav, "rb").read()
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    assert len(raw) == 44 + 2 * len(audio)
