@@ -81,11 +81,32 @@ def main(argv=None):
     B = args.batch
     key = jax.random.PRNGKey(0)
     results = []
-    from ..ops.qmatmul import _fit_tiles, _vmem_estimate
+    from ..ops.qmatmul import _vmem_estimate
+
+    # Timing rides an ON-DEVICE fori_loop with a data dependency between
+    # iterations and ONE host fetch at the end — per-dispatch timing over a
+    # tunneled TPU measures the link, not the kernel.
+    def timed(qs, sc, mn, x, tn, tk, reps):
+        def loop(x0):
+            def body(i, x):
+                y = qmm_pallas(x, qs, sc, mn, gs=32, zp=0, layout="p4",
+                               tile_n=tn, tile_k=tk)
+                return (x + y[:, : x.shape[1]].astype(x.dtype) * 1e-6)
+
+            return jax.lax.fori_loop(0, reps, body, x0)
+
+        f = jax.jit(loop)
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        r = np.asarray(f(x))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(r).all()
+        return dt / reps * 1e3
 
     for K, N in shapes:
         qs = jax.random.randint(key, (K // 2, N), 0, 256, jnp.int32).astype(jnp.uint8)
         sc = jax.random.uniform(key, (K // 32, N), jnp.float32).astype(jnp.bfloat16)
+        mn = jax.random.uniform(key, (K // 32, N), jnp.float32).astype(jnp.bfloat16)
         x = jax.random.normal(key, (B, K), jnp.bfloat16)
         best = None
         for tn in tiles_n:
@@ -96,22 +117,12 @@ def main(argv=None):
                     continue
                 if _vmem_estimate(B, min(tn, N), tk, 32, "p4") > (13 << 20):
                     continue
-
-                def run(tn=tn, tk=tk):
-                    return qmm_pallas(x, qs, sc, None, gs=32, zp=0,
-                                      layout="p4", tile_n=tn, tile_k=tk)
-
                 try:
-                    jax.block_until_ready(run())
+                    ms = timed(qs, sc, None, x, tn, tk, args.reps)
                 except Exception as e:  # noqa: BLE001
                     print(f"  ({K},{N}) tn={tn} tk={tk}: {type(e).__name__}",
                           file=sys.stderr)
                     continue
-                t0 = time.perf_counter()
-                for _ in range(args.reps):
-                    out = run()
-                jax.block_until_ready(out)
-                ms = (time.perf_counter() - t0) / args.reps * 1e3
                 gbs = (qs.size + sc.size * 2) / 2**30 / (ms / 1e3)
                 print(f"  ({K},{N}) tn={tn} tk={tk}: {ms:.3f} ms "
                       f"({gbs:.0f} GB/s)", file=sys.stderr, flush=True)
@@ -119,6 +130,13 @@ def main(argv=None):
                     best = (ms, tn, tk)
         if best:
             ms, tn, tk = best
+            # fused-mins variant at the winning tile (Q4_K decode path)
+            try:
+                ms_m = timed(qs, sc, mn, x, tn, tk, args.reps)
+                print(f"  ({K},{N}) fused-mins at best tile: {ms_m:.3f} ms",
+                      file=sys.stderr)
+            except Exception:  # noqa: BLE001
+                pass
             print(f"({K},{N}) -> tile_n={tn} tile_k={tk} ({ms:.3f} ms)",
                   file=sys.stderr)
             results.append([K, N, tn, tk])

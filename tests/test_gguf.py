@@ -155,3 +155,60 @@ def test_split_and_merge(tmp_path):
     r2 = GGUFReader(merged)
     assert set(r2.tensors) == set(orig.tensors)
     assert r2.metadata["general.name"] == "test-model"
+
+
+def test_corrupt_file_fuzz_matrix(tmp_path):
+    """Byte-level fuzz over every header/metadata region (the reference's
+    test-gguf.cpp corrupt-file matrix, HANDCRAFTED_KV/TENSOR cases): each
+    mutated file must either raise GGUFError/ValueError or parse into a
+    self-consistent reader — never crash or return out-of-bounds views."""
+    p = str(tmp_path / "m.gguf")
+    _write_sample(p)
+    blob = bytearray(open(p, "rb").read())
+    rng = np.random.default_rng(0)
+
+    header_end = min(len(blob), 512)
+    offsets = list(range(0, 24))  # magic/version/counts
+    offsets += list(rng.integers(24, header_end, size=120))  # kv/tensor meta
+    offsets += list(rng.integers(header_end, len(blob), size=40))
+
+    n_bad = 0
+    for off in offsets:
+        for val in (0x00, 0xFF, 0x7F):
+            bad = bytearray(blob)
+            bad[off] = val
+            bp = str(tmp_path / "fz.gguf")
+            with open(bp, "wb") as f:
+                f.write(bad)
+            try:
+                r = GGUFReader(bp)
+                # parsed: every tensor view must stay in bounds
+                for name, ti in r.tensors.items():
+                    data = r.data(name)
+                    assert data.nbytes >= 0
+                _ = r.metadata
+                r.close()
+            except (GGUFError, ValueError, UnicodeDecodeError, OverflowError,
+                    KeyError):
+                n_bad += 1
+    # a healthy validator rejects a large share of the mutations
+    assert n_bad > len(offsets) // 2, n_bad
+
+
+def test_truncation_sweep_never_crashes(tmp_path):
+    """Every truncation point either raises cleanly or yields a consistent
+    reader (test-gguf.cpp truncation cases)."""
+    p = str(tmp_path / "m.gguf")
+    _write_sample(p)
+    blob = open(p, "rb").read()
+    for cut in range(0, len(blob), max(1, len(blob) // 200)):
+        bp = str(tmp_path / "tr.gguf")
+        with open(bp, "wb") as f:
+            f.write(blob[:cut])
+        try:
+            r = GGUFReader(bp)
+            for name in r.tensors:
+                _ = r.data(name)
+            r.close()
+        except (GGUFError, ValueError, UnicodeDecodeError, OverflowError):
+            pass
