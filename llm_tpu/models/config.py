@@ -340,6 +340,9 @@ def config_from_gguf(reader) -> ModelConfig:
             expert_weights_norm=bool(_ak(reader, "{arch}.expert_weights_norm", True)),
             expert_weights_scale=float(_ak(reader, "{arch}.expert_weights_scale", 1.0) or 1.0),
         )
+    if arch == "orion":
+        # LayerNorm(+bias) norms, standard gated FFN (llm_build_orion)
+        cfg = replace(cfg, norm_kind="ln")
     if arch == "olmo":
         # llama graph with non-parametric LayerNorm
         # (llm_build_olmo, llama-model.cpp:3289 "norm params removed")

@@ -97,3 +97,53 @@ def split_simple(batch: Batch, n_ubatch: int) -> list[UBatch]:
             )
         )
     return ubatches
+
+
+def _gather(batch: Batch, idx) -> UBatch:
+    idx = np.asarray(idx, np.int64)
+    return UBatch(
+        tokens=np.asarray([batch.tokens[i] for i in idx], np.int32),
+        pos=np.asarray([batch.pos[i] for i in idx], np.int32),
+        seq_primary=np.asarray([batch.seq_ids[i][0] for i in idx], np.int32),
+        seq_sets=[list(batch.seq_ids[i]) for i in idx],
+        out_mask=np.asarray([batch.logits[i] for i in idx], bool),
+        orig_index=idx,
+    )
+
+
+def split_equal(batch: Batch, n_ubatch: int) -> list[UBatch]:
+    """Equal-length splitting (llama-batch.h:69-77 split_equal): each ubatch
+    holds the same number of tokens from every participating sequence —
+    the invariant recurrent models need (their state update consumes one
+    fixed-shape [n_seqs, n_tokens] block per step). Tokens of each sequence
+    keep their order; sequences are aligned from their first pending token."""
+    per_seq: dict[int, list[int]] = {}
+    for i, seqs in enumerate(batch.seq_ids):
+        per_seq.setdefault(seqs[0], []).append(i)
+
+    out: list[UBatch] = []
+    offs = {s: 0 for s in per_seq}
+    while any(offs[s] < len(ix) for s, ix in per_seq.items()):
+        live = [s for s, ix in per_seq.items() if offs[s] < len(ix)]
+        n_take = min(len(per_seq[s]) - offs[s] for s in live)
+        n_take = max(1, min(n_take, max(1, n_ubatch // len(live))))
+        idx: list[int] = []
+        for s in live:
+            idx.extend(per_seq[s][offs[s]:offs[s] + n_take])
+            offs[s] += n_take
+        out.append(_gather(batch, idx))
+    return out
+
+
+def split_seq(batch: Batch, n_ubatch: int) -> list[UBatch]:
+    """One sequence per ubatch (llama-batch.h split_seq), further chopped
+    to n_ubatch tokens."""
+    per_seq: dict[int, list[int]] = {}
+    for i, seqs in enumerate(batch.seq_ids):
+        per_seq.setdefault(seqs[0], []).append(i)
+    out: list[UBatch] = []
+    for s in sorted(per_seq):
+        ix = per_seq[s]
+        for start in range(0, len(ix), n_ubatch):
+            out.append(_gather(batch, ix[start:start + n_ubatch]))
+    return out

@@ -690,3 +690,25 @@ def test_bitnet(tmp_path):
     torch.manual_seed(0)
     m = transformers.BitNetForCausalLM(cfg).eval()
     _check(m, "bitnet", tmp_path)
+
+
+@pytest.mark.parametrize("arch", ["baichuan", "xverse", "exaone", "internlm2"])
+def test_config_mapped_llama_variants(arch, tmp_path):
+    """Reference-registry archs without an installed HF class: their GGUF
+    config mapping loads and decodes through the shared llama graph (the
+    same tensors llama.cpp's converters emit for them)."""
+    from llm_tpu.gguf.reader import GGUFReader
+    from llm_tpu.models.config import config_from_gguf
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    from test_model_vs_hf import _tiny_hf_llama
+
+    m = _tiny_hf_llama(hidden=64, layers=2, vocab=97)
+    path = str(tmp_path / f"{arch}.gguf")
+    convert_hf_llama(m, path, arch=arch)
+    cfg = config_from_gguf(GGUFReader(path))
+    assert cfg.arch == arch
+    ctx = Context(GGUFReader(path), n_cells=32, dtype=jnp.float32)
+    assert ctx.decode(Batch.text([3, 1, 4, 1, 5], seq_id=0)) == 0
+    assert np.isfinite(ctx.get_logits()).all()

@@ -364,3 +364,33 @@ def test_model_load_progress_and_cancel(tiny_gguf):
     with pytest.raises(InterruptedError):
         load_params(GGUFReader(path), dense_dtype=jnp.float32,
                     progress_callback=lambda f: f < 0.5)
+
+
+def test_split_equal_and_split_seq():
+    """split_equal keeps per-seq token counts equal per ubatch; split_seq
+    isolates sequences (llama-batch.h:69-77 semantics)."""
+    from llm_tpu.runtime.batch import Batch, split_equal, split_seq
+
+    b = Batch()
+    for i in range(5):
+        b.add(10 + i, i, (0,))
+    for i in range(3):
+        b.add(20 + i, i, (1,))
+    for i in range(5):
+        b.add(30 + i, i, (2,))
+
+    ubs = split_equal(b, 64)
+    for ub in ubs:
+        seqs, counts = np.unique(ub.seq_primary, return_counts=True)
+        assert len(set(counts)) == 1  # equal tokens per participating seq
+    # order preserved within each sequence
+    got0 = [t for ub in ubs for t, s in zip(ub.tokens, ub.seq_primary) if s == 0]
+    assert got0 == [10, 11, 12, 13, 14]
+    total = sum(len(ub.tokens) for ub in ubs)
+    assert total == len(b)
+
+    ubs = split_seq(b, 4)
+    for ub in ubs:
+        assert len(set(ub.seq_primary.tolist())) == 1
+        assert len(ub.tokens) <= 4
+    assert sum(len(ub.tokens) for ub in ubs) == len(b)
