@@ -1329,3 +1329,74 @@ def convert_hf_starcoder(model, path: str, vocab: dict | None = None):
         put(g + "ffn_down.bias", sd[b + "mlp.c_proj.bias"])
     w.write()
     return path
+
+
+# HF config.model_type -> (converter fn, our arch string) — the analogue of
+# convert_hf_to_gguf.py's @ModelBase.register dispatch table.
+_MODEL_TYPE_ARCH = {
+    "llama": "llama",
+    "mistral": "llama",
+    "mixtral": "mixtral",
+    "qwen2": "qwen2",
+    "qwen2_moe": "qwen2moe",
+    "qwen3": "qwen3",
+    "qwen3_moe": "qwen3moe",
+    "gemma": "gemma",
+    "gemma2": "gemma2",
+    "gemma3_text": "gemma3",
+    "gemma3": "gemma3",
+    "phi": "phi2",
+    "phi3": "phi3",
+    "phimoe": "phimoe",
+    "olmo": "olmo",
+    "olmo2": "olmo2",
+    "olmoe": "olmoe",
+    "granite": "granite",
+    "granitemoe": "granitemoe",
+    "starcoder2": "starcoder2",
+    "cohere": "command-r",
+    "cohere2": "cohere2",
+    "stablelm": "stablelm",
+    "glm4": "glm4",
+    "dbrx": "dbrx",
+    "nemotron": "nemotron",
+    "arcee": "arcee",
+    "ernie4_5": "ernie4_5",
+    "dots1": "dots1",
+    "bitnet": "bitnet",
+    "deepseek_v2": "deepseek2",
+    "gpt2": "gpt2",
+    "gptj": "gptj",
+    "gpt_neox": "gptneox",
+    "gpt_bigcode": "starcoder",
+    "mpt": "mpt",
+    "falcon": "falcon",
+    "bloom": "bloom",
+    "exaone": "exaone",
+    "internlm2": "internlm2",
+    "baichuan": "baichuan",
+    "xverse": "xverse",
+    "orion": "orion",
+    "minicpm": "minicpm",
+}
+
+
+def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
+                    vocab: dict | None = None) -> str:
+    """Dispatch on config.model_type like the reference's converter
+    registry (convert_hf_to_gguf.py ModelBase.register). Architectures with
+    dedicated converters (mamba/mamba2/t5/clip) route to them."""
+    mt = getattr(model.config, "model_type", "llama")
+    if mt == "mamba":
+        return convert_hf_mamba(model, path, out_type=out_type, vocab=vocab)
+    if mt == "mamba2":
+        return convert_hf_mamba2(model, path, out_type=out_type, vocab=vocab)
+    if mt == "t5":
+        return convert_hf_t5(model, path, out_type=out_type, vocab=vocab)
+    arch = _MODEL_TYPE_ARCH.get(mt)
+    if arch is None:
+        raise ValueError(
+            f"unsupported model_type {mt!r}; supported: "
+            f"{sorted(_MODEL_TYPE_ARCH) + ['mamba', 'mamba2', 't5']}")
+    return convert_hf_llama(model, path, arch=arch, out_type=out_type,
+                            vocab=vocab)

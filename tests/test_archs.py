@@ -712,3 +712,28 @@ def test_config_mapped_llama_variants(arch, tmp_path):
     ctx = Context(GGUFReader(path), n_cells=32, dtype=jnp.float32)
     assert ctx.decode(Batch.text([3, 1, 4, 1, 5], seq_id=0)) == 0
     assert np.isfinite(ctx.get_logits()).all()
+
+
+def test_convert_hf_auto_dispatch(tmp_path):
+    """convert_hf_auto routes by config.model_type (reference converter
+    registry parity) and the result decodes."""
+    from test_model_vs_hf import _tiny_hf_llama
+
+    from llm_tpu.convert.hf_llama import convert_hf_auto
+    from llm_tpu.gguf.reader import GGUFReader
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    m = _tiny_hf_llama(hidden=64, layers=2, vocab=97)
+    p = str(tmp_path / "auto.gguf")
+    convert_hf_auto(m, p)
+    r = GGUFReader(p)
+    assert r.architecture == "llama"
+    ctx = Context(r, n_cells=16, dtype=jnp.float32)
+    assert ctx.decode(Batch.text([1, 2, 3], seq_id=0)) == 0
+
+    with pytest.raises(ValueError, match="unsupported model_type"):
+        class _C:  # minimal stand-in with an unknown type
+            class config:
+                model_type = "made_up_arch"
+        convert_hf_auto(_C, str(tmp_path / "x.gguf"))
