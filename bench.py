@@ -21,6 +21,7 @@ host upload).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -34,6 +35,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # synthetic-weight generation: threefry is very slow for multi-GB outputs on
 # TPU; the hardware RNG is fine for benchmark weights
 jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+# measured tile table for the flagship geometry (tools/autotune.py on v5e);
+# per-shape wins are 1-10% over the divisibility heuristic
+_TILES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tiles_v5e_llama3_8b.json")
+if os.path.exists(_TILES) and not os.environ.get("LLM_TPU_TILE_TABLE"):
+    os.environ["LLM_TPU_TILE_TABLE"] = _TILES
 
 
 def GGMLType_Q4K():

@@ -137,6 +137,11 @@ def convert_hf_llama(
     merges, special ids) to embed; tests pass None and read logits only.
     """
     hf_cfg = model.config
+    if arch == "qwen2vl":
+        # composite VL config: the LM hparams live in text_config, and the
+        # decoder weights under model.language_model.* (vision tower skipped
+        # — reference Qwen2VLModel converter exports the text model)
+        hf_cfg = getattr(hf_cfg, "text_config", hf_cfg)
     if arch == "dbrx":  # nested DbrxConfig sections -> flat attributes
         hf_cfg.intermediate_size = hf_cfg.ffn_config.ffn_hidden_size
         hf_cfg.rope_theta = hf_cfg.attn_config.rope_theta
@@ -163,6 +168,10 @@ def convert_hf_llama(
         layer_map = _HF_STARCODER2_MAP
     elif arch in ("glm4", "chatglm"):
         layer_map = _HF_GLM4_MAP
+    elif arch == "chameleon":
+        layer_map = dict(_HF_LAYER_MAP)
+        layer_map["self_attn.q_norm.bias"] = "attn_q_norm.bias"
+        layer_map["self_attn.k_norm.bias"] = "attn_k_norm.bias"
 
     w = GGUFWriter(path, arch=arch)
     a = arch
@@ -218,6 +227,15 @@ def convert_hf_llama(
         w.add_kv(f"{a}.logit_scale", float(hf_cfg.logits_scaling))
         w.add_kv(Keys.Attention.SCALE.format(arch=a),
                  float(hf_cfg.attention_multiplier))
+    if arch == "chameleon":
+        # reference ChameleonModel converter records swin_norm; qk-norms
+        # are written per-head below (llama.cpp stores {head_dim, n_head})
+        w.add_kv(f"{a}.swin_norm", bool(getattr(hf_cfg, "swin_norm", False)))
+    if arch == "qwen2vl":
+        sect = (getattr(hf_cfg, "rope_scaling", None) or {}).get(
+            "mrope_section", [16, 24, 24])
+        w.add_kv(f"{a}.rope.dimension_sections",
+                 [int(s) for s in sect] + [0] * (4 - len(sect)))
     if arch in ("command-r", "cohere", "cohere2"):
         w.add_kv(f"{a}.logit_scale", float(getattr(hf_cfg, "logit_scale", 1.0)))
     if arch == "cohere2":
@@ -237,6 +255,9 @@ def convert_hf_llama(
             w.add_kv(key, val)
 
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    if arch == "qwen2vl":
+        sd = {k.replace("model.language_model.", "model."): v
+              for k, v in sd.items() if ".visual." not in k}
     if arch == "dbrx":
         # rename dbrx's transformer.blocks.* scheme onto the llama-ish one
         # (fused Wqkv -> attn_qkv via the phi3-style map entry)
@@ -271,7 +292,7 @@ def convert_hf_llama(
     # NORM-rope archs whose HF weights use rotate-half layout store
     # permuted q/k (reference LlamaModel/OlmoModel converters); glm4 /
     # cohere / ernie apply interleaved rotary natively — no permute
-    permute = arch in ("llama", "mixtral", "olmo", "arcee")
+    permute = arch in ("llama", "mixtral", "olmo", "arcee", "chameleon")
     for il in range(hf_cfg.num_hidden_layers):
         pre = f"model.layers.{il}."
         for hf_suffix, gg_suffix in layer_map.items():
@@ -287,6 +308,13 @@ def convert_hf_llama(
                 arr = permute_qk(arr, n_head)
             elif permute and hf_suffix == "self_attn.k_proj.bias":
                 arr = permute_qk(arr, n_kv)
+            elif arch == "chameleon" and hf_suffix.startswith(
+                    ("self_attn.q_norm.", "self_attn.k_norm.")):
+                # HF stores per-head (n_head, head_dim) qk-norm affines;
+                # they ride the same within-head interleave permute as the
+                # projections (reference ChameleonModel converter)
+                reps = n_head if ".q_norm." in hf_suffix else n_kv
+                arr = permute_qk(arr.reshape(-1), reps).reshape(reps, -1)
             put(f"blk.{il}.{gg_suffix}", arr)
 
         # MoE (qwen2moe-style): router + experts + gated shared expert
@@ -1378,6 +1406,9 @@ _MODEL_TYPE_ARCH = {
     "xverse": "xverse",
     "orion": "orion",
     "minicpm": "minicpm",
+    "chameleon": "chameleon",
+    "qwen2_vl": "qwen2vl",
+    "qwen2_5_vl": "qwen2vl",
 }
 
 

@@ -55,6 +55,26 @@ _ROPE_MODE = {
     "xverse": ROPE_TYPE_NORM,
     "orion": ROPE_TYPE_NEOX,
     "exaone": ROPE_TYPE_NEOX,
+    # llama_model_rope_type: NORM group
+    "arctic": ROPE_TYPE_NORM,
+    "deepseek": ROPE_TYPE_NORM,
+    "plm": ROPE_TYPE_NORM,
+    "chameleon": ROPE_TYPE_NORM,
+    "bailingmoe": ROPE_TYPE_NORM,
+    # NEOX group
+    "grok": ROPE_TYPE_NEOX,
+    "qwen": ROPE_TYPE_NEOX,
+    "plamo": ROPE_TYPE_NEOX,
+    "openelm": ROPE_TYPE_NEOX,
+    "codeshell": ROPE_TYPE_NEOX,
+    "minicpm3": ROPE_TYPE_NEOX,
+    # MROPE: multi-section positions; with equal position streams (the
+    # text-only decode path) it is numerically identical to NEOX rope
+    "qwen2vl": ROPE_TYPE_NEOX,
+    # encoder family (llm_build_bert / llm_build_neo_bert)
+    "nomic-bert": ROPE_TYPE_NEOX,
+    "nomic-bert-moe": ROPE_TYPE_NEOX,
+    "neo-bert": ROPE_TYPE_NORM,
 }
 
 
@@ -86,6 +106,7 @@ class ModelConfig:
     # attention extras
     qk_norm: bool = False  # qwen3/gemma3-style per-head RMS norm on q/k
     qk_norm_full: bool = False  # olmo2-style norm over the FULL q/k vector
+    qk_norm_ln: bool = False  # chameleon: per-head LayerNorm(+bias) on q/k
     nonparam_norm: bool = False  # olmo: LayerNorm with no learned params
     residual_scale: float = 1.0  # granite residual_multiplier / minicpm depth scale
     parallel_residual: bool = False  # command-r: attn + ffn share the input norm
@@ -118,6 +139,19 @@ class ModelConfig:
     # t5 encoder-decoder (llama-hparams n_rel_attn_bkts; dec start token)
     t5_rel_buckets: int = 0
     dec_start_token: int = -1
+    # nomic-bert-moe: MoE FFN every Nth layer (LLM_KV_MOE_EVERY_N_LAYERS)
+    moe_every_n: int = 0
+    # per-layer head counts (openelm/deci: GGUF stores head_count as an
+    # array — llama-hparams.h n_head_arr/n_head_kv_arr)
+    n_heads_list: tuple | None = None
+    n_kv_heads_list: tuple | None = None
+
+    def heads_at(self, il: int) -> int:
+        return self.n_heads_list[il] if self.n_heads_list else self.n_heads
+
+    def kv_heads_at(self, il: int) -> int:
+        return (self.n_kv_heads_list[il] if self.n_kv_heads_list
+                else self.n_kv_heads)
 
     @property
     def is_recurrent(self) -> bool:
@@ -146,13 +180,31 @@ def config_from_gguf(reader) -> ModelConfig:
     arch = reader.architecture
     n_embd = int(_ak(reader, Keys.LLM.EMBEDDING_LENGTH))
     n_layers = int(_ak(reader, Keys.LLM.BLOCK_COUNT))
-    n_heads = int(_ak(reader, Keys.Attention.HEAD_COUNT, 0) or 0)
-    n_kv = int(_ak(reader, Keys.Attention.HEAD_COUNT_KV, n_heads) or 0)
+    def _is_arr(v):  # array-valued KV (numpy array or list)
+        return hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+
+    heads_raw = _ak(reader, Keys.Attention.HEAD_COUNT, 0)
+    heads_list = kv_list = None
+    if _is_arr(heads_raw):  # openelm/deci per-layer arrays
+        heads_list = tuple(int(x) for x in heads_raw)
+        n_heads = max(heads_list)
+    else:
+        n_heads = int(heads_raw or 0)
+    kv_raw = _ak(reader, Keys.Attention.HEAD_COUNT_KV, heads_raw)
+    if _is_arr(kv_raw):
+        kv_list = tuple(int(x) for x in kv_raw)
+        n_kv = max(kv_list)
+    else:
+        n_kv = int(kv_raw or 0)
+        if heads_list is not None:
+            kv_list = tuple(n_kv for _ in heads_list)
     head_dim = int(
         _ak(reader, Keys.Attention.KEY_LENGTH, n_embd // n_heads if n_heads else 0) or 0
     )
     head_dim_v = int(_ak(reader, Keys.Attention.VALUE_LENGTH, head_dim) or 0)
-    n_ff = int(_ak(reader, Keys.LLM.FEED_FORWARD_LENGTH, 0) or 0)
+    n_ff_raw = _ak(reader, Keys.LLM.FEED_FORWARD_LENGTH, 0)
+    n_ff = (max(int(x) for x in n_ff_raw)
+            if _is_arr(n_ff_raw) else int(n_ff_raw or 0))
     vocab = _ak(reader, Keys.LLM.VOCAB_SIZE)
     if vocab is None:
         toks = reader.get(Keys.Tokenizer.LIST)
@@ -194,7 +246,13 @@ def config_from_gguf(reader) -> ModelConfig:
         n_ff_expert=int(_ak(reader, Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, 0) or 0),
         swa_window=int(_ak(reader, Keys.Attention.SLIDING_WINDOW, 0) or 0),
         context_length=ctx_len,
+        n_heads_list=heads_list,
+        n_kv_heads_list=kv_list,
     )
+    if arch == "openelm":
+        # fused qkv ordered [q|k|v] per layer-varying head counts, per-head
+        # RMS qk-norm, NEOX rope (llm_build_openelm :10749)
+        cfg = replace(cfg, qk_norm=True)
 
     # per-arch adjustments (parity: load_hparams per-arch cases,
     # /root/reference/src/llama-model.cpp)
@@ -408,6 +466,14 @@ def config_from_gguf(reader) -> ModelConfig:
             wkv_head_size=int(_ak(reader, "{arch}.wkv.head_size", 64) or 64),
             rescale_every_n=int(_ak(reader, "{arch}.rescale_every_n_layers", 6) or 6),
         )
+    if arch == "rwkv6qwen2":
+        # qwen2 shell with rwkv6 token mixing + gated linear attention
+        # (llm_build_rwkv6qwen2, llama-model.cpp:12969); RMS norms, no
+        # channel mix, no rescale
+        cfg = replace(
+            cfg,
+            wkv_head_size=int(_ak(reader, "{arch}.wkv.head_size", 64) or 64),
+        )
     if arch in ("mamba", "mamba2", "falcon-mamba"):
         d_inner = int(_ak(reader, Keys.SSM.INNER_SIZE, 2 * n_embd) or 2 * n_embd)
         cfg = replace(
@@ -422,6 +488,125 @@ def config_from_gguf(reader) -> ModelConfig:
             ssm_n_group=int(_ak(reader, Keys.SSM.GROUP_COUNT, 0) or 0),
             ssm_dt_b_c_rms=bool(_ak(reader, Keys.SSM.DT_B_C_RMS, False)),
         )
+    if arch == "qwen":
+        # qwen1: fused qkv+bias (MHA), NEOX rope, gated silu
+        # (llm_build_qwen, llama-model.cpp:6947)
+        cfg = replace(cfg, attn_bias=True)
+    # qwen2vl: qwen2 graph with M-RoPE (llm_build_qwen2vl :7181); the
+    # text-only position stream makes MROPE == NEOX, handled by _ROPE_MODE
+    if arch == "qwen2vl":
+        cfg = replace(cfg, attn_bias=True)
+    if arch == "plamo":
+        # parallel block sharing the attention norm; gated silu
+        # (llm_build_plamo :7999 — ffn input is the attn-normed x)
+        cfg = replace(cfg, parallel_residual=True)
+    if arch == "codeshell":
+        # starcoder lineage (LN+bias, fused qkv+bias, gelu FFN) with NEOX
+        # rope instead of learned positions (llm_build_codeshell :8224)
+        cfg = replace(cfg, norm_kind="ln", act="gelu")
+    if arch == "refact":
+        # RMS norms + ALiBi MQA, no rope (llm_build_refact :6150;
+        # load_hparams hardcodes f_max_alibi_bias = 8.0)
+        from ..ops.rope import ROPE_TYPE_NONE
+
+        cfg = replace(cfg, alibi_max_bias=8.0,
+                      rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0))
+    if arch == "jais":
+        # gpt2-style LN+bias + fused qkv + ALiBi + gated silu FFN with
+        # biases; kq scale is 1/n_embd_head, NOT 1/sqrt
+        # (llm_build_jais :12020)
+        from ..ops.rope import ROPE_TYPE_NONE
+
+        cfg = replace(
+            cfg, norm_kind="ln",
+            rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0),
+            alibi_max_bias=float(
+                _ak(reader, "{arch}.attention.max_alibi_bias", 8.0) or 8.0),
+            attn_scale=1.0 / float(head_dim),
+        )
+    if arch == "deepseek":
+        # deepseek v1: llama attention + MoE with leading dense layers,
+        # softmax gating scaled by expert_weights_scale, shared experts
+        # (llm_build_deepseek :11164)
+        cfg = replace(
+            cfg,
+            expert_weights_scale=float(
+                _ak(reader, "{arch}.expert_weights_scale", 1.0) or 1.0),
+        )
+    if arch == "bailingmoe":
+        # head dim is n_rot (build reshapes q/k/v by n_rot) and the kq
+        # scale follows it; MoE like deepseek v1 plus optional weight norm
+        # (llm_build_bailingmoe :14104)
+        cfg = replace(
+            cfg,
+            head_dim=rot, head_dim_v=rot,
+            attn_bias=True,
+            attn_scale=float(rot) ** -0.5,
+            expert_weights_scale=float(
+                _ak(reader, "{arch}.expert_weights_scale", 1.0) or 1.0),
+            expert_weights_norm=bool(
+                _ak(reader, "{arch}.expert_weights_norm", False)),
+        )
+    if arch == "grok":
+        # embeddings x 78.38367176906169, GELU MoE with normalized weights,
+        # post-attention and post-MoE norms, logits x 1/sqrt(3)
+        # (llm_build_grok :5752)
+        cfg = replace(
+            cfg, act="gelu",
+            embedding_scale=78.38367176906169,
+            logit_scale=0.5773502691896257,
+            expert_weights_norm=True,
+        )
+    if arch == "arctic":
+        # dense FFN residual + parallel MoE over the layer input normed by
+        # ffn_norm_exps (llm_build_arctic :11026); n_ff_expert mirrors n_ff
+        cfg = replace(cfg, expert_weights_norm=True,
+                      n_ff_expert=cfg.n_ff_expert or cfg.n_ff)
+    if arch == "chameleon":
+        # llama graph + per-head LayerNorm(+bias) qk-norm (torch-default
+        # 1e-5 eps); swin_norm checkpoints post-norm instead — the loader
+        # remaps attn/ffn norms to post-norm slots (llm_build_chameleon
+        # :13603, load_hparams LLM_KV_SWIN_NORM)
+        cfg = replace(cfg, qk_norm_ln=True)
+    if arch == "minicpm3":
+        # MLA attention (q+kv loras) with minicpm's scale_embd/scale_depth/
+        # dim_model_base multipliers (llm_build_minicpm3 :8594)
+        rope_dim = int(_ak(reader, Keys.Rope.DIMENSION_COUNT, 32) or 32)
+        cfg = replace(
+            cfg,
+            kv_lora_rank=int(_ak(reader, "{arch}.attention.kv_lora_rank", 256) or 256),
+            q_lora_rank=int(_ak(reader, "{arch}.attention.q_lora_rank", 768) or 768),
+            qk_rope_dim=rope_dim,
+            rope=replace(rope, mode=ROPE_TYPE_NEOX, n_dims=rope_dim),
+            # build_minicpm3 hardcodes scale_embd=12, scale_depth=1.4,
+            # n_embd_base=256 (llama-model.cpp:8596-8599)
+            embedding_scale=12.0,
+            residual_scale=1.4 / (n_layers ** 0.5),
+            logit_scale=256.0 / n_embd,
+            n_kv_heads=n_heads,
+        )
+    if arch == "plm":
+        # kv-lora MLA with a plain q projection + squared-relu no-gate FFN
+        # (llm_build_plm :13932)
+        rope_dim = int(_ak(reader, Keys.Rope.DIMENSION_COUNT, 32) or 32)
+        cfg = replace(
+            cfg,
+            kv_lora_rank=int(_ak(reader, "{arch}.attention.kv_lora_rank", 512) or 512),
+            qk_rope_dim=rope_dim,
+            rope=replace(rope, n_dims=rope_dim),
+            act="relu2",
+            n_kv_heads=n_heads,
+        )
+    if arch == "nomic-bert-moe":
+        cfg = replace(cfg, moe_every_n=int(
+            _ak(reader, "{arch}.moe_every_n_layers", 0) or 0))
+    if arch == "jina-bert-v2":
+        # bidirectional ALiBi encoder, no rope (llm_build_bert JINA branch;
+        # load_hparams hardcodes f_max_alibi_bias = 8.0)
+        from ..ops.rope import ROPE_TYPE_NONE
+
+        cfg = replace(cfg, alibi_max_bias=8.0,
+                      rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0))
     explicit_scale = _ak(reader, Keys.Attention.SCALE)
     if explicit_scale is not None and arch not in ("gemma3",):
         cfg = replace(cfg, attn_scale=float(explicit_scale))

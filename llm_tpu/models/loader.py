@@ -108,6 +108,8 @@ def load_params(
 
     layers: list[dict] = [{} for _ in range(cfg.n_layers)]
     params: dict = {"layers": layers}
+    # chameleon swin_norm: post-norm tensor remap (LLM_KV_SWIN_NORM)
+    swin_norm = bool(reader.akey("{arch}.swin_norm", False))
     if cfg.is_enc_dec:
         params["enc_layers"] = [{} for _ in range(cfg.n_layers)]
         params["dec_layers"] = [{} for _ in range(cfg.n_layers)]
@@ -149,6 +151,17 @@ def load_params(
                 key = "attn_qkv_fused" if kind == "weight" else "attn_qkv_fused_b"
             elif base == "exp_probs_b":
                 key = "ffn_exp_probs_b"  # expert-selection bias (DeepSeek-V3)
+            elif base == "attn_out_norm":
+                # grok: post-attention norm before the residual — same slot
+                # as gemma2's attn_post_norm (llm_build_grok)
+                key = "attn_post_norm" if kind == "weight" else "attn_post_norm_b"
+            elif base == "layer_out_norm":
+                key = "ffn_post_norm" if kind == "weight" else "ffn_post_norm_b"
+            elif swin_norm and base in ("attn_norm", "ffn_norm"):
+                # chameleon swin_norm: norms move AFTER attention/FFN
+                # (llm_build_chameleon hparams.swin_norm branches)
+                key = ("attn_post_norm" if base == "attn_norm"
+                       else "ffn_post_norm") + ("" if kind == "weight" else "_b")
             elif kind == "weight" and base == "ffn_up" and cfg.arch in (
                     "phi3", "phimoe", "glm4", "chatglm"):
                 key = "ffn_gateup_fused"  # GGUF packs [gate; up] in ffn_up

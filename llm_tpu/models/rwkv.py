@@ -347,3 +347,140 @@ def forward_rwkv7(
     out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
     logits = qmm(hs.astype(jnp.bfloat16), out_w)
     return logits, new_shift, new_wkv, hs.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# RWKV6Qwen2 ("qrwkv"): rwkv6 token-shift/lerp front end + gated linear
+# attention + a qwen2-style gated-silu FFN. Parity: llm_build_rwkv6qwen2 and
+# the is_qrwkv branches of build_rwkv6_time_mix
+# (/root/reference/src/llama-model.cpp:12969,12716-12870) with the GLA
+# recurrence ggml_gated_linear_attn (ggml-cpu/ops.cpp:9597-9607:
+#   S[i,j] = S[i,j]*g_i + k_i*v_j ;  y_j += S[i,j] * q_i * scale )
+# ---------------------------------------------------------------------------
+
+
+def gla(r, k, v, w, s0, scale: float):
+    """Gated linear attention. r/k/v/w: [ns, nt, H, D] f32; s0 [ns, H, D, D]
+    (i=key dim, j=value dim). Returns (y, s_last)."""
+
+    def step(state, xs):
+        rt, kt, vt, wt = xs  # [ns, H, D]
+        kv = kt[..., :, None] * vt[..., None, :]
+        state = state * wt[..., :, None] + kv  # decay BEFORE add, read AFTER
+        y = jnp.einsum("nhi,nhij->nhj", rt * scale, state)
+        return state, y
+
+    xs = tuple(jnp.moveaxis(a, 1, 0) for a in (r, k, v, w))
+    s_last, ys = jax.lax.scan(step, s0, xs)
+    return jnp.moveaxis(ys, 0, 1), s_last
+
+
+def time_mix_qrwkv(x, att_shift, layer, cfg: ModelConfig):
+    """qrwkv time mix: fused/split 5-way lerp, r/k/v biases, sigmoid gate,
+    GQA k/v repeat, k = k*(1-w), no group-norm."""
+    ns, nt, E = x.shape
+    D = cfg.wkv_head_size
+    H = E // D
+
+    sx = _shifted(x, att_shift) - x
+    xxx = _lerp(x, sx, layer["time_mix_lerp_x"])
+    t1 = jnp.tanh(_mm(xxx, layer["time_mix_w1"]).astype(jnp.float32))
+    r5 = t1.reshape(ns, nt, 5, -1)
+    w2 = layer["time_mix_w2"].astype(jnp.float32)
+    deltas = jnp.einsum("ntfr,fer->ntfe", r5, w2)
+
+    if "time_mix_lerp_fused" in layer:  # [5, E] stacked lerp biases
+        lf = layer["time_mix_lerp_fused"].astype(jnp.float32).reshape(5, E)
+
+        def mixed(i, _key=None):
+            return _lerp(x, sx, deltas[:, :, i] + lf[i])
+    else:
+        def mixed(i, key):
+            return _lerp(x, sx, deltas[:, :, i] + layer[key])
+
+    xw = mixed(0, "time_mix_lerp_w")
+    xk = mixed(1, "time_mix_lerp_k")
+    xv = mixed(2, "time_mix_lerp_v")
+    xr = mixed(3, "time_mix_lerp_r")
+    xg = mixed(4, "time_mix_lerp_g")
+
+    def bias(t, key):
+        b = layer.get(key)
+        return t + b.astype(jnp.float32) if b is not None else t
+
+    r = bias(_mm(xr, layer["time_mix_receptance"]).astype(jnp.float32),
+             "time_mix_receptance_b")
+    k = bias(_mm(xk, layer["time_mix_key"]).astype(jnp.float32),
+             "time_mix_key_b")
+    v = bias(_mm(xv, layer["time_mix_value"]).astype(jnp.float32),
+             "time_mix_value_b")
+    g = jax.nn.sigmoid(_mm(xg, layer["time_mix_gate"]).astype(jnp.float32))
+
+    # GQA: k/v project to Hkv*D and repeat within head groups
+    Hkv = k.shape[-1] // D
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k.reshape(ns, nt, Hkv, D), rep, axis=2).reshape(ns, nt, E)
+        v = jnp.repeat(v.reshape(ns, nt, Hkv, D), rep, axis=2).reshape(ns, nt, E)
+
+    d1 = jnp.tanh(_mm(xw, layer["time_mix_decay_w1"]).astype(jnp.float32))
+    dd = _mm_dense(d1, layer["time_mix_decay_w2"]) + layer["time_mix_decay"]
+    w = jnp.exp(-jnp.exp(dd))
+    k = k * (1.0 - w)
+
+    shp = (ns, nt, H, D)
+    return (r.reshape(shp), k.reshape(shp), v.reshape(shp), w.reshape(shp),
+            g, x[:, -1, :])
+
+
+def forward_rwkv6qwen2(
+    params: dict,
+    cfg: ModelConfig,
+    shift_states: list,  # per layer [n_slots, 2, E] (row 1 unused)
+    wkv_states: list,  # per layer [n_slots, H, D, D]
+    tokens: jnp.ndarray,  # [ns, nt]
+    slot_idx: jnp.ndarray,  # [ns]
+    out_idx: jnp.ndarray,  # [O]
+    dtype=jnp.bfloat16,
+):
+    from ..ops.norms import rms_norm
+
+    ns, nt = tokens.shape
+    E = cfg.n_embd
+    D = cfg.wkv_head_size
+    eps = cfg.rms_eps
+
+    x = qembed(params["tok_embd"], tokens.reshape(-1), dtype=jnp.float32)
+    x = x.reshape(ns, nt, E)
+
+    new_shift, new_wkv = [], []
+    for il, layer in enumerate(params["layers"]):
+        tsh = jnp.take(shift_states[il], slot_idx, axis=0)
+        wkv0 = jnp.take(wkv_states[il], slot_idx, axis=0).astype(jnp.float32)
+
+        att_norm = rms_norm(x, layer["attn_norm"], eps)
+        r, k, v, w, g, att_last = time_mix_qrwkv(att_norm, tsh[:, 0], layer, cfg)
+        y, wkv1 = gla(r, k, v, w, wkv0, float(D) ** -0.5)
+        y = y.reshape(ns, nt, E) * g
+        att_out = _mm(y.astype(jnp.bfloat16),
+                      layer["time_mix_output"]).astype(jnp.float32)
+        x = x + att_out
+
+        h2 = rms_norm(x, layer["ffn_norm"], eps)
+        gate = jax.nn.silu(_mm(h2, layer["ffn_gate"]).astype(jnp.float32))
+        up = _mm(h2, layer["ffn_up"]).astype(jnp.float32)
+        dn = _mm((gate * up).astype(jnp.bfloat16),
+                 layer["ffn_down"]).astype(jnp.float32)
+        x = x + dn
+
+        new_tsh = jnp.stack([att_last, att_last], axis=1)
+        new_shift.append(shift_states[il].at[slot_idx].set(
+            new_tsh.astype(shift_states[il].dtype)))
+        new_wkv.append(wkv_states[il].at[slot_idx].set(
+            wkv1.astype(wkv_states[il].dtype)))
+
+    x = rms_norm(x.reshape(ns * nt, E), params.get("output_norm"), eps)
+    hs = jnp.take(x, out_idx, axis=0)
+    out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
+    logits = qmm(hs.astype(jnp.bfloat16), out_w)
+    return logits, new_shift, new_wkv, hs.astype(jnp.float32)

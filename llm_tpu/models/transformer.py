@@ -295,12 +295,15 @@ def forward(
             cos_cf2 = cos_cf2.astype(dtype)
             sin_cf2 = sin_cf2.astype(dtype)
 
-    def _layer_body(x, layer, kv_k_l, kv_v_l, is_swa, layer_acts):
+    def _layer_body(x, layer, kv_k_l, kv_v_l, is_swa, layer_acts,
+                    H=H, Hkv=Hkv):
         """One decoder layer; returns (x, k_cache, v_cache). Shared between
-        the per-layer python loop and the lax.scan path."""
+        the per-layer python loop and the lax.scan path. H/Hkv default to
+        the model-wide counts; openelm-style per-layer counts override."""
         swa_rope = cfg.rope_swa is not None and is_swa
         swa_tab = is_swa and (cfg.rope_swa is not None or dual)
         nope = cfg.nope_global_layers and not is_swa  # cohere2 NoPE layers
+        x_in = x  # layer input (arctic's MoE branch reads it)
         # post-norm archs (olmo2) carry no input norms: attend over x
         # directly; olmo-style nonparam_norm normalizes without weights
         h = _norm(x, layer.get("attn_norm"), cfg, layer.get("attn_norm_b")) \
@@ -362,6 +365,20 @@ def forward(
         elif cfg.qk_norm:
             q = rms_norm(q, layer.get("attn_q_norm"), cfg.rms_eps)
             k = rms_norm(k, layer.get("attn_k_norm"), cfg.rms_eps)
+        elif cfg.qk_norm_ln and "attn_q_norm" in layer:
+            # chameleon: per-head LayerNorm(+bias) on q/k at torch-default
+            # 1e-5 eps (llm_build_chameleon; load_hparams sets f_norm_eps)
+            def _hln(t, w, b):
+                tf = t.astype(jnp.float32)
+                mu = tf.mean(-1, keepdims=True)
+                var = ((tf - mu) ** 2).mean(-1, keepdims=True)
+                out = (tf - mu) / jnp.sqrt(var + 1e-5) * w.astype(jnp.float32)
+                if b is not None:
+                    out = out + b.astype(jnp.float32)
+                return out.astype(t.dtype)
+
+            q = _hln(q, layer["attn_q_norm"], layer.get("attn_q_norm_b"))
+            k = _hln(k, layer["attn_k_norm"], layer.get("attn_k_norm_b"))
 
         if not nope:
             q = apply_rope(q, cos_t2 if swa_rope else cos_t,
@@ -422,7 +439,8 @@ def forward(
                 if ("ffn_norm" in layer or cfg.nonparam_norm) else x
         h2 = ffn_in
         _collect(layer_acts, "ffn_gateup", h2)
-        if cfg.n_expert > 0 and "ffn_gate_inp" in layer:
+        if (cfg.n_expert > 0 and "ffn_gate_inp" in layer
+                and "ffn_norm_exps" not in layer):
             ffn_out = _moe_ffn(h2, layer, cfg)
             if "ffn_up_shexp" in layer:  # shared expert (qwen2moe-style)
                 shared = _ffn(
@@ -446,6 +464,12 @@ def forward(
                 collect=(lambda n, v, s=layer_acts: _collect(s, n, v))
                 if collect_acts else None,
             )
+        if "ffn_norm_exps" in layer:
+            # arctic (llm_build_arctic): the MoE runs in PARALLEL with the
+            # dense FFN, reading the LAYER INPUT through its own norm; both
+            # join the residual stream
+            moe_in = _norm(x_in, layer["ffn_norm_exps"], cfg)
+            ffn_out = ffn_out + _moe_ffn(moe_in, layer, cfg)
         if "ffn_post_norm" in layer:
             ffn_out = _norm(ffn_out, layer["ffn_post_norm"], cfg)
         if cfg.residual_scale != 1.0:
@@ -491,7 +515,8 @@ def forward(
         for il, layer in enumerate(params["layers"]):
             layer_acts: dict = {}
             x, kc, vc = _layer_body(x, layer, kv_k[il], kv_v[il],
-                                    cfg.layer_is_swa(il), layer_acts)
+                                    cfg.layer_is_swa(il), layer_acts,
+                                    H=cfg.heads_at(il), Hkv=cfg.kv_heads_at(il))
             new_k.append(kc)
             new_v.append(vc)
             acts.append(layer_acts)

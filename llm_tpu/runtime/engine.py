@@ -162,7 +162,8 @@ class Context:
                         for il in range(cfg.n_layers)
                     ]
             self.kv = new_kv_arrays(
-                self.cfg.n_layers, n_rows, self.cfg.n_kv_heads,
+                self.cfg.n_layers, n_rows,
+                self.cfg.n_kv_heads_list or self.cfg.n_kv_heads,
                 self.cfg.head_dim, self.cfg.head_dim_v, self.kv_dtype,
                 row_counts=row_counts,
             )
@@ -443,6 +444,8 @@ class Context:
         if cfg.wkv_head_size > 0:
             if cfg.arch in ("rwkv7", "arwkv7"):
                 from ..models.rwkv import forward_rwkv7 as fwd
+            elif cfg.arch == "rwkv6qwen2":
+                from ..models.rwkv import forward_rwkv6qwen2 as fwd
             else:
                 from ..models.rwkv import forward_rwkv6 as fwd
         else:

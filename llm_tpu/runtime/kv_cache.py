@@ -72,8 +72,13 @@ def new_kv_arrays(n_layers, n_cells, n_kv_heads, head_dim_k, head_dim_v,
 
     row_counts: optional per-layer cell counts (the ISWA dual cache gives
     SWA layers a small ring, llama-kv-cache-unified-iswa.*); defaults to
-    n_cells everywhere."""
+    n_cells everywhere. n_kv_heads may be a per-layer sequence (openelm's
+    layer-varying GQA, llama-hparams n_head_kv_arr)."""
     rows = row_counts if row_counts is not None else [n_cells] * n_layers
+    if isinstance(n_kv_heads, (list, tuple)):
+        heads = list(n_kv_heads)
+    else:
+        heads = [n_kv_heads] * n_layers
     if dtype == "q8_0":
 
         def mk(d):
@@ -86,15 +91,15 @@ def new_kv_arrays(n_layers, n_cells, n_kv_heads, head_dim_k, head_dim_v,
                 g = KV_QUANT_GROUP if d % KV_QUANT_GROUP == 0 else d
             return [
                 (
-                    jnp.zeros((rows[il], n_kv_heads, d), jnp.int8),
-                    jnp.zeros((rows[il], n_kv_heads, d // g), jnp.bfloat16),
+                    jnp.zeros((rows[il], heads[il], d), jnp.int8),
+                    jnp.zeros((rows[il], heads[il], d // g), jnp.bfloat16),
                 )
                 for il in range(n_layers)
             ]
 
         return KVArrays(k=mk(head_dim_k), v=mk(head_dim_v))
-    k = [jnp.zeros((rows[il], n_kv_heads, head_dim_k), dtype) for il in range(n_layers)]
-    v = [jnp.zeros((rows[il], n_kv_heads, head_dim_v), dtype) for il in range(n_layers)]
+    k = [jnp.zeros((rows[il], heads[il], head_dim_k), dtype) for il in range(n_layers)]
+    v = [jnp.zeros((rows[il], heads[il], head_dim_v), dtype) for il in range(n_layers)]
     return KVArrays(k=k, v=v)
 
 

@@ -19,6 +19,10 @@ from aiohttp import web
 from ..samplers import SamplingParams
 from .core import GenTask, InferenceServer, SlotState
 
+# encoder-only archs served in embedding/rerank mode (llm_build_bert family)
+_BERT_ARCHS = ("bert", "nomic-bert", "nomic-bert-moe", "jina-bert-v2",
+               "neo-bert")
+
 DEFAULT_CHAT_TEMPLATE = (
     "{% for message in messages %}"
     "<|im_start|>{{ message.role }}\n{{ message.content }}<|im_end|>\n"
@@ -262,6 +266,40 @@ class ServerApp:
         import numpy as np
 
         loop = asyncio.get_event_loop()
+
+        ctx = self.engine.ctx
+        if getattr(ctx, "params", {}) and "cls" in getattr(ctx, "params", {}):
+            # classifier-head reranker (server.cpp handle_rerank +
+            # format_rerank: bos query eos sep doc eos)
+            v = self.tok.vocab
+
+            def score(doc):
+                toks = []
+                if v.bos_id >= 0:
+                    toks.append(v.bos_id)
+                toks += self.tok.encode(query, add_special=False)
+                if v.eos_id >= 0:
+                    toks.append(v.eos_id)
+                if getattr(v, "sep_id", -1) >= 0:
+                    toks.append(v.sep_id)
+                toks += self.tok.encode(str(doc), add_special=False)
+                if v.eos_id >= 0:
+                    toks.append(v.eos_id)
+                with self.engine.ctx_lock:
+                    return ctx.rerank_score(toks)
+
+            results = []
+            for i, doc in enumerate(docs):
+                s = await loop.run_in_executor(None, score, doc)
+                results.append({"index": i, "relevance_score": float(s)})
+            results.sort(key=lambda r: -r["relevance_score"])
+            if d.get("top_n"):
+                results = results[: int(d["top_n"])]
+            return web.json_response({
+                "model": self.model_name, "object": "list",
+                "results": results,
+                "usage": {"prompt_tokens": 0, "total_tokens": 0},
+            })
 
         def embed(text):
             toks = self.tok.encode(str(text), add_special=True, parse_special=True)
@@ -527,11 +565,18 @@ def main(argv=None):
 
     reader = GGUFReader(args.model)
     tok = tokenizer_from_gguf(reader)
-    ctx = Context(
-        reader, n_cells=args.ctx_size, n_ubatch=args.n_batch,
-        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
-        mesh=mesh, n_seq_hint=args.n_parallel,
-    )
+    if reader.architecture in _BERT_ARCHS:
+        # encoder-only checkpoint: serve /embeddings + /rerank through the
+        # bidirectional graph (server.cpp embedding/rerank modes)
+        from ..models.bert import BertContext
+
+        ctx = BertContext(reader)
+    else:
+        ctx = Context(
+            reader, n_cells=args.ctx_size, n_ubatch=args.n_batch,
+            dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+            mesh=mesh, n_seq_hint=args.n_parallel,
+        )
     draft_ctx = None
     if args.model_draft:
         draft_ctx = Context(

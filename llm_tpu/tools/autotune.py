@@ -69,13 +69,21 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--tiles-n", default="4096,2048,1024,512")
     ap.add_argument("--tiles-k", default="4096,2048,1024,512")
+    ap.add_argument("--shapes", default=None,
+                    help="comma list of KxN pairs overriding geometry/model")
+    ap.add_argument("--mins", action="store_true",
+                    help="benchmark the fused-mins kernel (Q4_K decode path)")
     args = ap.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
-    shapes = (shapes_from_gguf(args.model) if args.model
-              else GEOMETRIES[args.geometry])
+    if args.shapes:
+        shapes = [tuple(int(v) for v in s.split("x"))
+                  for s in args.shapes.split(",")]
+    else:
+        shapes = (shapes_from_gguf(args.model) if args.model
+                  else GEOMETRIES[args.geometry])
     tiles_n = [int(t) for t in args.tiles_n.split(",")]
     tiles_k = [int(t) for t in args.tiles_k.split(",")]
     B = args.batch
@@ -86,19 +94,24 @@ def main(argv=None):
     # Timing rides an ON-DEVICE fori_loop with a data dependency between
     # iterations and ONE host fetch at the end — per-dispatch timing over a
     # tunneled TPU measures the link, not the kernel.
+    # NOTE: planes must be jit ARGUMENTS — closing over them would embed
+    # multi-MB literals in the compile request (the tunnel rejects/chokes).
+    def _loop(x0, qs, sc, mn, tn, tk, reps):
+        def body(i, x):
+            y = qmm_pallas(x, qs, sc, mn, gs=32, zp=0, layout="p4",
+                           tile_n=tn, tile_k=tk)
+            # scalar feedback: keeps a data dependency between iterations
+            # regardless of (K, N) vs x's shape
+            return x + y.mean().astype(x.dtype) * 1e-6
+
+        return jax.lax.fori_loop(0, reps, body, x0)
+
+    loop_j = jax.jit(_loop, static_argnums=(4, 5, 6))
+
     def timed(qs, sc, mn, x, tn, tk, reps):
-        def loop(x0):
-            def body(i, x):
-                y = qmm_pallas(x, qs, sc, mn, gs=32, zp=0, layout="p4",
-                               tile_n=tn, tile_k=tk)
-                return (x + y[:, : x.shape[1]].astype(x.dtype) * 1e-6)
-
-            return jax.lax.fori_loop(0, reps, body, x0)
-
-        f = jax.jit(loop)
-        jax.block_until_ready(f(x))
+        jax.block_until_ready(loop_j(x, qs, sc, mn, tn, tk, reps))
         t0 = time.perf_counter()
-        r = np.asarray(f(x))
+        r = np.asarray(loop_j(x, qs, sc, mn, tn, tk, reps))
         dt = time.perf_counter() - t0
         assert np.isfinite(r).all()
         return dt / reps * 1e3
@@ -118,7 +131,8 @@ def main(argv=None):
                 if _vmem_estimate(B, min(tn, N), tk, 32, "p4") > (13 << 20):
                     continue
                 try:
-                    ms = timed(qs, sc, None, x, tn, tk, args.reps)
+                    ms = timed(qs, sc, mn if args.mins else None, x,
+                               tn, tk, args.reps)
                 except Exception as e:  # noqa: BLE001
                     print(f"  ({K},{N}) tn={tn} tk={tk}: {type(e).__name__}",
                           file=sys.stderr)
