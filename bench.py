@@ -61,9 +61,28 @@ def build(cfg_kw, scales_dtype=jnp.bfloat16):
     return params, cfg
 
 
+def _require_device(timeout_s: int = 600):
+    """Fail fast (rc=3) if device init hangs — a dead tunnel would
+    otherwise block the harness forever. Compiles are NOT under this
+    timeout; only jax.devices()."""
+    import threading
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got:
+        print(f"error: no JAX device after {timeout_s}s "
+              "(tunnel down?)", file=sys.stderr)
+        os._exit(3)
+    print(f"devices: {got[0]}", file=sys.stderr)
+
+
 def main():
     from llm_tpu.models.synthetic import LLAMA3_8B
     from llm_tpu.models.transformer import forward
+
+    _require_device()
 
     small = "--small" in sys.argv  # CI / smoke mode
     geo = dict(n_embd=512, n_layers=4, n_heads=8, n_kv_heads=8, n_ff=1024,

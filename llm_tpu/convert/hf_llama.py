@@ -102,6 +102,35 @@ _HF_GLM4_MAP = {
     "mlp.down_proj.weight": "ffn_down.weight",
 }
 
+# gemma3n layer naming (Gemma3nTextDecoderLayer; reference Gemma3NModel
+# converter tensor map)
+_HF_GEMMA3N_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "attn_post_norm.weight",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "ffn_post_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "altup.correct_output_scale": "altup_correct_scale.weight",
+    "altup.correction_coefs.weight": "altup_correct_coef.weight",
+    "altup.prediction_coefs.weight": "altup_predict_coef.weight",
+    "altup.modality_router.weight": "altup_router.weight",
+    "altup.router_norm.weight": "altup_router_norm.weight",
+    "laurel.linear_left.weight": "laurel_l.weight",
+    "laurel.linear_right.weight": "laurel_r.weight",
+    "laurel.post_laurel_norm.weight": "laurel_post_norm.weight",
+    "per_layer_input_gate.weight": "per_layer_inp_gate.weight",
+    "per_layer_projection.weight": "per_layer_proj.weight",
+    "post_per_layer_input_norm.weight": "per_layer_post_norm.weight",
+}
+
 _HF_LAYER_MAP = {
     "input_layernorm.weight": "attn_norm.weight",
     "input_layernorm.bias": "attn_norm.bias",
@@ -137,7 +166,7 @@ def convert_hf_llama(
     merges, special ids) to embed; tests pass None and read logits only.
     """
     hf_cfg = model.config
-    if arch == "qwen2vl":
+    if arch in ("qwen2vl", "gemma3n"):
         # composite VL config: the LM hparams live in text_config, and the
         # decoder weights under model.language_model.* (vision tower skipped
         # — reference Qwen2VLModel converter exports the text model)
@@ -172,6 +201,8 @@ def convert_hf_llama(
         layer_map = dict(_HF_LAYER_MAP)
         layer_map["self_attn.q_norm.bias"] = "attn_q_norm.bias"
         layer_map["self_attn.k_norm.bias"] = "attn_k_norm.bias"
+    elif arch == "gemma3n":
+        layer_map = _HF_GEMMA3N_MAP
 
     w = GGUFWriter(path, arch=arch)
     a = arch
@@ -179,7 +210,10 @@ def convert_hf_llama(
     w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), int(hf_cfg.max_position_embeddings))
     w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.hidden_size))
     w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(hf_cfg.num_hidden_layers))
-    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), int(hf_cfg.intermediate_size))
+    _ff = hf_cfg.intermediate_size
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a),
+             [int(v) for v in _ff] if isinstance(_ff, (list, tuple))
+             else int(_ff))
     w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), int(n_head))
     w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), int(n_kv))
     w.add_kv(Keys.Attention.KEY_LENGTH.format(arch=a), int(head_dim))
@@ -231,6 +265,30 @@ def convert_hf_llama(
         # reference ChameleonModel converter records swin_norm; qk-norms
         # are written per-head below (llama.cpp stores {head_dim, n_head})
         w.add_kv(f"{a}.swin_norm", bool(getattr(hf_cfg, "swin_norm", False)))
+    if arch == "gemma3n":
+        # reference Gemma3NModel.set_gguf_parameters
+        import math
+
+        w.add_kv(f"{a}.altup.num_inputs", int(hf_cfg.altup_num_inputs))
+        w.add_kv(f"{a}.altup.active_idx", int(hf_cfg.altup_active_idx))
+        w.add_kv(f"{a}.embedding_length_per_layer_input",
+                 int(hf_cfg.hidden_size_per_layer_input))
+        w.add_kv(f"{a}.attention.shared_kv_layers",
+                 int(hf_cfg.num_kv_shared_layers))
+        w.add_kv(Keys.Attention.SLIDING_WINDOW.format(arch=a),
+                 int(hf_cfg.sliding_window))
+        w.add_kv(f"{a}.final_logit_softcapping",
+                 float(getattr(hf_cfg, "final_logit_softcapping", 30.0)))
+        # std multipliers: normal icdf of each layer's target sparsity
+        import torch as _t
+
+        nd = _t.distributions.normal.Normal(0, 1)
+        w.add_kv(f"{a}.activation_sparsity_scale", [
+            float(nd.icdf(_t.tensor(float(s))).item()) if s > 0 else 0.0
+            for s in hf_cfg.activation_sparsity_pattern
+        ])
+        w.add_kv(f"{a}.attention.sliding_window_pattern",
+                 [t == "sliding_attention" for t in hf_cfg.layer_types])
     if arch == "qwen2vl":
         sect = (getattr(hf_cfg, "rope_scaling", None) or {}).get(
             "mrope_section", [16, 24, 24])
@@ -418,6 +476,21 @@ def convert_hf_llama(
                 ])  # [n_expert, n_out, K] -> GGUF ne (K, n_out, n_expert)
                 w.add_tensor(f"blk.{il}.{gg}.weight", stack,
                              ggml_type=GGMLType.F32)
+
+    if arch == "gemma3n":
+        # global altup/per-layer tensors (Gemma3nTextModel attributes)
+        put("per_layer_token_embd.weight",
+            sd["model.embed_tokens_per_layer.weight"])
+        put("per_layer_model_proj.weight",
+            sd["model.per_layer_model_projection.weight"])
+        put("per_layer_proj_norm.weight",
+            sd["model.per_layer_projection_norm.weight"])
+        n_alt = int(hf_cfg.altup_num_inputs)
+        for hf_base, gg in (("altup_projections", "altup_proj"),
+                            ("altup_unembed_projections", "altup_unembd_proj")):
+            stack = np.stack([sd[f"model.{hf_base}.{i}.weight"]
+                              for i in range(n_alt - 1)])
+            w.add_tensor(f"{gg}.weight", stack, ggml_type=GGMLType.F32)
 
     w.write()
     return path
@@ -1407,6 +1480,8 @@ _MODEL_TYPE_ARCH = {
     "orion": "orion",
     "minicpm": "minicpm",
     "chameleon": "chameleon",
+    "gemma3n": "gemma3n",
+    "gemma3n_text": "gemma3n",
     "qwen2_vl": "qwen2vl",
     "qwen2_5_vl": "qwen2vl",
 }

@@ -55,6 +55,7 @@ _SCALAR_NPDTYPE = {
     GGUFValueType.UINT64: np.uint64,
     GGUFValueType.INT64: np.int64,
     GGUFValueType.FLOAT64: np.float64,
+    GGUFValueType.BOOL: np.bool_,  # bool arrays (sliding_window_pattern)
 }
 
 # practical sanity caps, mirroring the reference's overflow checks

@@ -141,6 +141,17 @@ class ModelConfig:
     dec_start_token: int = -1
     # nomic-bert-moe: MoE FFN every Nth layer (LLM_KV_MOE_EVERY_N_LAYERS)
     moe_every_n: int = 0
+    # gemma3n (llm_build_gemma3n_iswa): alternating-updates streams,
+    # per-layer input embeddings, shared-KV tail layers, activation
+    # sparsity std-multipliers per layer
+    altup_n: int = 0  # altup.num_inputs
+    altup_act: int = 0  # altup.active_idx
+    n_embd_altup: int = 0  # embedding_length_per_layer_input
+    n_kv_layers: int = 0  # layers that OWN a KV cache (0 = all)
+    act_sparsity: tuple | None = None  # per-layer gaussian-topk std mults
+    # explicit per-layer SWA flags (attention.sliding_window_pattern);
+    # overrides the swa_pattern modulo rule when present
+    swa_layers: tuple | None = None
     # per-layer head counts (openelm/deci: GGUF stores head_count as an
     # array — llama-hparams.h n_head_arr/n_head_kv_arr)
     n_heads_list: tuple | None = None
@@ -166,7 +177,11 @@ class ModelConfig:
         return self.n_heads // self.n_kv_heads
 
     def layer_is_swa(self, il: int) -> bool:
-        if self.swa_window <= 0 or self.swa_pattern <= 0:
+        if self.swa_window <= 0:
+            return False
+        if self.swa_layers is not None:  # explicit per-layer pattern
+            return bool(self.swa_layers[il])
+        if self.swa_pattern <= 0:
             return False
         # iSWA: layers where (il+1) % pattern != 0 use the sliding window
         return (il + 1) % self.swa_pattern != 0
@@ -596,6 +611,36 @@ def config_from_gguf(reader) -> ModelConfig:
             rope=replace(rope, n_dims=rope_dim),
             act="relu2",
             n_kv_heads=n_heads,
+        )
+    if arch == "gemma3n":
+        # iSWA pattern 5 with per-layer override, SWA rope at base 10000,
+        # attention scale 1.0, altup streams + per-layer inputs + shared-KV
+        # tail (load_hparams GEMMA3N + llm_build_gemma3n_iswa; the altup
+        # dims ride the converter's KVs with llama-hparams.h defaults)
+        swa_pat = _ak(reader, "{arch}.attention.sliding_window_pattern")
+        shared = int(_ak(reader, "{arch}.attention.shared_kv_layers", 0) or 0)
+        spars = _ak(reader, "{arch}.activation_sparsity_scale")
+        cfg = replace(
+            cfg,
+            act="gelu",
+            qk_norm=True,
+            attn_scale=1.0,
+            embedding_scale=float(n_embd) ** 0.5,
+            final_softcap=float(
+                _ak(reader, "{arch}.final_logit_softcapping", 30.0) or 30.0),
+            swa_pattern=5,
+            swa_window=int(_ak(reader, Keys.Attention.SLIDING_WINDOW, 512) or 512),
+            swa_layers=(tuple(bool(b) for b in swa_pat)
+                        if _is_arr(swa_pat) else None),
+            rope_swa=replace(rope, freq_base=10000.0, freq_scale=1.0,
+                             ext_factor=0.0),
+            altup_n=int(_ak(reader, "{arch}.altup.num_inputs", 4) or 4),
+            altup_act=int(_ak(reader, "{arch}.altup.active_idx", 0) or 0),
+            n_embd_altup=int(_ak(
+                reader, "{arch}.embedding_length_per_layer_input", 256) or 256),
+            n_kv_layers=(n_layers - shared) if shared else min(20, n_layers),
+            act_sparsity=(tuple(float(s) for s in spars)
+                          if _is_arr(spars) else None),
         )
     if arch == "nomic-bert-moe":
         cfg = replace(cfg, moe_every_n=int(

@@ -230,6 +230,18 @@ def load_params(
             params["tok_norm_b"] = _to_dense(reader, name, jnp.float32)
         elif name == "position_embd.weight":
             params["pos_embd"] = _to_dense(reader, name, jnp.float32)
+        elif name == "per_layer_token_embd.weight":
+            # gemma3n: [vocab, n_layer*n_embd_altup] row-gathered per token
+            params["per_layer_token_embd"] = _load_matrix(
+                reader, name, dense_dtype, use_planes, kmajor=False)
+        elif name == "per_layer_model_proj.weight":
+            params["per_layer_model_proj"] = _load_matrix(
+                reader, name, dense_dtype, use_planes)
+        elif name == "per_layer_proj_norm.weight":
+            params["per_layer_proj_norm"] = _to_dense(reader, name, jnp.float32)
+        elif name in ("altup_proj.weight", "altup_unembd_proj.weight"):
+            # [n_altup-1, n_embd, n_embd] dense stacks (small vs the model)
+            params[name.rsplit(".", 1)[0]] = _to_dense(reader, name, jnp.float32)
         elif name == "rope_freqs.weight":
             params["rope_freqs"] = np.asarray(
                 dequantize_tensor(reader.data(name), ti.ggml_type, ti.shape), np.float32

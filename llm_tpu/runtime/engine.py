@@ -89,10 +89,14 @@ class Context:
             raise ValueError("scan_layers does not compose with a mesh yet "
                              "— use the per-layer path for sharded runs")
         self.reader = reader
+        if scan_layers and reader is not None \
+                and getattr(reader, "architecture", "") == "gemma3n":
+            scan_layers = False  # altup streams use the per-layer path
         if params_cfg is not None:
             self.params, self.cfg = params_cfg
             if scan_layers and "layers_stacked" not in self.params \
-                    and not self.cfg.is_recurrent:
+                    and not self.cfg.is_recurrent \
+                    and self.cfg.arch != "gemma3n":
                 from ..models.loader import stack_layers
 
                 stacked = stack_layers(self.params["layers"])
@@ -161,6 +165,13 @@ class Context:
                         swa_rows if cfg.layer_is_swa(il) else n_rows
                         for il in range(cfg.n_layers)
                     ]
+            if cfg.n_kv_layers and cfg.n_kv_layers < cfg.n_layers:
+                # gemma3n shared-KV tail: the reuse layers read another
+                # layer's cache — allocate token-sized stubs for theirs
+                if row_counts is None:
+                    row_counts = [n_rows] * cfg.n_layers
+                for il in range(cfg.n_kv_layers, cfg.n_layers):
+                    row_counts[il] = 8
             self.kv = new_kv_arrays(
                 self.cfg.n_layers, n_rows,
                 self.cfg.n_kv_heads_list or self.cfg.n_kv_heads,
@@ -209,11 +220,15 @@ class Context:
         if key in self._steps:
             return self._steps[key]
         cfg, dtype = self.cfg, self.dtype
+        if cfg.arch == "gemma3n":
+            from ..models.gemma3n import forward_gemma3n as fwd
+        else:
+            fwd = forward
 
         if dual:
             def _step(params, kv_k, kv_v, tokens, pos, seq, widx, cpos,
                       cbits, oidx, spos, sbits, swidx):
-                return forward(
+                return fwd(
                     params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos,
                     cbits, oidx, dtype=dtype, swa_cell_pos=spos,
                     swa_cell_seq_bits=sbits, swa_write_idx=swidx,
@@ -221,7 +236,7 @@ class Context:
         else:
             def _step(params, kv_k, kv_v, tokens, pos, seq, widx, cpos,
                       cbits, oidx):
-                return forward(
+                return fwd(
                     params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos,
                     cbits, oidx, dtype=dtype,
                 )

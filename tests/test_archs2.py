@@ -436,6 +436,95 @@ def test_plm_mla(tmp_path):
     assert cfg.q_lora_rank == 0
 
 
+def _tiny_gemma3n(n_altup=2, layers=4):
+    cfg = transformers.Gemma3nTextConfig(
+        vocab_size=97, vocab_size_per_layer_input=97, hidden_size=32,
+        hidden_size_per_layer_input=8, intermediate_size=48,
+        num_hidden_layers=layers, num_attention_heads=2,
+        num_key_value_heads=1, head_dim=16, altup_num_inputs=n_altup,
+        altup_active_idx=0, altup_coef_clip=120.0, laurel_rank=4,
+        num_kv_shared_layers=2, sliding_window=8,
+        activation_sparsity_pattern=(0.95,) * layers,
+        layer_types=["sliding_attention", "full_attention"] * (layers // 2),
+        max_position_embeddings=64, rope_theta=1e6,
+        rope_local_base_freq=10000.0, tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    return transformers.Gemma3nForCausalLM(cfg).eval()
+
+
+def test_gemma3n(tmp_path):
+    """gemma3n: altup streams, laurel, per-layer input embeddings,
+    gaussian-topk activation sparsity, shared-KV tail layers, iSWA with
+    local rope, attention scale 1.0, final softcap
+    (llm_build_gemma3n_iswa, llama-model.cpp:9190)."""
+    m = _tiny_gemma3n()
+    from llm_tpu.models.config import config_from_gguf
+    from llm_tpu.convert.hf_llama import convert_hf_llama
+
+    path = str(tmp_path / "g3n.gguf")
+    convert_hf_llama(m, path, arch="gemma3n")
+    cfg = config_from_gguf(GGUFReader(path))
+    assert cfg.altup_n == 2 and cfg.n_kv_layers == 2
+    assert cfg.swa_layers == (True, False, True, False)
+    assert cfg.act_sparsity is not None and cfg.act_sparsity[0] > 1.6
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=12).tolist()
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    ctx = Context(GGUFReader(path), n_cells=32, dtype=jnp.float32)
+    # reuse-layer KV stubs stay tiny
+    assert ctx.kv.k[2].shape[0] == 8 and ctx.kv.k[0].shape[0] == 33
+    assert ctx.decode(Batch.text(tokens, seq_id=0, logits_last_only=False)) == 0
+    ours = np.stack([ctx.get_logits(i) for i in range(len(tokens))])
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+    # decode continuation: shared-KV layers must read the reuse layers'
+    # cache correctly across steps
+    nxt = int(ref[-1].argmax())
+    assert ctx.decode(Batch.one(nxt, pos=len(tokens), seq_id=0)) == 0
+    with torch.no_grad():
+        ref2 = m(torch.tensor([tokens + [nxt]])).logits[0, -1].numpy()
+    np.testing.assert_allclose(np.asarray(ctx.get_logits()), ref2,
+                               atol=3e-3, rtol=3e-3)
+
+
+def test_gemma3n_iswa_dual_ring(tmp_path):
+    """gemma3n under the ISWA dual cache: SWA layers (and the shared-KV
+    tail layers that reuse them) read the small ring; logits must match
+    the swa_full full-cache run (llama-kv-cache-unified-iswa parity)."""
+    from llm_tpu.convert.hf_llama import convert_hf_llama
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    m = _tiny_gemma3n()
+    path = str(tmp_path / "g3n.gguf")
+    convert_hf_llama(m, path, arch="gemma3n")
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 97, size=6).tolist()
+
+    full = Context(GGUFReader(path), n_cells=256, dtype=jnp.float32,
+                   swa_full=True)
+    dual = Context(GGUFReader(path), n_cells=256, dtype=jnp.float32,
+                   n_ubatch=16, n_seq_hint=1)
+    assert dual.cells_swa is not None  # the ring actually engaged
+    outs = []
+    for ctx in (full, dual):
+        assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
+        seq = [int(np.asarray(ctx.get_logits()).argmax())]
+        for i in range(10):
+            assert ctx.decode(Batch.one(seq[-1], pos=len(toks) + i,
+                                        seq_id=0)) == 0
+            seq.append(int(np.asarray(ctx.get_logits()).argmax()))
+        outs.append((seq, np.asarray(ctx.get_logits())))
+    assert outs[0][0] == outs[1][0]
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-4, rtol=1e-4)
+
+
 def test_openelm_per_layer_heads(tmp_path):
     """openelm: PER-LAYER head counts (GGUF head_count arrays), fused
     [q|k|v] qkv, per-head RMS qk-norm, NEOX rope (llm_build_openelm,

@@ -143,6 +143,7 @@ int main(int argc, char **argv) {
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(nd.rstrip("/")).rsplit("/llm_tpu", 1)[0]
     env["JAX_PLATFORMS"] = "cpu"
+    env["LLM_TPU_PLATFORM"] = "cpu"  # in-process jax.config (env alone is unreliable)
     env.pop("XLA_FLAGS", None)
     out = subprocess.run([exe, path], capture_output=True, text=True,
                          env=env, timeout=300)

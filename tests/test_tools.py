@@ -138,7 +138,8 @@ def test_cli_context_shift(tiny_f32):
 def test_cli_main_subprocess(tiny_f32):
     out = subprocess.run(
         [sys.executable, "-m", "llm_tpu.tools.cli", "-m", tiny_f32,
-         "-p", "hi", "-n", "4", "--temp", "0", "--f32", "-c", "64"],
+         "-p", "hi", "-n", "4", "--temp", "0", "--f32", "-c", "64",
+         "--platform", "cpu"],
         capture_output=True, text=True, timeout=1200,
         cwd="/root/repo",
     )
