@@ -348,9 +348,12 @@ def convert_hf_llama(
         put("output.weight", sd["lm_head.weight"])
 
     # NORM-rope archs whose HF weights use rotate-half layout store
-    # permuted q/k (reference LlamaModel/OlmoModel converters); glm4 /
-    # cohere / ernie apply interleaved rotary natively — no permute
-    permute = arch in ("llama", "mixtral", "olmo", "arcee", "chameleon")
+    # permuted q/k (reference LlamaModel/GraniteModel/MiniCPMModel/
+    # DeepseekModel/BailingMoeModel/ArcticModel converters all permute);
+    # glm4 / cohere / ernie apply interleaved rotary natively — no permute
+    permute = arch in ("llama", "mixtral", "olmo", "arcee", "chameleon",
+                       "granite", "granitemoe", "minicpm", "deepseek",
+                       "bailingmoe", "arctic")
     for il in range(hf_cfg.num_hidden_layers):
         pre = f"model.layers.{il}."
         for hf_suffix, gg_suffix in layer_map.items():
@@ -870,6 +873,9 @@ def convert_hf_deepseek2(model, path: str, out_type: GGMLType = GGMLType.F32,
     w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), rope_dim)
     w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
     w.add_kv(f"{a}.attention.kv_lora_rank", int(hf_cfg.kv_lora_rank))
+    # marker: pe rows already [rope|nope] + de-interleaved (the loader's
+    # _mla_external_fixup must NOT transform again)
+    w.add_kv(f"{a}.rope_pe_deinterleaved", True)
     if getattr(hf_cfg, "q_lora_rank", None):
         w.add_kv(f"{a}.attention.q_lora_rank", int(hf_cfg.q_lora_rank))
     w.add_kv(f"{a}.leading_dense_block_count", int(getattr(hf_cfg, "first_k_dense_replace", 0)))

@@ -455,6 +455,16 @@ def config_from_gguf(reader) -> ModelConfig:
     if arch == "deepseek2":
         rope_dim = int(_ak(reader, Keys.Rope.DIMENSION_COUNT, 64) or 64)
         mscale_all = float(_ak(reader, "{arch}.rope.scaling.yarn_log_multiplier", 0.0) or 0.0)
+        # llama.cpp MLA-cache GGUFs store key/value_length as the
+        # compressed-cache dims and carry the true head dims in *_mla keys
+        # (DeepseekV2Model converter: add_key_length(kv_lora+rope) +
+        # add_key_length_mla(nope+rope))
+        k_mla = _ak(reader, "{arch}.attention.key_length_mla")
+        if k_mla is not None:
+            head_dim = int(k_mla)
+            head_dim_v = int(_ak(reader, "{arch}.attention.value_length_mla",
+                                 head_dim) or head_dim)
+            cfg = replace(cfg, head_dim=head_dim, head_dim_v=head_dim_v)
         cfg = replace(
             cfg,
             kv_lora_rank=int(_ak(reader, "{arch}.attention.kv_lora_rank", 512) or 512),

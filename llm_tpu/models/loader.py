@@ -42,6 +42,63 @@ def _load_matrix(reader: GGUFReader, name: str, dense_dtype, use_planes: bool,
     return _to_dense(reader, name, dense_dtype)
 
 
+def _permute_out(w, idx):
+    """Permute the OUT dim of a weight ([out, in] dense, or the lane/N axis
+    of K-major quantized planes — an exact per-column move)."""
+    import dataclasses
+
+    from ..quant.qtensor import QTensor
+
+    if isinstance(w, QTensor):
+        assert w.kmajor
+        return dataclasses.replace(
+            w, qs=w.qs[:, idx], scales=w.scales[:, idx],
+            mins=None if w.mins is None else w.mins[:, idx])
+    return w[jnp.asarray(idx)] if hasattr(w, "at") else w[idx]
+
+
+def _mla_external_fixup(layers: list[dict], cfg) -> None:
+    """Rewrite llama.cpp MLA tensor layouts into our internal convention.
+
+    External GGUFs (reference DeepseekV2/MiniCPM3/PLM converters) keep the
+    HF per-head order [nope | rope]; deepseek2/plm additionally store the
+    rope dims INTERLEAVED (reference applies NORM rope directly,
+    llama_model_rope_type). Our MLA forward wants [rope | nope] with
+    half-layout (NEOX) rope, the layout our own converter emits (marked
+    with {arch}.rope_pe_deinterleaved). New-style MLA-cache GGUFs split
+    attn_kv_b into per-head attn_k_b (transposed) / attn_v_b — fold them
+    back (llama-model.cpp deepseek2 create_tensor wk_b/wv_b)."""
+    import numpy as np
+
+    rope = cfg.qk_rope_dim
+    Dk = cfg.head_dim
+    nope = Dk - rope
+    Dv = cfg.head_dim_v
+    H = cfg.n_heads
+    interleaved = cfg.arch in ("deepseek2", "plm")  # NORM-rope family
+    half = np.concatenate([2 * np.arange(rope // 2),
+                           2 * np.arange(rope // 2) + 1]) \
+        if interleaved else np.arange(rope)
+    head = np.concatenate([nope + half, np.arange(nope)])
+    qidx = (np.arange(H)[:, None] * Dk + head[None, :]).reshape(-1)
+    kidx = None
+    if interleaved:
+        kidx = np.concatenate([np.arange(cfg.kv_lora_rank),
+                               cfg.kv_lora_rank + half])
+    for L in layers:
+        if "attn_k_b" in L and "attn_kv_b" not in L:
+            # [H, kv_lora, nope] (k^T per head) + [H, Dv, kv_lora]
+            kb = np.asarray(L.pop("attn_k_b"), np.float32)
+            vb = np.asarray(L.pop("attn_v_b"), np.float32)
+            kv = np.concatenate([np.swapaxes(kb, 1, 2), vb], axis=1)
+            L["attn_kv_b"] = jnp.asarray(kv.reshape(H * (nope + Dv), -1))
+        for key in ("attn_q", "attn_q_b"):
+            if key in L:
+                L[key] = _permute_out(L[key], qidx)
+        if kidx is not None and "attn_kv_a_mqa" in L:
+            L["attn_kv_a_mqa"] = _permute_out(L["attn_kv_a_mqa"], kidx)
+
+
 def _fuse_projections(layers: list[dict]) -> None:
     """Fuse QKV and gate+up into single QTensors when the quant recipes
     match — fewer, larger fused-matmul launches (decode is launch-bound at
@@ -195,6 +252,10 @@ def load_params(
                 layers[il][key] = _to_dense(reader, name, jnp.float32)
             elif kind == "bias" or len(ti.shape) == 1:
                 layers[il][key] = _to_dense(reader, name, jnp.float32)
+            elif base in ("attn_k_b", "attn_v_b"):
+                # MLA-cache split wk_b/wv_b (3-D per-head); folded back into
+                # attn_kv_b by _mla_external_fixup
+                layers[il][key] = _to_dense(reader, name, jnp.float32)
             elif len(ti.shape) == 3:
                 # expert stacks: quantized planes with a leading expert dim
                 # when possible (the MoE paths gather+dequant per routed
@@ -259,6 +320,10 @@ def load_params(
     params.setdefault("output", None)
     if progress_callback is not None:
         progress_callback(1.0)
+    if cfg.kv_lora_rank > 0 \
+            and not reader.akey("{arch}.rope_pe_deinterleaved", False):
+        # external (reference-converter) MLA layout -> internal convention
+        _mla_external_fixup(layers, cfg)
     if fuse and use_planes:
         _fuse_projections(layers)
     if scan_layers and not cfg.is_recurrent:

@@ -113,7 +113,7 @@ def test_granite(tmp_path):
         max_position_embeddings=128, rope_theta=10000.0,
         tie_word_embeddings=False,
         embedding_multiplier=12.0, residual_multiplier=0.22,
-        logits_scaling=8.0, attention_multiplier=0.0078125,
+        logits_scaling=8.0, attention_multiplier=0.125,
     )
     torch.manual_seed(0)
     m = transformers.GraniteForCausalLM(cfg).eval()

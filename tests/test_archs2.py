@@ -589,6 +589,89 @@ def test_openelm_per_layer_heads(tmp_path):
     assert np.isfinite(ctx.get_logits()).all()
 
 
+def test_deepseek2_external_mla_layout(tmp_path):
+    """Load a GGUF in the REFERENCE's MLA conventions: raw HF per-head
+    [nope|rope] order with INTERLEAVED rope dims (llama_model_rope_type
+    NORM for deepseek2), key/value_length as the compressed-cache dims +
+    *_mla keys, and kv_b split into transposed per-head attn_k_b /
+    attn_v_b (llama-model.cpp deepseek2 create_tensor). The loader's
+    _mla_external_fixup must reproduce HF logits."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=24,
+        qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+        n_routed_experts=None, first_k_dense_replace=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False, use_cache=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.DeepseekV2ForCausalLM(cfg).eval()
+    sd = {k: v.float().numpy() for k, v in m.state_dict().items()}
+
+    a = "deepseek2"
+    H, rope_d, nope, Dv, kvlr, qlr, E = 4, 8, 16, 16, 32, 24, 64
+    p = str(tmp_path / "ds2ext.gguf")
+    w = GGUFWriter(p, arch=a)
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), 128)
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), E)
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), 2)
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), 112)
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), H)
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), 1)
+    # MLA-cache convention: key/value_length are the COMPRESSED dims
+    w.add_kv(Keys.Attention.KEY_LENGTH.format(arch=a), kvlr + rope_d)
+    w.add_kv(Keys.Attention.VALUE_LENGTH.format(arch=a), kvlr)
+    w.add_kv(f"{a}.attention.key_length_mla", nope + rope_d)
+    w.add_kv(f"{a}.attention.value_length_mla", Dv)
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), 1e-6)
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), 97)
+    w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), rope_d)
+    w.add_kv(f"{a}.attention.kv_lora_rank", kvlr)
+    w.add_kv(f"{a}.attention.q_lora_rank", qlr)
+    w.add_kv(f"{a}.leading_dense_block_count", 2)
+
+    def put(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(arr, dtype=np.float32))
+
+    put("token_embd.weight", sd["model.embed_tokens.weight"])
+    put("output_norm.weight", sd["model.norm.weight"])
+    put("output.weight", sd["lm_head.weight"])
+    for il in range(2):
+        pre = f"model.layers.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[pre + "input_layernorm.weight"])
+        # RAW HF layouts — no reorder, no de-interleave
+        put(b + "attn_q_a.weight", sd[pre + "self_attn.q_a_proj.weight"])
+        put(b + "attn_q_a_norm.weight", sd[pre + "self_attn.q_a_layernorm.weight"])
+        put(b + "attn_q_b.weight", sd[pre + "self_attn.q_b_proj.weight"])
+        put(b + "attn_kv_a_mqa.weight",
+            sd[pre + "self_attn.kv_a_proj_with_mqa.weight"])
+        put(b + "attn_kv_a_norm.weight",
+            sd[pre + "self_attn.kv_a_layernorm.weight"])
+        # split kv_b: k part stored TRANSPOSED per head ({nope, kvlr, H})
+        kvb = sd[pre + "self_attn.kv_b_proj.weight"].reshape(
+            H, nope + Dv, kvlr)
+        put(b + "attn_k_b.weight",
+            np.swapaxes(kvb[:, :nope, :], 1, 2))  # [H, kvlr, nope]
+        put(b + "attn_v_b.weight", kvb[:, nope:, :])  # [H, Dv, kvlr]
+        put(b + "attn_output.weight", sd[pre + "self_attn.o_proj.weight"])
+        put(b + "ffn_norm.weight", sd[pre + "post_attention_layernorm.weight"])
+        put(b + "ffn_gate.weight", sd[pre + "mlp.gate_proj.weight"])
+        put(b + "ffn_up.weight", sd[pre + "mlp.up_proj.weight"])
+        put(b + "ffn_down.weight", sd[pre + "mlp.down_proj.weight"])
+    w.write()
+
+    cfg2 = config_from_gguf(GGUFReader(p))
+    assert cfg2.head_dim == nope + rope_d and cfg2.head_dim_v == Dv
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(p, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
 # ------------------------------------------------------- bert variants
 
 def _bert_base(path, arch, *, E=32, L=2, H=2, FF=48, V=61, rot=None,

@@ -1,0 +1,102 @@
+"""Multi-process (multi-host) mesh validation over localhost DCN.
+
+Parity target: the reference's only multi-node mechanism is the RPC
+backend (ggml-rpc, SURVEY.md §2.5/§5.8); ours is jax.distributed + GSPMD
+(tools/mesh_args.py --dist-* flags). This test runs TWO separate
+processes, each owning 4 virtual CPU devices, joined through
+jax.distributed.initialize into one 8-device mesh — cross-process
+collectives ride the gRPC DCN transport, the same code path a real
+multi-host TPU pod uses."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import argparse
+import numpy as np
+
+from llm_tpu.tools.mesh_args import add_mesh_args, mesh_from_args
+
+ap = argparse.ArgumentParser()
+add_mesh_args(ap)
+args = ap.parse_args()
+mesh = mesh_from_args(args)
+assert mesh is not None
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+# tensor-parallel matmul: weight row-sharded over tp, output replicated
+w = np.arange(8 * 16, dtype=np.float32).reshape(8, 16) * 0.01
+x = np.ones((4, 8), np.float32)
+ws = jax.make_array_from_callback(
+    w.shape, NamedSharding(mesh, P("tp", None)), lambda idx: w[idx])
+xs = jax.make_array_from_callback(
+    x.shape, NamedSharding(mesh, P()), lambda idx: x[idx])
+f = jax.jit(lambda a, b: a @ b,
+            out_shardings=NamedSharding(mesh, P()))
+y = f(xs, ws)
+local = np.asarray(y.addressable_shards[0].data)
+np.testing.assert_allclose(local, x @ w, rtol=1e-6)
+
+# cross-process collective: psum over the tp axis spans both processes
+from jax.experimental.shard_map import shard_map
+
+v = np.arange(8, dtype=np.float32)
+vs = jax.make_array_from_callback(
+    v.shape, NamedSharding(mesh, P("tp")), lambda idx: v[idx])
+g = jax.jit(shard_map(lambda a: jax.lax.psum(a, "tp"), mesh=mesh,
+                      in_specs=P("tp"), out_specs=P()))
+r = np.asarray(g(vs).addressable_shards[0].data)
+np.testing.assert_allclose(r, [v.sum()], rtol=1e-6)
+
+print("DIST_OK", jax.process_index(), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_mesh(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env["LLM_TPU_PLATFORM"] = "cpu"  # in-process jax.config (env alone is
+    # unreliable where a PJRT plugin sitecustomize is active)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), "--platform", "cpu",
+             "--n-virtual-devices", "4", "-tp", "8",
+             "--dist-coordinator", f"localhost:{port}",
+             "--dist-num-processes", "2", "--dist-process-id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd="/root/repo"))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, err[-2000:]
+        assert "DIST_OK" in out, (out, err[-1000:])
