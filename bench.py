@@ -296,6 +296,22 @@ def main():
     eng_step_ms = eng_dt / n_eng * 1e3
     print(f"engine tg{n_eng}: {eng_tps:.2f} t/s ({eng_step_ms:.1f} ms/step, "
           f"rtt {rtt_ms:.1f} ms) | TTFT p50 {ttft_ms:.1f} ms", file=sys.stderr)
+
+    # engine tg, on-device loop (Context.generate_loop: in-jit greedy chain,
+    # one dispatch per 128 tokens — the production serving path)
+    ctx.seq_rm(0)
+    assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+    tid = int(np.argmax(ctx.get_logits()))
+    _ = ctx.generate_loop(tid, N_GEN, seq_id=0)  # warmup/compile
+    ctx.seq_rm(0)
+    assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+    tid = int(np.argmax(ctx.get_logits()))
+    t0 = time.perf_counter()
+    toks = ctx.generate_loop(tid, N_GEN, seq_id=0)
+    eng_loop_dt = time.perf_counter() - t0
+    eng_loop_tps = len(toks) / eng_loop_dt
+    print(f"engine tg{N_GEN} (on-device loop): {eng_loop_tps:.2f} t/s",
+          file=sys.stderr)
     print(f"tg128 headline: {tps:.2f} t/s (scan {tg_scan:.2f} / loop "
           f"{tg_loop:.2f})", file=sys.stderr)
 
@@ -311,6 +327,7 @@ def main():
             "tg128_loop_path": round(tg_loop, 2),
             "pp512_tok_per_s": round(pp_tps, 1),
             "engine_tg_tok_per_s": round(eng_tps, 2),
+            "engine_tg_loop_tok_per_s": round(eng_loop_tps, 2),
             "engine_step_ms": round(eng_step_ms, 2),
             "host_rtt_ms": round(rtt_ms, 2),
             "ttft_p50_ms": round(ttft_ms, 1),

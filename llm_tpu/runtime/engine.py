@@ -579,6 +579,122 @@ class Context:
             i = max(self._embd.keys())
         return self._embd[i]
 
+    # -- on-device generation loop ---------------------------------------------
+
+    def _get_gloop(self, n: int, seq_id: int, temp: float, top_k: int):
+        key = ("gloop", n, seq_id, temp, top_k)
+        if key in self._steps:
+            return self._steps[key]
+        cfg, dtype = self.cfg, self.dtype
+        if cfg.arch == "gemma3n":
+            from ..models.gemma3n import forward_gemma3n as fwd
+        else:
+            fwd = forward
+        word, mask = seq_id >> 5, np.uint32(1) << np.uint32(seq_id & 31)
+        seq_arr = jnp.full((1,), seq_id, jnp.int32)
+
+        def _loop(params, kv_k, kv_v, tok0, slots, cpos, cbits, pos0,
+                  eogs, rkey):
+            toks0 = jnp.full((n,), -1, jnp.int32)
+
+            def body(carry):
+                i, tok, kk, vv, cb, toks, done, rk = carry
+                # make the new token's pre-labeled cell visible to itself
+                cb = cb.at[slots[i], word].set(cb[slots[i], word] | mask)
+                logits, kk, vv, _ = fwd(
+                    params, cfg, kk, vv, tok[None],
+                    (pos0 + i)[None].astype(jnp.int32), seq_arr,
+                    slots[i][None], cpos, cb,
+                    jnp.zeros(1, jnp.int32), dtype=dtype,
+                )
+                lg = logits[0]
+                if temp <= 0.0:
+                    nxt = jnp.argmax(lg)
+                else:
+                    lg = lg / temp
+                    if top_k > 0:
+                        kth = jax.lax.top_k(lg, top_k)[0][-1]
+                        lg = jnp.where(lg < kth, -jnp.inf, lg)
+                    rk, sub = jax.random.split(rk)
+                    nxt = jax.random.categorical(sub, lg)
+                nxt = nxt.astype(jnp.int32)
+                toks = toks.at[i].set(nxt)
+                return (i + 1, nxt, kk, vv, cb, toks,
+                        jnp.any(nxt == eogs), rk)
+
+            def cond(c):
+                return (c[0] < n) & ~c[6]
+
+            i, _, kk, vv, _, toks, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tok0, kv_k, kv_v, cbits, toks0,
+                             jnp.asarray(False), rkey))
+            return toks, i, kk, vv
+
+        fn = jax.jit(_loop, donate_argnums=(1, 2))
+        self._steps[key] = fn
+        return fn
+
+    def generate_loop(self, first_token: int, n_tokens: int, *, seq_id: int = 0,
+                      temp: float = 0.0, top_k: int = 0, seed: int = 0,
+                      eog_ids=(), ) -> list[int]:
+        """Decode up to n_tokens ON DEVICE in one dispatch: single-token
+        forward + in-jit sampling (greedy / temperature / top-k) chained
+        through a lax.while_loop that stops after emitting an EOG token.
+
+        This removes the per-token host round trip of decode()+get_logits()
+        — the gap between the reference's tight local decode loop
+        (tools/main) and a host-driven engine grows with host<->device
+        latency, so the production path keeps the loop on device. Cache
+        cells are pre-allocated and pre-labeled with their positions; host
+        metadata is reconciled after the loop from the emitted count.
+        Unsupported for recurrent models and the ISWA dual ring (host-side
+        state/pruning) — callers fall back to decode()."""
+        if self.rslots is not None:
+            raise ValueError("generate_loop: recurrent models unsupported")
+        if self.cells_swa is not None:
+            raise ValueError("generate_loop: ISWA dual ring unsupported "
+                             "(use swa_full=True)")
+        if not (0 <= seq_id < MAX_SEQS):
+            raise ValueError(f"bad seq_id {seq_id}")
+        n = int(n_tokens)
+        if n <= 0:
+            return []
+        slots = self.cells.find_slots(n)
+        if slots is None:
+            raise RuntimeError("generate_loop: no free KV cells")
+        pos0 = self.cells.seq_pos_max(seq_id) + 1
+
+        t0 = time.perf_counter()
+        cpos = np.zeros(self.n_kv_rows, np.int32)
+        cpos[: self.n_cells] = self.cells.pos
+        cpos[slots] = pos0 + np.arange(n, dtype=np.int32)  # pre-labeled
+        bits64 = np.zeros(self.n_kv_rows, np.uint64)
+        bits64[: self.n_cells] = self.cells.seq_bits
+        cbits = seq_bit_planes(bits64)
+        eogs = np.asarray(list(eog_ids) or [-1], np.int32)
+
+        step = self._get_gloop(n, seq_id, float(temp), int(top_k))
+        with self._mesh_ctx():
+            toks, cnt, new_k, new_v = step(
+                self.params, self.kv.k, self.kv.v,
+                jnp.asarray(first_token, jnp.int32), jnp.asarray(slots),
+                jnp.asarray(cpos), jnp.asarray(cbits),
+                jnp.asarray(pos0, jnp.int32), jnp.asarray(eogs),
+                jax.random.PRNGKey(seed),
+            )
+        toks = np.asarray(toks)
+        cnt = int(cnt)
+        self.kv.k, self.kv.v = new_k, new_v
+        # reconcile host cell metadata with what the loop wrote
+        used = slots[:cnt]
+        self.cells.occupy(used, pos0 + np.arange(cnt, dtype=np.int32),
+                          np.full(cnt, seq_id, np.int64))
+        self._logits.clear()
+        self._embd.clear()
+        self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
+        self.perf.n_decode += cnt
+        return [int(t) for t in toks[:cnt]]
+
     def encode(self, tokens: list[int], pooling: str = "mean", seq_id: int = 0):
         """Sequence embedding with pooling (llama_encode + pooling_type
         semantics: none/mean/cls/last)."""

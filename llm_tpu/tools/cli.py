@@ -49,6 +49,60 @@ def generate(
     out_tokens: list[int] = []
     text_parts: list[str] = []
     n_past = pos_start + len(prompt_tokens)
+
+    # fast path: greedy + default (no-op) modifiers, no antiprompts, and
+    # enough cache that no context shift can trigger -> generate ON DEVICE
+    # in chunks (Context.generate_loop), avoiding the per-token host round
+    # trip of the scalar loop below
+    simple_greedy = (
+        sampling.temp <= 0 and sampling.mirostat == 0
+        and not sampling.grammar and not sampling.logit_bias
+        and sampling.penalty_repeat == 1.0 and sampling.penalty_freq == 0.0
+        and sampling.penalty_present == 0.0 and sampling.dry_multiplier == 0.0
+        and sampling.xtc_probability == 0.0
+    )
+    if (simple_greedy and not antiprompts and ctx.rslots is None
+            and ctx.cells_swa is None
+            and n_past + n_predict + 2 <= n_ctx):
+        CHUNK = 32
+        eogs = tuple(i for i in (tok.vocab.eos_id, tok.vocab.eot_id)
+                     if i is not None and i >= 0)
+        tid = chain.sample(ctx.get_logits())
+        chain.accept(tid)
+        stopped = tok.vocab.is_eog(tid)
+        pending = [] if stopped else [tid]
+        while pending or not stopped:
+            while pending and len(out_tokens) < n_predict:
+                t = pending.pop(0)
+                out_tokens.append(t)
+                piece = tok.piece(t)
+                text_parts.append(piece)
+                if stream:
+                    stream(piece)
+                chain.accept(t)
+            if stopped or len(out_tokens) >= n_predict:
+                break
+            want = n_predict - len(out_tokens)
+            k = next(b for b in (8, 16, CHUNK) if b >= min(want, CHUNK))
+            nxt = ctx.generate_loop(out_tokens[-1], k, seq_id=seq_id,
+                                    eog_ids=eogs)
+            n_past = pos_start + len(prompt_tokens) + len(out_tokens) \
+                + len(nxt)
+            if nxt and nxt[-1] in eogs:
+                stopped = True
+                nxt = nxt[:-1]
+            elif len(nxt) < k:
+                stopped = True  # defensive: loop ended early
+            pending = nxt
+        # reconcile the cache with the EMITTED stream: drop chunk-overshoot
+        # cells (sampled but not emitted) and make sure the last emitted
+        # token's KV exists (the scalar loop decodes every emitted token)
+        top = pos_start + len(prompt_tokens) + len(out_tokens)  # first bad pos
+        ctx.seq_rm(seq_id, top, -1)
+        if out_tokens and ctx.cells.seq_pos_max(seq_id) < top - 1:
+            ctx.decode(Batch.one(out_tokens[-1], pos=top - 1, seq_id=seq_id))
+        return out_tokens, "".join(text_parts)
+
     for _ in range(n_predict):
         logits = ctx.get_logits()
         tid = chain.sample(logits)

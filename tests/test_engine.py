@@ -394,3 +394,61 @@ def test_split_equal_and_split_seq():
         assert len(set(ub.seq_primary.tolist())) == 1
         assert len(ub.tokens) <= 4
     assert sum(len(ub.tokens) for ub in ubs) == len(b)
+
+
+def test_generate_loop_matches_serial_decode(tiny_gguf):
+    """On-device while-loop generation (greedy) must reproduce the serial
+    decode()+argmax token stream exactly, including cache metadata
+    reconciliation and a follow-up decode continuing from the loop's
+    cells."""
+    path, _ = tiny_gguf
+    prompt = [3, 1, 4, 1, 5]
+
+    serial = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32)
+    assert serial.decode(Batch.text(prompt, seq_id=0)) == 0
+    toks = [int(np.argmax(serial.get_logits()))]
+    for i in range(11):
+        assert serial.decode(Batch.one(toks[-1], pos=len(prompt) + i,
+                                       seq_id=0)) == 0
+        toks.append(int(np.argmax(serial.get_logits())))
+
+    ctx = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32)
+    assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+    first = int(np.argmax(ctx.get_logits()))
+    assert first == toks[0]
+    out = ctx.generate_loop(first, 8, seq_id=0)
+    assert out == toks[1:9]
+    # host cell table reconciled: continue OFF the loop's cells
+    assert ctx.cells.seq_pos_max(0) == len(prompt) + 8 - 1
+    out2 = ctx.generate_loop(out[-1], 3, seq_id=0)
+    assert out2 == toks[9:12]
+
+
+def test_generate_loop_eog_stop(tiny_gguf):
+    """The loop stops after emitting an EOG id."""
+    path, _ = tiny_gguf
+    prompt = [3, 1, 4]
+    ctx = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32)
+    assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+    first = int(np.argmax(ctx.get_logits()))
+    full = ctx.generate_loop(first, 8, seq_id=0)
+    # pick the 3rd generated token as a fake EOG: the loop must stop there
+    ctx2 = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32)
+    assert ctx2.decode(Batch.text(prompt, seq_id=0)) == 0
+    out = ctx2.generate_loop(first, 8, seq_id=0, eog_ids=(full[2],))
+    assert out == full[:3]
+    # freed cells stay free: only the emitted tokens occupy cells
+    assert ctx2.cells.seq_pos_max(0) == len(prompt) + 3 - 1
+
+
+def test_generate_loop_sampled(tiny_gguf):
+    """Temperature/top-k sampling path runs and is reproducible per seed."""
+    path, _ = tiny_gguf
+    ctx = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32)
+    assert ctx.decode(Batch.text([3, 1, 4], seq_id=0)) == 0
+    first = int(np.argmax(ctx.get_logits()))
+    a = ctx.generate_loop(first, 6, seq_id=0, temp=0.8, top_k=20, seed=7)
+    ctx2 = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32)
+    assert ctx2.decode(Batch.text([3, 1, 4], seq_id=0)) == 0
+    b = ctx2.generate_loop(first, 6, seq_id=0, temp=0.8, top_k=20, seed=7)
+    assert a == b and len(a) == 6

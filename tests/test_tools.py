@@ -304,3 +304,30 @@ def test_tts_vocoder_pipeline(tmp_path):
     raw = open(wav, "rb").read()
     assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
     assert len(raw) == 44 + 2 * len(audio)
+
+
+def test_generate_fast_loop_matches_scalar(tiny_f32):
+    """generate()'s on-device greedy fast path must emit exactly the same
+    tokens as the scalar per-token loop (forced via a non-matching
+    antiprompt, which disables the fast path)."""
+    from llm_tpu.runtime.engine import Context
+    from llm_tpu.samplers import SamplingParams
+    from llm_tpu.tokenizers import tokenizer_from_gguf
+
+    r = GGUFReader(tiny_f32)
+    tok = tokenizer_from_gguf(r)
+    sp = SamplingParams(temp=0.0)
+    prompt = tok.encode("the quick", add_special=True)
+
+    ctx1 = Context(GGUFReader(tiny_f32), n_cells=128, dtype=jnp.float32)
+    slow, _ = generate(ctx1, tok, list(prompt), 12, sp,
+                       antiprompts=("<<NEVER>>",))
+    ctx2 = Context(GGUFReader(tiny_f32), n_cells=128, dtype=jnp.float32)
+    fast, _ = generate(ctx2, tok, list(prompt), 12, sp)
+    assert fast == slow
+    # cache state reconciled: a follow-up turn continues identically
+    n_past = len(prompt) + len(slow)
+    more_s, _ = generate(ctx1, tok, [7, 9], 4, sp, pos_start=n_past,
+                         antiprompts=("<<NEVER>>",))
+    more_f, _ = generate(ctx2, tok, [7, 9], 4, sp, pos_start=n_past)
+    assert more_f == more_s
