@@ -238,10 +238,81 @@ class InferenceServer:
             return slot.ngram.draft(toks, self.n_draft)
         return []
 
+    @staticmethod
+    def _greedy_simple(p) -> bool:
+        """Sampling config reducible to in-jit greedy (every modifier at its
+        no-op default)."""
+        return (p.temp <= 0 and p.mirostat == 0 and not p.grammar
+                and not p.logit_bias and p.penalty_repeat == 1.0
+                and p.penalty_freq == 0.0 and p.penalty_present == 0.0
+                and p.dry_multiplier == 0.0 and p.xtc_probability == 0.0)
+
+    def _fast_generate(self, slot: Slot) -> bool:
+        """Single-active-slot greedy chunk through Context.generate_loop —
+        the on-device decode chain (one dispatch per 8 tokens) the server
+        uses when continuous batching has nothing to batch. Falls back to
+        the scalar path (returns False) on KV pressure."""
+        task = slot.task
+        want = task.n_predict - slot.n_decoded
+        if want <= 1:
+            return False
+        v = self.tok.vocab
+        eogs = tuple(i for i in (v.eos_id, getattr(v, "eot_id", -1))
+                     if i is not None and i >= 0)
+        with self.ctx_lock:
+            try:
+                toks = self.ctx.generate_loop(
+                    slot.cache_tokens[-1], 8, seq_id=slot.id, eog_ids=eogs)
+            except RuntimeError:
+                return False  # no free cells: scalar path handles eviction
+        if not toks:
+            return False
+        self.metrics["fast_chunks_total"] = \
+            self.metrics.get("fast_chunks_total", 0) + 1
+        for tid in toks:
+            if slot.task is None:
+                break
+            slot.chain.accept(tid)
+            slot.n_decoded += 1
+            if slot.n_decoded == 1:
+                slot.t_first_token = time.time()
+            self.metrics["tokens_predicted_total"] += 1
+            slot.cache_tokens.append(tid)
+            if self.tok.vocab.is_eog(tid):
+                self._finish(slot, "eos")
+                break
+            task.events.put({"done": False, "token": int(tid),
+                             "text": self.tok.piece(tid)})
+            if slot.n_decoded >= task.n_predict:
+                self._finish(slot, "length")
+                break
+            if task.cancelled:
+                self._finish(slot, "cancelled")
+                break
+        # drop cells past the kept stream (chunk overshoot after an early
+        # stop; the final sampled token is undecoded by construction)
+        with self.ctx_lock:
+            self.ctx.seq_rm(slot.id, len(slot.cache_tokens) - 1, -1)
+        return True
+
     def _update_slots(self) -> bool:
         """One iteration of the continuous-batching loop; returns True if any
         work was done."""
         self._assign_tasks()
+
+        # fast path: exactly one generating slot, nothing else to batch
+        gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if (len(gen) == 1 and self.draft_ctx is None and not self.lookup_ngram
+                and self.tasks.empty() and gen[0].task is not None
+                and not gen[0].task.stop
+                and self._greedy_simple(gen[0].task.params)
+                and getattr(self.ctx, "rslots", None) is None
+                and getattr(self.ctx, "cells_swa", None) is None
+                and not any(s.state == SlotState.PROCESSING_PROMPT
+                            for s in self.slots)):
+            if self._fast_generate(gen[0]):
+                return True
+
         batch = Batch()
         # (slot, [batch indices], kind, draft tokens)
         entries: list[tuple[Slot, list[int], str, list[int]]] = []

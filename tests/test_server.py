@@ -449,3 +449,20 @@ def test_webui_served(client):
         return True
 
     assert asyncio.run(_with_client(client, run))
+
+
+def test_fast_path_matches_scalar_loop(engine):
+    """The single-slot greedy fast path (on-device chunked generation)
+    must produce the same token stream as the scalar batching loop (forced
+    here with a never-matching stop string)."""
+    toks = [3, 1, 4, 1, 5]
+    slow = engine.submit(GenTask(prompt_tokens=list(toks),
+                                 params=SamplingParams(temp=0.0),
+                                 n_predict=19, stop=["<<NEVER>>"]))
+    slow_toks, _ = _drain(slow)
+    fast = engine.submit(GenTask(prompt_tokens=list(toks),
+                                 params=SamplingParams(temp=0.0),
+                                 n_predict=19))
+    fast_toks, _ = _drain(fast)
+    assert fast_toks == slow_toks
+    assert engine.metrics.get("fast_chunks_total", 0) > 0
