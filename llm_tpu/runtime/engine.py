@@ -581,8 +581,8 @@ class Context:
 
     # -- on-device generation loop ---------------------------------------------
 
-    def _get_gloop(self, n: int, seq_id: int, temp: float, top_k: int):
-        key = ("gloop", n, seq_id, temp, top_k)
+    def _get_gloop(self, n: int, temp: float, top_k: int):
+        key = ("gloop", n, temp, top_k)
         if key in self._steps:
             return self._steps[key]
         cfg, dtype = self.cfg, self.dtype
@@ -590,12 +590,13 @@ class Context:
             from ..models.gemma3n import forward_gemma3n as fwd
         else:
             fwd = forward
-        word, mask = seq_id >> 5, np.uint32(1) << np.uint32(seq_id & 31)
-        seq_arr = jnp.full((1,), seq_id, jnp.int32)
 
         def _loop(params, kv_k, kv_v, tok0, slots, cpos, cbits, pos0,
-                  eogs, rkey):
+                  seq_id, eogs, rkey):
             toks0 = jnp.full((n,), -1, jnp.int32)
+            word = seq_id >> 5
+            mask = (jnp.uint32(1) << (seq_id & 31).astype(jnp.uint32))
+            seq_arr = seq_id[None].astype(jnp.int32)
 
             def body(carry):
                 i, tok, kk, vv, cb, toks, done, rk = carry
@@ -673,13 +674,14 @@ class Context:
         cbits = seq_bit_planes(bits64)
         eogs = np.asarray(list(eog_ids) or [-1], np.int32)
 
-        step = self._get_gloop(n, seq_id, float(temp), int(top_k))
+        step = self._get_gloop(n, float(temp), int(top_k))
         with self._mesh_ctx():
             toks, cnt, new_k, new_v = step(
                 self.params, self.kv.k, self.kv.v,
                 jnp.asarray(first_token, jnp.int32), jnp.asarray(slots),
                 jnp.asarray(cpos), jnp.asarray(cbits),
-                jnp.asarray(pos0, jnp.int32), jnp.asarray(eogs),
+                jnp.asarray(pos0, jnp.int32),
+                jnp.asarray(seq_id, jnp.int32), jnp.asarray(eogs),
                 jax.random.PRNGKey(seed),
             )
         toks = np.asarray(toks)
