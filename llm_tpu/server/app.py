@@ -557,13 +557,16 @@ def main(argv=None):
                     help="max draft tokens per step (llama-server --draft-max)")
     ap.add_argument("--lookup-ngram", action="store_true",
                     help="draft from prompt n-gram stats (no draft model)")
+    from ..tools.args import add_override_kv, apply_kv_overrides
     from ..tools.mesh_args import add_mesh_args, mesh_from_args
 
+    add_override_kv(ap)
     add_mesh_args(ap)
     args = ap.parse_args(argv)
     mesh = mesh_from_args(args)
 
     reader = GGUFReader(args.model)
+    apply_kv_overrides(reader, args.override_kv)
     tok = tokenizer_from_gguf(reader)
     if reader.architecture in _BERT_ARCHS:
         # encoder-only checkpoint: serve /embeddings + /rerank through the

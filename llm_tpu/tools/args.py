@@ -40,3 +40,28 @@ def env_default(name: str, default, cast=None):
 def required_unless_env(name: str):
     """For required args: not required when the env var supplies a value."""
     return env_default(name, None) is None
+
+
+def add_override_kv(ap) -> None:
+    """--override-kv KEY=TYPE:VALUE (repeatable) — the analogue of the
+    reference's llama_model_kv_override (llama.h:280-291, common arg
+    --override-kv): patch GGUF metadata at load, e.g.
+    `--override-kv qwen2.rope.freq_base=float:1000000`."""
+    ap.add_argument("--override-kv", action="append", default=[],
+                    metavar="KEY=TYPE:VALUE",
+                    help="override a GGUF metadata value (TYPE: "
+                         "int|float|bool|str); repeatable")
+
+
+def apply_kv_overrides(reader, specs) -> None:
+    """Patch reader.metadata in place from KEY=TYPE:VALUE specs."""
+    casts = {"int": int, "float": float, "str": str,
+             "bool": lambda v: v.strip().lower() in ("1", "true", "yes", "on")}
+    for spec in specs or ():
+        key, _, tv = spec.partition("=")
+        typ, _, val = tv.partition(":")
+        if not key or typ not in casts or not _:
+            raise SystemExit(
+                f"bad --override-kv {spec!r} (want KEY=TYPE:VALUE, "
+                f"TYPE in {sorted(casts)})")
+        reader.metadata[key] = casts[typ](val)

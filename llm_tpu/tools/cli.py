@@ -170,14 +170,25 @@ def main(argv=None):
                     default=None, metavar=("START", "END"))
     ap.add_argument("-i", "--interactive", action="store_true",
                     help="interactive mode: read follow-up input after each turn")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax profiler trace of the run "
+                         "(view with tensorboard/xprof — the TPU-native "
+                         "analogue of nsys over the reference's CUDA path)")
+    from .args import add_override_kv, apply_kv_overrides
     from .mesh_args import add_mesh_args, mesh_from_args
 
+    add_override_kv(ap)
     add_mesh_args(ap)
     args = ap.parse_args(argv)
     mesh = mesh_from_args(args)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
 
     t0 = time.perf_counter()
     reader = GGUFReader(args.model)
+    apply_kv_overrides(reader, args.override_kv)
     tok = tokenizer_from_gguf(reader)
 
     if reader.architecture in ("t5", "t5encoder"):
@@ -295,6 +306,11 @@ def main(argv=None):
         from ..runtime.state import state_save
         state_save(ctx, args.prompt_cache, tokens=ptoks + out_toks)
         print(f"prompt cache saved to {args.prompt_cache}", file=sys.stderr)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
 
 if __name__ == "__main__":

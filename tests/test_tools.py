@@ -331,3 +331,22 @@ def test_generate_fast_loop_matches_scalar(tiny_f32):
                          antiprompts=("<<NEVER>>",))
     more_f, _ = generate(ctx2, tok, [7, 9], 4, sp, pos_start=n_past)
     assert more_f == more_s
+
+
+def test_override_kv(tiny_f32):
+    """--override-kv patches GGUF metadata at load (llama.h kv_overrides
+    parity): overriding rope freq_base must change the logits."""
+    from llm_tpu.models.config import config_from_gguf
+    from llm_tpu.tools.args import apply_kv_overrides
+
+    r1 = GGUFReader(tiny_f32)
+    base = config_from_gguf(r1).rope.freq_base
+    r2 = GGUFReader(tiny_f32)
+    arch = r2.architecture
+    apply_kv_overrides(r2, [f"{arch}.rope.freq_base=float:777.0"])
+    cfg2 = config_from_gguf(r2)
+    assert cfg2.rope.freq_base == 777.0 and base != 777.0
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        apply_kv_overrides(r2, ["nonsense"])
