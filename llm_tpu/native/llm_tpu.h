@@ -56,6 +56,14 @@ int32_t llm_tpu_get_logits(llm_tpu_context *ctx, float *out, int32_t cap);
 /* argmax of the last logits row (greedy sampling helper). */
 int32_t llm_tpu_sample_greedy(llm_tpu_context *ctx);
 
+/* Generate up to n_tokens greedily ON DEVICE starting from first_token
+ * (decodes it, then chains sampling in one dispatch; stops after an
+ * end-of-generation token). Writes up to cap token ids into out; returns
+ * the number generated, or -1 on error. */
+int32_t llm_tpu_generate(llm_tpu_context *ctx, int32_t first_token,
+                         int32_t n_tokens, int32_t seq_id,
+                         int32_t *out, int32_t cap);
+
 /* llama_memory_seq_rm analogue: remove [p0, p1) of seq (negatives = open). */
 int32_t llm_tpu_seq_rm(llm_tpu_context *ctx, int32_t seq_id,
                        int32_t p0, int32_t p1);

@@ -179,3 +179,27 @@ int32_t llm_tpu_seq_rm(llm_tpu_context *h, int32_t seq_id,
     Py_DECREF(r);
     return 0;
 }
+
+int32_t llm_tpu_generate(llm_tpu_context *h, int32_t first_token,
+                         int32_t n_tokens, int32_t seq_id,
+                         int32_t *out, int32_t cap) {
+    /* on-device chunked generation (Context.generate_loop: in-jit greedy
+     * chain with EOG stop) — the C-side analogue of the reference's tight
+     * local decode loop (tools/main). */
+    PyObject *kw = Py_BuildValue("{s:i}", "seq_id", (int)seq_id);
+    PyObject *args = Py_BuildValue("(ii)", (int)first_token, (int)n_tokens);
+    PyObject *meth = PyObject_GetAttrString(h->ctx, "generate_loop");
+    PyObject *lst = meth ? PyObject_Call(meth, args, kw) : NULL;
+    Py_XDECREF(meth);
+    Py_DECREF(args);
+    Py_DECREF(kw);
+    if (!lst) { print_err(); return -1; }
+    Py_ssize_t n = PySequence_Length(lst);
+    for (Py_ssize_t i = 0; i < n && i < cap; ++i) {
+        PyObject *v = PySequence_GetItem(lst, i);
+        out[i] = (int32_t)PyLong_AsLong(v);
+        Py_DECREF(v);
+    }
+    Py_DECREF(lst);
+    return (int32_t)n;
+}

@@ -635,6 +635,56 @@ class Context:
         self._steps[key] = fn
         return fn
 
+    def _get_gloop_recurrent(self, n: int, temp: float, top_k: int):
+        key = ("gloopr", n, temp, top_k)
+        if key in self._steps:
+            return self._steps[key]
+        cfg, dtype = self.cfg, self.dtype
+        if cfg.wkv_head_size > 0:
+            if cfg.arch in ("rwkv7", "arwkv7"):
+                from ..models.rwkv import forward_rwkv7 as fwd
+            elif cfg.arch == "rwkv6qwen2":
+                from ..models.rwkv import forward_rwkv6qwen2 as fwd
+            else:
+                from ..models.rwkv import forward_rwkv6 as fwd
+        else:
+            from ..models.ssm import forward_mamba as fwd
+
+        def _loop(params, conv, ssm, tok0, slot, eogs, rkey):
+            toks0 = jnp.full((n,), -1, jnp.int32)
+            oidx = jnp.zeros(1, jnp.int32)
+
+            def body(carry):
+                i, tok, cv, sm, toks, done, rk = carry
+                logits, cv, sm, _ = fwd(params, cfg, cv, sm,
+                                        tok[None, None], slot[None], oidx,
+                                        dtype=dtype)
+                lg = logits[0]
+                if temp <= 0.0:
+                    nxt = jnp.argmax(lg)
+                else:
+                    lg = lg / temp
+                    if top_k > 0:
+                        kth = jax.lax.top_k(lg, top_k)[0][-1]
+                        lg = jnp.where(lg < kth, -jnp.inf, lg)
+                    rk, sub = jax.random.split(rk)
+                    nxt = jax.random.categorical(sub, lg)
+                nxt = nxt.astype(jnp.int32)
+                toks = toks.at[i].set(nxt)
+                return (i + 1, nxt, cv, sm, toks, jnp.any(nxt == eogs), rk)
+
+            def cond(c):
+                return (c[0] < n) & ~c[5]
+
+            i, _, cv, sm, toks, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tok0, conv, ssm, toks0,
+                             jnp.asarray(False), rkey))
+            return toks, i, cv, sm
+
+        fn = jax.jit(_loop, donate_argnums=(1, 2))
+        self._steps[key] = fn
+        return fn
+
     def generate_loop(self, first_token: int, n_tokens: int, *, seq_id: int = 0,
                       temp: float = 0.0, top_k: int = 0, seed: int = 0,
                       eog_ids=(), ) -> list[int]:
@@ -651,7 +701,31 @@ class Context:
         Unsupported for recurrent models and the ISWA dual ring (host-side
         state/pruning) — callers fall back to decode()."""
         if self.rslots is not None:
-            raise ValueError("generate_loop: recurrent models unsupported")
+            # recurrent: states carry through the in-jit chain directly
+            n = int(n_tokens)
+            if n <= 0:
+                return []
+            slot = self.rslots.slot_of(seq_id, create=True)
+            if slot is None:
+                raise RuntimeError("generate_loop: no free state slot")
+            eogs = np.asarray(list(eog_ids) or [-1], np.int32)
+            t0 = time.perf_counter()
+            step = self._get_gloop_recurrent(n, float(temp), int(top_k))
+            toks, cnt, new_conv, new_ssm = step(
+                self.params, self.rslots.conv, self.rslots.ssm,
+                jnp.asarray(first_token, jnp.int32),
+                jnp.asarray(slot, jnp.int32), jnp.asarray(eogs),
+                jax.random.PRNGKey(seed),
+            )
+            self.rslots.conv, self.rslots.ssm = list(new_conv), list(new_ssm)
+            cnt = int(cnt)
+            self.rslots.pos_max[seq_id] = \
+                self.rslots.pos_max.get(seq_id, -1) + cnt
+            self._logits.clear()
+            self._embd.clear()
+            self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
+            self.perf.n_decode += cnt
+            return [int(t) for t in np.asarray(toks)[:cnt]]
         if self.cells_swa is not None:
             raise ValueError("generate_loop: ISWA dual ring unsupported "
                              "(use swa_full=True)")

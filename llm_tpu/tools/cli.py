@@ -61,49 +61,68 @@ def generate(
         and sampling.penalty_present == 0.0 and sampling.dry_multiplier == 0.0
         and sampling.xtc_probability == 0.0
     )
-    if (simple_greedy and not antiprompts and ctx.rslots is None
-            and ctx.cells_swa is None
-            and n_past + n_predict + 2 <= n_ctx):
-        CHUNK = 32
+    n_scalar = n_predict  # scalar-loop budget (reduced by the fast path)
+    if (simple_greedy and not antiprompts and ctx.cells_swa is None
+            and (ctx.rslots is not None
+                 or n_past + n_predict + 2 <= n_ctx)):
         eogs = tuple(i for i in (tok.vocab.eos_id, tok.vocab.eot_id)
                      if i is not None and i >= 0)
+
+        def _emit(t):
+            out_tokens.append(t)
+            piece = tok.piece(t)
+            text_parts.append(piece)
+            if stream:
+                stream(piece)
+            chain.accept(t)
+
         tid = chain.sample(ctx.get_logits())
         chain.accept(tid)
         stopped = tok.vocab.is_eog(tid)
-        pending = [] if stopped else [tid]
-        while pending or not stopped:
-            while pending and len(out_tokens) < n_predict:
-                t = pending.pop(0)
-                out_tokens.append(t)
-                piece = tok.piece(t)
-                text_parts.append(piece)
-                if stream:
-                    stream(piece)
-                chain.accept(t)
-            if stopped or len(out_tokens) >= n_predict:
-                break
-            want = n_predict - len(out_tokens)
-            k = next(b for b in (8, 16, CHUNK) if b >= min(want, CHUNK))
+        tail_undecoded = False  # out_tokens[-1] not yet in cache/state
+        if not stopped:
+            out_tokens.append(tid)
+            piece = tok.piece(tid)
+            text_parts.append(piece)
+            if stream:
+                stream(piece)
+            tail_undecoded = True
+        # chunks never exceed the remaining budget (chunk <= remaining), so
+        # the device loop cannot overshoot — required for recurrent models,
+        # whose state cannot rewind
+        while not stopped and len(out_tokens) < n_predict:
+            rem = n_predict - len(out_tokens)
+            k = max((b for b in (8, 16, 32) if b <= rem), default=0)
+            if k == 0:
+                break  # scalar tail below finishes the last few tokens
             nxt = ctx.generate_loop(out_tokens[-1], k, seq_id=seq_id,
                                     eog_ids=eogs)
-            n_past = pos_start + len(prompt_tokens) + len(out_tokens) \
-                + len(nxt)
-            if nxt and nxt[-1] in eogs:
+            if not nxt:
+                stopped = True
+                break
+            if tok.vocab.is_eog(nxt[-1]) or nxt[-1] in eogs:
+                # the loop decoded everything up to (not incl.) the EOG
                 stopped = True
                 nxt = nxt[:-1]
-            elif len(nxt) < k:
-                stopped = True  # defensive: loop ended early
-            pending = nxt
-        # reconcile the cache with the EMITTED stream: drop chunk-overshoot
-        # cells (sampled but not emitted) and make sure the last emitted
-        # token's KV exists (the scalar loop decodes every emitted token)
-        top = pos_start + len(prompt_tokens) + len(out_tokens)  # first bad pos
-        ctx.seq_rm(seq_id, top, -1)
-        if out_tokens and ctx.cells.seq_pos_max(seq_id) < top - 1:
-            ctx.decode(Batch.one(out_tokens[-1], pos=top - 1, seq_id=seq_id))
-        return out_tokens, "".join(text_parts)
+                tail_undecoded = False
+            else:
+                tail_undecoded = True  # final sampled token undecoded
+            for t in nxt:
+                _emit(t)
+        n_past = pos_start + len(prompt_tokens) + len(out_tokens)
+        # the scalar loop decodes every emitted token — mirror that so (a)
+        # the scalar tail below has logits to continue from and (b) cache/
+        # state matches for follow-up turns
+        if out_tokens and tail_undecoded:
+            rc = ctx.decode(Batch.one(out_tokens[-1], pos=n_past - 1,
+                                      seq_id=seq_id))
+            if rc != 0:
+                raise RuntimeError(f"decode failed: rc={rc}")
+        if stopped or len(out_tokens) >= n_predict:
+            return out_tokens, "".join(text_parts)
+        n_scalar = n_predict - len(out_tokens)
 
-    for _ in range(n_predict):
+    for _ in range(n_scalar):
         logits = ctx.get_logits()
         tid = chain.sample(logits)
         chain.accept(tid)

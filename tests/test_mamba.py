@@ -188,3 +188,20 @@ def test_mamba2_vs_hf(tmp_path):
     for i, t in enumerate(tokens[5:]):
         assert ctx.decode(Batch.one(t, pos=5 + i, seq_id=0)) == 0
     np.testing.assert_allclose(ctx.get_logits(), ref[-1], atol=6e-3, rtol=6e-3)
+
+
+def test_mamba_generate_loop_matches_serial(mamba_pair):
+    """SSM on-device generation loop == per-token decode."""
+    _, path = mamba_pair
+    prompt = [3, 1, 4, 1, 5]
+    serial = Context(GGUFReader(path), n_cells=8, dtype=jnp.float32)
+    assert serial.decode(Batch.text(prompt, seq_id=0)) == 0
+    toks = [int(np.argmax(serial.get_logits()))]
+    for i in range(7):
+        assert serial.decode(Batch.one(toks[-1], pos=len(prompt) + i,
+                                       seq_id=0)) == 0
+        toks.append(int(np.argmax(serial.get_logits())))
+    ctx = Context(GGUFReader(path), n_cells=8, dtype=jnp.float32)
+    assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+    out = ctx.generate_loop(toks[0], 7, seq_id=0)
+    assert out == toks[1:8]

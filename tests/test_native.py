@@ -90,7 +90,7 @@ def test_c_abi_end_to_end(tmp_path):
     assert ctx.decode(Batch.text(tokens, seq_id=0)) == 0
     want = []
     pos = len(tokens)
-    for _ in range(4):
+    for _ in range(8):
         t = int(np.argmax(ctx.get_logits()))
         want.append(t)
         assert ctx.decode(Batch.one(t, pos=pos, seq_id=0)) == 0
@@ -129,6 +129,13 @@ int main(int argc, char **argv) {
         int32_t pp = p++;
         if (llm_tpu_decode(ctx, &t, 1, &pp, 0) != 0) return 5;
     }
+    /* remaining 4 via the on-device generation loop */
+    int32_t first = llm_tpu_sample_greedy(ctx);
+    printf("%d\\n", first);
+    int32_t gen[8];
+    int32_t ng = llm_tpu_generate(ctx, first, 3, 0, gen, 8);
+    if (ng < 0) return 6;
+    for (int i = 0; i < ng; i++) printf("%d\\n", gen[i]);
     llm_tpu_context_free(ctx);
     return 0;
 }

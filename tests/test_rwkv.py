@@ -396,3 +396,25 @@ def test_rwkv6qwen2_decode_and_state_carry(tmp_path):
         assert ctx.decode(Batch.one(t, pos=i, seq_id=0)) == 0
     step = np.asarray(ctx.get_logits())
     np.testing.assert_allclose(step, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_rwkv_generate_loop_matches_serial(rwkv_path):
+    """Recurrent on-device generation (states carried in-jit) must match
+    per-token decode exactly."""
+    serial = Context(GGUFReader(rwkv_path), n_cells=8, dtype=jnp.float32)
+    prompt = [3, 1, 4, 1, 5]
+    assert serial.decode(Batch.text(prompt, seq_id=0)) == 0
+    toks = [int(np.argmax(serial.get_logits()))]
+    for i in range(9):
+        assert serial.decode(Batch.one(toks[-1], pos=len(prompt) + i,
+                                       seq_id=0)) == 0
+        toks.append(int(np.argmax(serial.get_logits())))
+
+    ctx = Context(GGUFReader(rwkv_path), n_cells=8, dtype=jnp.float32)
+    assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+    first = int(np.argmax(ctx.get_logits()))
+    assert first == toks[0]
+    out = ctx.generate_loop(first, 6, seq_id=0)
+    assert out == toks[1:7]
+    out2 = ctx.generate_loop(out[-1], 3, seq_id=0)
+    assert out2 == toks[7:10]
