@@ -274,7 +274,12 @@ def forward(
         and jax.default_backend() == "tpu"
         and cfg.alibi_max_bias == 0.0
         and cfg_rope.n_dims == Dk == Dv
-        and Dk % 128 == 0
+        # lane-width heads are always eligible; smaller powers of two are
+        # interpret-validated (full-dim blocks are Mosaic-legal) but gated
+        # until measured on hardware — LLM_TPU_FLASH_ANYDIM=1 to enable
+        and (Dk % 128 == 0
+             or (os.environ.get("LLM_TPU_FLASH_ANYDIM") == "1"
+                 and Dk in (32, 64)))
         and cfg_rope.mode in (0, 2)
         and (
             not kv_is_q8

@@ -14,13 +14,13 @@ from llm_tpu.ops.rope import (ROPE_TYPE_NEOX, ROPE_TYPE_NORM, RopeParams,
 @pytest.mark.parametrize("mode", [ROPE_TYPE_NEOX, ROPE_TYPE_NORM],
                          ids=["neox", "norm"])
 @pytest.mark.parametrize("shape", [
-    (1, 8, 2, 256, 256),   # decode, exact blocks
-    (2, 8, 2, 300, 250),   # ragged tail + masked cells
-    (8, 4, 4, 384, 384),   # MHA, multi-token
-], ids=["decode", "ragged", "mha"])
+    (1, 8, 2, 256, 256, 128),   # decode, exact blocks
+    (2, 8, 2, 300, 250, 128),   # ragged tail + masked cells
+    (8, 4, 4, 384, 384, 128),   # MHA, multi-token
+    (2, 8, 2, 256, 200, 64),    # sub-lane head dim (LLM_TPU_FLASH_ANYDIM)
+], ids=["decode", "ragged", "mha", "d64"])
 def test_flash_decode_matches_xla(mode, shape):
-    T, H, Hkv, S, nvalid = shape
-    D = 128
+    T, H, Hkv, S, nvalid, D = shape
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
