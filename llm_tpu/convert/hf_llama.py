@@ -294,6 +294,26 @@ def convert_hf_llama(
             "mrope_section", [16, 24, 24])
         w.add_kv(f"{a}.rope.dimension_sections",
                  [int(s) for s in sect] + [0] * (4 - len(sect)))
+    if arch == "phi3":
+        # longrope: factor pair + attn scaling (reference Phi3MiniModel
+        # converter: rope_factors_long/short tensors,
+        # attn_factor = sqrt(1 + log(scale)/log(orig_ctx)))
+        rs = getattr(hf_cfg, "rope_scaling", None) or {}
+        if rs.get("type", rs.get("rope_type")) == "longrope":
+            import math
+
+            orig = int(getattr(hf_cfg, "original_max_position_embeddings",
+                               hf_cfg.max_position_embeddings))
+            scale = hf_cfg.max_position_embeddings / orig
+            attn_f = (math.sqrt(1.0 + math.log(scale) / math.log(orig))
+                      if scale > 1.0 else 1.0)
+            w.add_kv(Keys.Rope.SCALING_ORIG_CTX.format(arch=a), orig)
+            w.add_kv(Keys.Rope.SCALING_ATTN_FACTOR.format(arch=a),
+                     float(attn_f))
+            w.add_tensor("rope_factors_long.weight",
+                         np.asarray(rs["long_factor"], np.float32))
+            w.add_tensor("rope_factors_short.weight",
+                         np.asarray(rs["short_factor"], np.float32))
     if arch in ("command-r", "cohere", "cohere2"):
         w.add_kv(f"{a}.logit_scale", float(getattr(hf_cfg, "logit_scale", 1.0)))
     if arch == "cohere2":

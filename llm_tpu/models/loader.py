@@ -303,6 +303,12 @@ def load_params(
         elif name in ("altup_proj.weight", "altup_unembd_proj.weight"):
             # [n_altup-1, n_embd, n_embd] dense stacks (small vs the model)
             params[name.rsplit(".", 1)[0]] = _to_dense(reader, name, jnp.float32)
+        elif name in ("rope_factors_long.weight", "rope_factors_short.weight"):
+            # longrope factor pair (phi3/minicpm3; llama-model.cpp
+            # get_rope_factors picks by context length — the engine does)
+            params[name.rsplit(".", 1)[0]] = np.asarray(
+                dequantize_tensor(reader.data(name), ti.ggml_type, ti.shape),
+                np.float32).reshape(-1)
         elif name == "rope_freqs.weight":
             params["rope_freqs"] = np.asarray(
                 dequantize_tensor(reader.data(name), ti.ggml_type, ti.shape), np.float32

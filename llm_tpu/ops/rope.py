@@ -68,7 +68,10 @@ def rope_angles(
     dim_idx = np.arange(half, dtype=np.float32)
     inv_freq = np.power(p.freq_base, -2.0 * dim_idx / p.n_dims)
     if freq_factors is not None:
-        inv_freq = inv_freq / np.asarray(freq_factors, np.float32)[:half]
+        # freq_factors may be a traced array (params["rope_freqs"] rides
+        # the jit pytree) — keep this computation in jnp
+        inv_freq = jnp.asarray(inv_freq) \
+            / jnp.asarray(freq_factors, jnp.float32)[:half]
 
     theta_extrap = positions.astype(jnp.float32)[..., None] * inv_freq
     theta_interp = p.freq_scale * theta_extrap

@@ -108,6 +108,14 @@ class Context:
             self.params, self.cfg = load_params(
                 reader, dense_dtype=dtype, use_planes=use_planes,
                 scan_layers=scan_layers)
+        # longrope: pick the long/short factor set by context size
+        # (llama_model::get_rope_factors, llama-model.cpp:4883 — rope_freqs
+        # wins when present; n_cells stands in for n_ctx_per_seq)
+        if self.params.get("rope_freqs") is None \
+                and "rope_factors_long" in self.params:
+            use_long = n_cells > (self.cfg.rope.n_ctx_orig or 0)
+            self.params["rope_freqs"] = self.params[
+                "rope_factors_long" if use_long else "rope_factors_short"]
         self.dtype = dtype
         self.kv_dtype = kv_dtype if kv_dtype is not None else dtype
         self.n_ubatch = n_ubatch

@@ -898,3 +898,46 @@ def test_rope_mode_registry_matches_reference():
     # NONE archs either set NONE in their config block or never rope;
     # spot-check the ones that go through the shared decoder
     from llm_tpu.gguf.writer import GGUFWriter  # noqa: F401 (import check)
+
+
+def test_phi3_longrope(tmp_path):
+    """phi3 longrope: per-dim factor pair + attention scaling. Context
+    sized within the original window must pick the SHORT factors and
+    reproduce HF logits; a bigger context picks the LONG set
+    (llama_model::get_rope_factors, llama-model.cpp:4883)."""
+    from llm_tpu.convert.hf_llama import convert_hf_llama
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    half = 16 // 2 * 2  # head_dim 16 -> 8 factors
+    cfg = transformers.Phi3Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, original_max_position_embeddings=64,
+        rope_theta=10000.0, tie_word_embeddings=False, pad_token_id=0,
+        rope_scaling={"type": "longrope",
+                      "long_factor": [1.0 + i / 4.0 for i in range(8)],
+                      "short_factor": [1.0 + i / 16.0 for i in range(8)]},
+    )
+    torch.manual_seed(0)
+    m = transformers.Phi3ForCausalLM(cfg).eval()
+    path = str(tmp_path / "phi3lr.gguf")
+    convert_hf_llama(m, path, arch="phi3")
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ctx = Context(GGUFReader(path), n_cells=48, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ctx.params["rope_freqs"]),
+        np.asarray(cfg.rope_scaling["short_factor"], np.float32))
+    assert ctx.decode(Batch.text(tokens, seq_id=0,
+                                 logits_last_only=False)) == 0
+    ours = np.stack([ctx.get_logits(i) for i in range(len(tokens))])
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+    big = Context(GGUFReader(path), n_cells=128, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(big.params["rope_freqs"]),
+        np.asarray(cfg.rope_scaling["long_factor"], np.float32))
