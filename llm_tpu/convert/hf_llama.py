@@ -896,6 +896,17 @@ def convert_hf_deepseek2(model, path: str, out_type: GGMLType = GGMLType.F32,
     # marker: pe rows already [rope|nope] + de-interleaved (the loader's
     # _mla_external_fixup must NOT transform again)
     w.add_kv(f"{a}.rope_pe_deinterleaved", True)
+    rs = getattr(hf_cfg, "rope_scaling", None) or {}
+    if rs.get("type", rs.get("rope_type")) == "yarn":
+        # reference DeepseekV2Model converter: yarn factor/orig ctx +
+        # yarn_log_multiplier = 0.1 * mscale_all_dim
+        w.add_kv(Keys.Rope.SCALING_TYPE.format(arch=a), "yarn")
+        w.add_kv(Keys.Rope.SCALING_FACTOR.format(arch=a),
+                 float(rs["factor"]))
+        w.add_kv(Keys.Rope.SCALING_ORIG_CTX.format(arch=a),
+                 int(rs["original_max_position_embeddings"]))
+        w.add_kv(f"{a}.rope.scaling.yarn_log_multiplier",
+                 0.1 * float(rs.get("mscale_all_dim", 1.0)))
     if getattr(hf_cfg, "q_lora_rank", None):
         w.add_kv(f"{a}.attention.q_lora_rank", int(hf_cfg.q_lora_rank))
     w.add_kv(f"{a}.leading_dense_block_count", int(getattr(hf_cfg, "first_k_dense_replace", 0)))

@@ -478,6 +478,21 @@ def config_from_gguf(reader) -> ModelConfig:
             # non-MLA-cache mode: K/V expand to full heads (llm_build_deepseek2)
             n_kv_heads=n_heads,
         )
+        if rope.ext_factor != 0.0 and rope.freq_scale != 1.0:
+            # deepseek2 YaRN pre-scaling (llm_build_deepseek2 :11341-11345):
+            # the whole magnitude correction moves into kq_scale
+            # (mscale^2/sqrt(Dk), with the model's yarn_log_mul) while the
+            # rope itself is made magnitude-NEUTRAL by an attn_factor that
+            # cancels the generic 1+0.1*ln(1/fs) yarn term
+            import math as _m
+
+            _L = _m.log(1.0 / rope.freq_scale)
+            _mscale = rope.attn_factor * (1.0 + mscale_all * _L)
+            cfg = replace(
+                cfg,
+                attn_scale=_mscale * _mscale / _m.sqrt(head_dim),
+                rope=replace(cfg.rope, attn_factor=1.0 / (1.0 + 0.1 * _L)),
+            )
     if arch in ("rwkv7", "arwkv7"):
         cfg = replace(
             cfg,

@@ -941,3 +941,35 @@ def test_phi3_longrope(tmp_path):
     np.testing.assert_allclose(
         np.asarray(big.params["rope_freqs"]),
         np.asarray(cfg.rope_scaling["long_factor"], np.float32))
+
+
+def test_deepseek2_yarn(tmp_path):
+    """deepseek2 YaRN pre-scaling: the magnitude correction lands in
+    kq_scale (mscale^2/sqrt(Dk) with the model's yarn_log_mul) while the
+    rope is magnitude-neutral (llm_build_deepseek2:11341-11345). Oracle
+    vs HF DeepseekV2 with yarn rope_scaling."""
+    from llm_tpu.convert.hf_llama import convert_hf_deepseek2
+
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=24,
+        qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+        n_routed_experts=None, first_k_dense_replace=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False, use_cache=False,
+        rope_scaling={"type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 64,
+                      "beta_fast": 32, "beta_slow": 1,
+                      "mscale": 0.707, "mscale_all_dim": 0.707},
+    )
+    torch.manual_seed(0)
+    m = transformers.DeepseekV2ForCausalLM(cfg).eval()
+    path = str(tmp_path / "ds2y.gguf")
+    convert_hf_deepseek2(m, path)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = m(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
