@@ -152,6 +152,9 @@ class ModelConfig:
     # explicit per-layer SWA flags (attention.sliding_window_pattern);
     # overrides the swa_pattern modulo rule when present
     swa_layers: tuple | None = None
+    # qwen2vl M-RoPE pair-section widths (rope.dimension_sections);
+    # non-None routes positions as (t, h, w, e) 4-vectors
+    rope_sections: tuple | None = None
     # per-layer head counts (openelm/deci: GGUF stores head_count as an
     # array — llama-hparams.h n_head_arr/n_head_kv_arr)
     n_heads_list: tuple | None = None
@@ -535,7 +538,11 @@ def config_from_gguf(reader) -> ModelConfig:
     # qwen2vl: qwen2 graph with M-RoPE (llm_build_qwen2vl :7181); the
     # text-only position stream makes MROPE == NEOX, handled by _ROPE_MODE
     if arch == "qwen2vl":
-        cfg = replace(cfg, attn_bias=True)
+        sect = _ak(reader, "{arch}.rope.dimension_sections")
+        cfg = replace(
+            cfg, attn_bias=True,
+            rope_sections=(tuple(int(x) for x in sect)
+                           if _is_arr(sect) else None))
     if arch == "plamo":
         # parallel block sharing the attention norm; gated silu
         # (llm_build_plamo :7999 — ffn input is the attn-normed x)

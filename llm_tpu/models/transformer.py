@@ -194,6 +194,8 @@ def forward(
     swa_cell_pos=None,  # [Ss] int32 — ISWA dual cache: SWA layers' own cells
     swa_cell_seq_bits=None,  # [Ss] / [Ss, W] uint32
     swa_write_idx=None,  # [T] int32 scatter targets in the SWA ring
+    tok_mpos=None,  # [T, 4] int32 M-RoPE positions (qwen2vl)
+    cell_mpos=None,  # [S, 4] int32 M-RoPE positions per cache cell
 ):
     """One decode/prefill step. Returns (logits [O, vocab] f32, kv_k, kv_v,
     hidden [O, E] f32). With collect_acts=True a 5th element is returned:
@@ -228,8 +230,16 @@ def forward(
     c_pos_swa = swa_cell_pos if dual else cell_pos
     c_bits_swa = swa_cell_seq_bits if dual else cell_seq_bits
 
-    cos_t, sin_t = rope_angles(tok_pos, cfg_rope, ff)
-    cos_c, sin_c = rope_angles(cell_pos, cfg_rope, ff)
+    if cfg.rope_sections is not None and tok_mpos is not None:
+        # qwen2vl M-RoPE: angles from (t, h, w, e) position streams
+        # (ggml_mrope_cache_init semantics; ops/rope.py mrope_angles)
+        from ..ops.rope import mrope_angles
+
+        cos_t, sin_t = mrope_angles(tok_mpos, cfg.rope_sections, cfg_rope, ff)
+        cos_c, sin_c = mrope_angles(cell_mpos, cfg.rope_sections, cfg_rope, ff)
+    else:
+        cos_t, sin_t = rope_angles(tok_pos, cfg_rope, ff)
+        cos_c, sin_c = rope_angles(cell_pos, cfg_rope, ff)
     if cfg.rope_swa is not None:  # gemma3: SWA layers rope at their own base
         cos_t2, sin_t2 = rope_angles(tok_pos, cfg.rope_swa, ff)
     if cfg.rope_swa is not None or dual:

@@ -74,6 +74,10 @@ def rope_angles(
             / jnp.asarray(freq_factors, jnp.float32)[:half]
 
     theta_extrap = positions.astype(jnp.float32)[..., None] * inv_freq
+    return _finish_angles(theta_extrap, p, dim_idx, dtype)
+
+
+def _finish_angles(theta_extrap, p: RopeParams, dim_idx, dtype):
     theta_interp = p.freq_scale * theta_extrap
     mscale = p.attn_factor
 
@@ -88,6 +92,40 @@ def rope_angles(
         theta = theta_interp
 
     return (jnp.cos(theta) * mscale).astype(dtype), (jnp.sin(theta) * mscale).astype(dtype)
+
+
+def mrope_angles(
+    positions: jnp.ndarray,  # [..., 4] (t, h, w, e) per token
+    sections,  # 4-tuple of section widths over PAIR indices
+    p: RopeParams,
+    freq_factors: jnp.ndarray | None = None,
+    dtype=jnp.float32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-section rope (qwen2vl M-RoPE; ggml_mrope_cache_init,
+    ggml-cpu/ops.cpp:5895-5951): pair index i keeps the standard frequency
+    base^(-2i/n_dims), but its rotation angle uses the position COMPONENT
+    whose section (cyclic over sum(sections)) contains i. With all four
+    position streams equal this reduces exactly to NEOX rope."""
+    half = p.n_dims // 2
+    dim_idx = np.arange(half, dtype=np.float32)
+    inv_freq = np.power(p.freq_base, -2.0 * dim_idx / p.n_dims)
+    if freq_factors is not None:
+        inv_freq = jnp.asarray(inv_freq) \
+            / jnp.asarray(freq_factors, jnp.float32)[:half]
+    sect = [int(s) for s in sections]
+    sect_dims = max(1, sum(sect))
+    comp = np.zeros(half, np.int32)
+    edges = np.cumsum(sect)
+    for i in range(half):
+        s = i % sect_dims
+        comp[i] = int(np.searchsorted(edges, s, side="right"))
+    pos_pair = jnp.take_along_axis(
+        positions.astype(jnp.float32),
+        jnp.broadcast_to(jnp.asarray(comp)[..., :],
+                         positions.shape[:-1] + (half,)),
+        axis=-1)
+    theta_extrap = pos_pair * inv_freq
+    return _finish_angles(theta_extrap, p, dim_idx, dtype)
 
 
 def apply_rope(

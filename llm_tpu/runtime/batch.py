@@ -20,12 +20,18 @@ class Batch:
     pos: list[int | None] = field(default_factory=list)
     seq_ids: list[list[int]] = field(default_factory=list)
     logits: list[bool] = field(default_factory=list)
+    # qwen2vl M-RoPE position 4-vectors (t, h, w, e) per token; None entries
+    # default to (pos, pos, pos, 0) — the text-only stream (llama_batch
+    # n_pos_per_embd semantics)
+    mpos: list[tuple | None] = field(default_factory=list)
 
-    def add(self, token: int, pos: int | None = None, seq_ids=(0,), logits=False):
+    def add(self, token: int, pos: int | None = None, seq_ids=(0,),
+            logits=False, mpos=None):
         self.tokens.append(int(token))
         self.pos.append(pos)
         self.seq_ids.append(list(seq_ids))
         self.logits.append(bool(logits))
+        self.mpos.append(tuple(mpos) if mpos is not None else None)
 
     def __len__(self):
         return len(self.tokens)
@@ -55,6 +61,19 @@ class UBatch:
     seq_sets: list[list[int]]  # full seq-id sets per token (cell membership)
     out_mask: np.ndarray  # [T] bool
     orig_index: np.ndarray  # [T] index into the parent Batch
+    mpos: np.ndarray | None = None  # [T, 4] int32 M-RoPE positions
+
+
+def _mpos_rows(batch: "Batch", idx) -> np.ndarray:
+    rows = np.zeros((len(idx), 4), np.int32)
+    for j, i in enumerate(idx):
+        m = batch.mpos[i] if i < len(batch.mpos) else None
+        if m is None:
+            p = batch.pos[i] or 0
+            rows[j] = (p, p, p, 0)
+        else:
+            rows[j, : len(m)] = m
+    return rows
 
 
 def sanitize(batch: Batch, cells) -> Batch:
@@ -73,7 +92,8 @@ def sanitize(batch: Batch, cells) -> Batch:
             next_pos[s0] = pos + 1
         else:
             next_pos[seqs[0]] = pos + 1
-        out.add(tok, pos, seqs, batch.logits[i] if i < len(batch.logits) else False)
+        out.add(tok, pos, seqs, batch.logits[i] if i < len(batch.logits) else False,
+                mpos=batch.mpos[i] if i < len(batch.mpos) else None)
     return out
 
 
@@ -94,6 +114,7 @@ def split_simple(batch: Batch, n_ubatch: int) -> list[UBatch]:
                 seq_sets=[list(s) for s in batch.seq_ids[start:end]],
                 out_mask=np.asarray(batch.logits[start:end], bool),
                 orig_index=idx,
+                mpos=_mpos_rows(batch, list(range(start, end))),
             )
         )
     return ubatches
@@ -108,6 +129,7 @@ def _gather(batch: Batch, idx) -> UBatch:
         seq_sets=[list(batch.seq_ids[i]) for i in idx],
         out_mask=np.asarray([batch.logits[i] for i in idx], bool),
         orig_index=idx,
+        mpos=_mpos_rows(batch, list(idx)),
     )
 
 

@@ -137,6 +137,7 @@ class Context:
             self.n_swa_rows = 0
             self.cells = CellTable(0)
             self.cells_swa = None
+            self.cells_mpos = None
             self.kv = None
             self.rslots = RecurrentSlots(self.cfg, n_slots=min(MAX_SEQS, n_cells))
         else:
@@ -151,6 +152,9 @@ class Context:
                 n_rows = ((n_rows + sp - 1) // sp) * sp
             self.n_kv_rows = n_rows
             self.cells = CellTable(n_cells)
+            # qwen2vl M-RoPE: per-cell (t, h, w, e) position 4-vectors
+            self.cells_mpos = (np.zeros((n_cells, 4), np.int32)
+                               if self.cfg.rope_sections is not None else None)
 
             # ISWA dual cache: SWA layers get a small ring sized
             # n_seq_hint * (window + n_ubatch) — the memory the reference's
@@ -241,6 +245,13 @@ class Context:
                     cbits, oidx, dtype=dtype, swa_cell_pos=spos,
                     swa_cell_seq_bits=sbits, swa_write_idx=swidx,
                 )
+        elif cfg.rope_sections is not None:
+            def _step(params, kv_k, kv_v, tokens, pos, seq, widx, cpos,
+                      cbits, oidx, tmpos, cmpos):
+                return fwd(
+                    params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos,
+                    cbits, oidx, dtype=dtype, tok_mpos=tmpos, cell_mpos=cmpos,
+                )
         else:
             def _step(params, kv_k, kv_v, tokens, pos, seq, widx, cpos,
                       cbits, oidx):
@@ -326,6 +337,13 @@ class Context:
                 spos, sbits, widx_swa = self._swa_step_inputs(T, n, slots_swa)
                 extra = (jnp.asarray(spos), jnp.asarray(sbits),
                          jnp.asarray(widx_swa))
+            elif self.cells_mpos is not None:
+                self.cells_mpos[slots] = ub.mpos
+                tmpos = np.zeros((T, 4), np.int32)
+                tmpos[:n] = ub.mpos
+                cmpos = np.zeros((self.n_kv_rows, 4), np.int32)
+                cmpos[: self.n_cells] = self.cells_mpos
+                extra = (jnp.asarray(tmpos), jnp.asarray(cmpos))
 
             step = self._get_step(T, O)
             try:
@@ -379,6 +397,15 @@ class Context:
                     swa_cell_pos=spos, swa_cell_seq_bits=sbits,
                     swa_write_idx=swidx,
                 )
+        elif cfg.rope_sections is not None:
+            def _step(params, kv_k, kv_v, embd, pos, seq, widx, cpos, cbits,
+                      oidx, tmpos, cmpos):
+                tokens = jnp.zeros(embd.shape[0], jnp.int32)
+                return forward(
+                    params, cfg, kv_k, kv_v, tokens, pos, seq, widx, cpos,
+                    cbits, oidx, dtype=dtype, input_embd=embd,
+                    tok_mpos=tmpos, cell_mpos=cmpos,
+                )
         else:
             def _step(params, kv_k, kv_v, embd, pos, seq, widx, cpos, cbits,
                       oidx):
@@ -393,10 +420,12 @@ class Context:
         return fn
 
     def decode_embd(self, embd: np.ndarray, seq_id: int = 0,
-                    pos_start: int | None = None) -> int:
+                    pos_start: int | None = None, mpos=None) -> int:
         """Decode a run of embedding rows (multimodal image/audio chunks —
         the analogue of llama_batch.embd, llama.h batch docs). Rows occupy
-        KV cells at consecutive positions; no logits are produced."""
+        KV cells at consecutive positions; no logits are produced.
+        mpos: optional [n, 4] (t, h, w, e) M-RoPE positions for the rows
+        (qwen2vl image grids)."""
         n = embd.shape[0]
         if n == 0:
             return -1
@@ -437,6 +466,16 @@ class Context:
             spos, sbits, widx_swa = self._swa_step_inputs(T, n, slots_swa)
             extra = (jnp.asarray(spos), jnp.asarray(sbits),
                      jnp.asarray(widx_swa))
+        elif self.cells_mpos is not None:
+            mp = (np.asarray(mpos, np.int32) if mpos is not None
+                  else np.stack([pos_np, pos_np, pos_np,
+                                 np.zeros(n, np.int32)], axis=1))
+            self.cells_mpos[slots] = mp
+            tmpos = np.zeros((T, 4), np.int32)
+            tmpos[:n] = mp
+            cmpos = np.zeros((self.n_kv_rows, 4), np.int32)
+            cmpos[: self.n_cells] = self.cells_mpos
+            extra = (jnp.asarray(tmpos), jnp.asarray(cmpos))
 
         step = self._get_embd_step(T, 1)
         try:
@@ -600,7 +639,7 @@ class Context:
             fwd = forward
 
         def _loop(params, kv_k, kv_v, tok0, slots, cpos, cbits, pos0,
-                  seq_id, eogs, rkey):
+                  seq_id, eogs, rkey, cmpos=None):
             toks0 = jnp.full((n,), -1, jnp.int32)
             word = seq_id >> 5
             mask = (jnp.uint32(1) << (seq_id & 31).astype(jnp.uint32))
@@ -610,11 +649,16 @@ class Context:
                 i, tok, kk, vv, cb, toks, done, rk = carry
                 # make the new token's pre-labeled cell visible to itself
                 cb = cb.at[slots[i], word].set(cb[slots[i], word] | mask)
+                kw = {}
+                if cfg.rope_sections is not None:
+                    p = (pos0 + i).astype(jnp.int32)
+                    kw = dict(tok_mpos=jnp.stack(
+                        [p, p, p, jnp.int32(0)])[None], cell_mpos=cmpos)
                 logits, kk, vv, _ = fwd(
                     params, cfg, kk, vv, tok[None],
                     (pos0 + i)[None].astype(jnp.int32), seq_arr,
                     slots[i][None], cpos, cb,
-                    jnp.zeros(1, jnp.int32), dtype=dtype,
+                    jnp.zeros(1, jnp.int32), dtype=dtype, **kw,
                 )
                 lg = logits[0]
                 if temp <= 0.0:
@@ -757,6 +801,14 @@ class Context:
         eogs = np.asarray(list(eog_ids) or [-1], np.int32)
 
         step = self._get_gloop(n, float(temp), int(top_k))
+        margs = ()
+        if self.cells_mpos is not None:
+            cmpos = np.zeros((self.n_kv_rows, 4), np.int32)
+            cmpos[: self.n_cells] = self.cells_mpos
+            labels = pos0 + np.arange(n, dtype=np.int32)
+            cmpos[slots] = np.stack(
+                [labels, labels, labels, np.zeros(n, np.int32)], axis=1)
+            margs = (jnp.asarray(cmpos),)
         with self._mesh_ctx():
             toks, cnt, new_k, new_v = step(
                 self.params, self.kv.k, self.kv.v,
@@ -764,15 +816,18 @@ class Context:
                 jnp.asarray(cpos), jnp.asarray(cbits),
                 jnp.asarray(pos0, jnp.int32),
                 jnp.asarray(seq_id, jnp.int32), jnp.asarray(eogs),
-                jax.random.PRNGKey(seed),
+                jax.random.PRNGKey(seed), *margs,
             )
         toks = np.asarray(toks)
         cnt = int(cnt)
         self.kv.k, self.kv.v = new_k, new_v
         # reconcile host cell metadata with what the loop wrote
         used = slots[:cnt]
-        self.cells.occupy(used, pos0 + np.arange(cnt, dtype=np.int32),
-                          np.full(cnt, seq_id, np.int64))
+        upos = pos0 + np.arange(cnt, dtype=np.int32)
+        self.cells.occupy(used, upos, np.full(cnt, seq_id, np.int64))
+        if self.cells_mpos is not None:
+            self.cells_mpos[used] = np.stack(
+                [upos, upos, upos, np.zeros(cnt, np.int32)], axis=1)
         self._logits.clear()
         self._embd.clear()
         self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
@@ -826,6 +881,9 @@ class Context:
             self.cells_swa.seq_keep(seq_id)
 
     def seq_add(self, seq_id, p0, p1, delta):
+        if self.cells_mpos is not None:
+            m = self.cells._range_mask(seq_id, p0, p1)
+            self.cells_mpos[m, :3] += delta
         self.cells.seq_add(seq_id, p0, p1, delta)
         if self.cells_swa is not None:
             self.cells_swa.seq_add(seq_id, p0, p1, delta)

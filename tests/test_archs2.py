@@ -973,3 +973,75 @@ def test_deepseek2_yarn(tmp_path):
     with torch.no_grad():
         ref = m(torch.tensor([tokens])).logits[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_qwen2vl_mrope_image(tmp_path):
+    """Full M-RoPE with an image: HF's vision-tower embeddings are fed
+    through our embedding-input decode with (t, h, w) position 4-vectors
+    (ggml_mrope_cache_init semantics); text tokens use HF's get_rope_index
+    stream. Primary cache positions use the sequence INDEX so the causal
+    mask matches HF's index-causality; the rope comes entirely from the
+    M-RoPE streams. Logits must match HF's image forward."""
+    from llm_tpu.convert.hf_llama import convert_hf_llama
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    vis = dict(depth=2, embed_dim=32, hidden_size=64, num_heads=2,
+               in_channels=3, patch_size=4, spatial_merge_size=2,
+               temporal_patch_size=2)
+    cfg = transformers.Qwen2VLConfig(
+        text_config=dict(
+            vocab_size=97, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rope_theta=10000.0, tie_word_embeddings=False,
+            rope_scaling={"type": "mrope", "mrope_section": [4, 2, 2]},
+        ),
+        vision_config=vis, vocab_size=97,
+        image_token_id=96, vision_start_token_id=94, vision_end_token_id=95,
+    )
+    torch.manual_seed(0)
+    m = transformers.Qwen2VLForConditionalGeneration(cfg).eval()
+    grid = torch.tensor([[1, 4, 4]])  # 4x4 patches -> 2x2 merged tokens
+    pv = torch.randn(16, 3 * 2 * 4 * 4)
+    with torch.no_grad():
+        img_emb = m.visual(pv, grid_thw=grid).numpy()
+    n_img = img_emb.shape[0]
+    pre, post = [3, 1, 94], [95, 5, 9]
+    ids = pre + [96] * n_img + post
+    input_ids = torch.tensor([ids])
+    pos3, _ = m.model.get_rope_index(input_ids, image_grid_thw=grid)
+    pos3 = pos3[:, 0].numpy()  # [3, T]
+    with torch.no_grad():
+        ref = m(input_ids, pixel_values=pv, image_grid_thw=grid) \
+            .logits[0].numpy()
+
+    path = str(tmp_path / "q2vl.gguf")
+    convert_hf_llama(m, path, arch="qwen2vl")
+    ctx = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32)
+    assert ctx.cells_mpos is not None
+
+    def mp(i):
+        return (int(pos3[0, i]), int(pos3[1, i]), int(pos3[2, i]), 0)
+
+    b = Batch()
+    for i, t in enumerate(pre):
+        b.add(t, pos=i, logits=True, mpos=mp(i))
+    assert ctx.decode(b) == 0
+    pre_logits = [np.asarray(ctx.get_logits(i)) for i in range(len(pre))]
+
+    off = len(pre)
+    mpos_img = np.asarray([mp(off + j) for j in range(n_img)], np.int32)
+    assert ctx.decode_embd(img_emb, seq_id=0, pos_start=off,
+                           mpos=mpos_img) == 0
+
+    b2 = Batch()
+    for j, t in enumerate(post):
+        i = off + n_img + j
+        b2.add(t, pos=i, logits=True, mpos=mp(i))
+    assert ctx.decode(b2) == 0
+    post_logits = [np.asarray(ctx.get_logits(j)) for j in range(len(post))]
+
+    ours = np.stack(pre_logits + post_logits)
+    want = np.concatenate([ref[: len(pre)], ref[off + n_img:]])
+    np.testing.assert_allclose(ours, want, atol=3e-3, rtol=3e-3)
