@@ -798,6 +798,74 @@ def convert_hf_clip_mmproj(
     return path
 
 
+def convert_hf_qwen2vl_mmproj(visual, path: str):
+    """HF Qwen2VisionTransformerPretrainedModel -> mmproj GGUF in the
+    reference's qwen2vl_merger conventions (clip.cpp build_qwen2vl /
+    clip-impl.h: dual patch-conv slices, split qkv, merger ln_q stored as
+    v.post_ln, merger mlp as mm.0/mm.1)."""
+    import numpy as np
+
+    cfg = visual.config
+    E = int(cfg.embed_dim if hasattr(cfg, "embed_dim") else cfg.hidden_size)
+    w = GGUFWriter(path, arch="clip")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "qwen2vl_merger")
+    w.add_kv("clip.use_gelu", False)  # vision MLP act is quick-gelu
+    w.add_kv("clip.vision.image_size", 28 * 16)  # dynamic; nominal value
+    w.add_kv("clip.vision.patch_size", int(cfg.patch_size))
+    w.add_kv("clip.vision.embedding_length", E)
+    w.add_kv("clip.vision.block_count", int(cfg.depth))
+    w.add_kv("clip.vision.attention.head_count", int(cfg.num_heads))
+    w.add_kv("clip.vision.feed_forward_length",
+             int(round(E * float(getattr(cfg, "mlp_ratio", 4.0)))))
+    w.add_kv("clip.vision.projection_dim", int(cfg.hidden_size))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_kv("clip.vision.spatial_merge_size",
+             int(cfg.spatial_merge_size))
+    w.add_kv("clip.vision.temporal_patch_size",
+             int(cfg.temporal_patch_size))
+    w.add_kv("clip.vision.image_mean", [0.48145466, 0.4578275, 0.40821073])
+    w.add_kv("clip.vision.image_std", [0.26862954, 0.26130258, 0.27577711])
+
+    sd = {k: v.detach().cpu().float().numpy()
+          for k, v in visual.state_dict().items()}
+
+    def put(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(arr, dtype=np.float32),
+                     ggml_type=GGMLType.F32)
+
+    # conv3d kernel [E, C, T, P, P] -> two temporal conv2d slices
+    pk = sd["patch_embed.proj.weight"]
+    put("v.patch_embd.weight", pk[:, :, 0])
+    put("v.patch_embd.weight.1", pk[:, :, 1])
+    for il in range(int(cfg.depth)):
+        b = f"blocks.{il}."
+        g = f"v.blk.{il}."
+        qkv_w = sd[b + "attn.qkv.weight"]
+        qkv_b = sd[b + "attn.qkv.bias"]
+        for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            put(g + nm + ".weight", qkv_w[j * E:(j + 1) * E])
+            put(g + nm + ".bias", qkv_b[j * E:(j + 1) * E])
+        put(g + "attn_out.weight", sd[b + "attn.proj.weight"])
+        put(g + "attn_out.bias", sd[b + "attn.proj.bias"])
+        put(g + "ln1.weight", sd[b + "norm1.weight"])
+        put(g + "ln1.bias", sd[b + "norm1.bias"])
+        put(g + "ln2.weight", sd[b + "norm2.weight"])
+        put(g + "ln2.bias", sd[b + "norm2.bias"])
+        put(g + "ffn_up.weight", sd[b + "mlp.fc1.weight"])
+        put(g + "ffn_up.bias", sd[b + "mlp.fc1.bias"])
+        put(g + "ffn_down.weight", sd[b + "mlp.fc2.weight"])
+        put(g + "ffn_down.bias", sd[b + "mlp.fc2.bias"])
+    put("v.post_ln.weight", sd["merger.ln_q.weight"])
+    put("v.post_ln.bias", sd["merger.ln_q.bias"])
+    put("mm.0.weight", sd["merger.mlp.0.weight"])
+    put("mm.0.bias", sd["merger.mlp.0.bias"])
+    put("mm.1.weight", sd["merger.mlp.2.weight"])
+    put("mm.1.bias", sd["merger.mlp.2.bias"])
+    w.write()
+    return path
+
+
 def convert_hf_whisper_mmproj(
     encoder,
     path: str,

@@ -96,7 +96,7 @@ def load_clip_params(reader) -> dict:
     p["patch_embd"] = _dense(reader, "v.patch_embd.weight")
     opt(p, "patch_bias", "v.patch_embd.bias")
     opt(p, "class_embd", "v.class_embd")
-    p["pos_embd"] = _dense(reader, "v.position_embd.weight")
+    opt(p, "pos_embd", "v.position_embd.weight")
     opt(p, "pre_ln", "v.pre_ln.weight")
     opt(p, "pre_ln_b", "v.pre_ln.bias")
     opt(p, "post_ln", "v.post_ln.weight")

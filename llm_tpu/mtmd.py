@@ -68,7 +68,13 @@ class MultimodalRuntime:
         self.audio_cfg = self.audio_params = self._encode_audio = None
         has_vision = bool(mmproj_reader.get("clip.has_vision_encoder", False)) \
             or "v.patch_embd.weight" in mmproj_reader.tensors
-        if has_vision:
+        self.is_qwen2vl = (str(mmproj_reader.get("clip.projector_type", ""))
+                           == "qwen2vl_merger")
+        if self.is_qwen2vl:
+            from .models.qwen2vl_vision import load_qwen2vl_vision
+
+            self.clip_params, self.clip_cfg = load_qwen2vl_vision(mmproj_reader)
+        elif has_vision:
             self.clip_cfg = clip_config_from_gguf(mmproj_reader)
             self.clip_params = load_clip_params(mmproj_reader)
             self._encode = jax.jit(
@@ -87,9 +93,54 @@ class MultimodalRuntime:
         """image -> [n_tokens, n_embd_llm] projected embeddings."""
         from .models.clip import patchify, preprocess_image
 
+        if self.is_qwen2vl:
+            emb, _ = self.encode_image_qwen2vl(img)
+            return emb
         arr = preprocess_image(img, self.clip_cfg)
         patches = patchify(arr, self.clip_cfg.patch_size)
         return np.asarray(self._encode(patches))
+
+    def encode_image_qwen2vl(self, img):
+        """image -> (embeddings [n_tokens, n_embd_llm], (t, h, w) PATCH
+        grid). Dynamic resolution: the image is resized to multiples of
+        patch*merge on both sides (Qwen2VLImageProcessor smart-resize
+        semantics, simplified), patches ordered in 2x2 merge blocks with
+        the temporal dim duplicated."""
+        import jax.numpy as jnp
+
+        from .models.qwen2vl_vision import qwen2vl_vision_encode
+
+        cfg = self.clip_cfg
+        P, merge, temporal = cfg.patch_size, 2, 2
+        arr = np.asarray(img, np.float32)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        unit = P * merge
+        H = max(unit, int(round(arr.shape[0] / unit)) * unit)
+        W = max(unit, int(round(arr.shape[1] / unit)) * unit)
+        # nearest-neighbor resize (tiny towers; parity covered by the
+        # direct-patch oracle — preprocessing is bilinear in the reference)
+        yi = np.clip((np.arange(H) + 0.5) * arr.shape[0] / H, 0,
+                     arr.shape[0] - 1).astype(int)
+        xi = np.clip((np.arange(W) + 0.5) * arr.shape[1] / W, 0,
+                     arr.shape[1] - 1).astype(int)
+        arr = arr[yi][:, xi]
+        mean = np.asarray(cfg.image_mean, np.float32)
+        std = np.asarray(cfg.image_std, np.float32)
+        arr = (arr - mean) / std
+        gh, gw = H // P, W // P
+        # [H, W, C] -> patches in merge-block order, temporal duplicated
+        x = arr.transpose(2, 0, 1).reshape(3, gh // merge, merge, P,
+                                           gw // merge, merge, P)
+        x = x.transpose(1, 4, 2, 5, 0, 3, 6)  # [bh, bw, my, mx, C, P, P]
+        x = x.reshape(gh * gw, 3, 1, P, P)
+        x = np.repeat(x, temporal, axis=2)  # duplicate temporal slice
+        patches = x.reshape(gh * gw, -1)
+        emb = np.asarray(qwen2vl_vision_encode(
+            self.clip_params, cfg, jnp.asarray(patches), 1, gh, gw))
+        return emb, (1, gh, gw)
 
     def encode_audio(self, pcm) -> np.ndarray:
         """16 kHz PCM -> [n_tokens, n_embd_llm] projected embeddings."""
@@ -105,6 +156,8 @@ class MultimodalRuntime:
         from .runtime.batch import Batch
 
         rc = 0
+        if self.is_qwen2vl:
+            return self._eval_chunks_mrope(chunks, seq_id)
         for ch in chunks:
             if ch.kind == "text":
                 pos0 = self.ctx.seq_pos_max(seq_id) + 1
@@ -116,6 +169,43 @@ class MultimodalRuntime:
             else:
                 emb = self.encode_image(ch.image)
                 rc = self.ctx.decode_embd(emb, seq_id=seq_id)
+            if rc != 0:
+                return rc
+        return rc
+
+    def _eval_chunks_mrope(self, chunks: list, seq_id: int = 0) -> int:
+        """qwen2vl: primary cache positions are the running sequence index
+        (index-causality); rope rides the (t, h, w) M-RoPE streams
+        (Qwen2VLModel.get_rope_index semantics via
+        qwen2vl_mrope_positions)."""
+        from .models.qwen2vl_vision import qwen2vl_mrope_positions
+        from .runtime.batch import Batch
+
+        rc = 0
+        idx = self.ctx.seq_pos_max(seq_id) + 1  # running sequence index
+        tpos = idx  # next text-stream position
+        for ch in chunks:
+            if ch.kind == "text":
+                b = Batch()
+                n = len(ch.tokens)
+                for i, t in enumerate(ch.tokens):
+                    p = tpos + i
+                    b.add(t, pos=idx + i, seq_ids=(seq_id,),
+                          logits=i == n - 1, mpos=(p, p, p, 0))
+                rc = self.ctx.decode(b)
+                idx += n
+                tpos += n
+            elif ch.kind == "image":
+                emb, (gt, gh, gw) = self.encode_image_qwen2vl(ch.image)
+                mpos, nxt = qwen2vl_mrope_positions(
+                    0, gt, gh, gw, 0, pos_start=tpos)
+                rc = self.ctx.decode_embd(
+                    emb, seq_id=seq_id, pos_start=idx,
+                    mpos=np.asarray(mpos, np.int32))
+                idx += emb.shape[0]
+                tpos = nxt
+            else:
+                raise ValueError("qwen2vl mtmd supports text+image chunks")
             if rc != 0:
                 return rc
         return rc

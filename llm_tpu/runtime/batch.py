@@ -65,13 +65,13 @@ class UBatch:
 
 
 def _mpos_rows(batch: "Batch", idx) -> np.ndarray:
-    rows = np.zeros((len(idx), 4), np.int32)
+    # rows of -1 mark DEFAULTED positions: the engine fills them from the
+    # per-seq text-stream delta (post-image continuation tracking)
+    rows = np.full((len(idx), 4), -1, np.int32)
     for j, i in enumerate(idx):
         m = batch.mpos[i] if i < len(batch.mpos) else None
-        if m is None:
-            p = batch.pos[i] or 0
-            rows[j] = (p, p, p, 0)
-        else:
+        if m is not None:
+            rows[j] = 0
             rows[j, : len(m)] = m
     return rows
 

@@ -152,9 +152,12 @@ class Context:
                 n_rows = ((n_rows + sp - 1) // sp) * sp
             self.n_kv_rows = n_rows
             self.cells = CellTable(n_cells)
-            # qwen2vl M-RoPE: per-cell (t, h, w, e) position 4-vectors
+            # qwen2vl M-RoPE: per-cell (t, h, w, e) position 4-vectors +
+            # per-seq text-stream delta (text after an image continues at
+            # max(streams)+1 while the primary index keeps counting cells)
             self.cells_mpos = (np.zeros((n_cells, 4), np.int32)
                                if self.cfg.rope_sections is not None else None)
+            self.mrope_delta: dict[int, int] = {}
 
             # ISWA dual cache: SWA layers get a small ring sized
             # n_seq_hint * (window + n_ubatch) — the memory the reference's
@@ -338,9 +341,18 @@ class Context:
                 extra = (jnp.asarray(spos), jnp.asarray(sbits),
                          jnp.asarray(widx_swa))
             elif self.cells_mpos is not None:
-                self.cells_mpos[slots] = ub.mpos
+                mp = ub.mpos.copy()
+                for i in range(n):
+                    s0 = int(ub.seq_primary[i])
+                    if mp[i, 0] < 0:  # defaulted: text stream = pos + delta
+                        p = int(ub.pos[i]) + self.mrope_delta.get(s0, 0)
+                        mp[i] = (p, p, p, 0)
+                    else:  # explicit: update the seq's stream delta
+                        self.mrope_delta[s0] = \
+                            int(mp[i, :3].max()) - int(ub.pos[i])
+                self.cells_mpos[slots] = mp
                 tmpos = np.zeros((T, 4), np.int32)
-                tmpos[:n] = ub.mpos
+                tmpos[:n] = mp
                 cmpos = np.zeros((self.n_kv_rows, 4), np.int32)
                 cmpos[: self.n_cells] = self.cells_mpos
                 extra = (jnp.asarray(tmpos), jnp.asarray(cmpos))
@@ -467,9 +479,14 @@ class Context:
             extra = (jnp.asarray(spos), jnp.asarray(sbits),
                      jnp.asarray(widx_swa))
         elif self.cells_mpos is not None:
-            mp = (np.asarray(mpos, np.int32) if mpos is not None
-                  else np.stack([pos_np, pos_np, pos_np,
-                                 np.zeros(n, np.int32)], axis=1))
+            if mpos is not None:
+                mp = np.asarray(mpos, np.int32)
+                self.mrope_delta[seq_id] = \
+                    int(mp[-1, :3].max()) - int(pos_np[-1])
+            else:
+                d = self.mrope_delta.get(seq_id, 0)
+                mp = np.stack([pos_np + d, pos_np + d, pos_np + d,
+                               np.zeros(n, np.int32)], axis=1)
             self.cells_mpos[slots] = mp
             tmpos = np.zeros((T, 4), np.int32)
             tmpos[:n] = mp
@@ -639,7 +656,7 @@ class Context:
             fwd = forward
 
         def _loop(params, kv_k, kv_v, tok0, slots, cpos, cbits, pos0,
-                  seq_id, eogs, rkey, cmpos=None):
+                  seq_id, eogs, rkey, cmpos=None, mdelta=0):
             toks0 = jnp.full((n,), -1, jnp.int32)
             word = seq_id >> 5
             mask = (jnp.uint32(1) << (seq_id & 31).astype(jnp.uint32))
@@ -651,7 +668,7 @@ class Context:
                 cb = cb.at[slots[i], word].set(cb[slots[i], word] | mask)
                 kw = {}
                 if cfg.rope_sections is not None:
-                    p = (pos0 + i).astype(jnp.int32)
+                    p = (pos0 + i + mdelta).astype(jnp.int32)
                     kw = dict(tok_mpos=jnp.stack(
                         [p, p, p, jnp.int32(0)])[None], cell_mpos=cmpos)
                 logits, kk, vv, _ = fwd(
@@ -803,12 +820,13 @@ class Context:
         step = self._get_gloop(n, float(temp), int(top_k))
         margs = ()
         if self.cells_mpos is not None:
+            d = self.mrope_delta.get(seq_id, 0)
             cmpos = np.zeros((self.n_kv_rows, 4), np.int32)
             cmpos[: self.n_cells] = self.cells_mpos
-            labels = pos0 + np.arange(n, dtype=np.int32)
+            labels = pos0 + d + np.arange(n, dtype=np.int32)
             cmpos[slots] = np.stack(
                 [labels, labels, labels, np.zeros(n, np.int32)], axis=1)
-            margs = (jnp.asarray(cmpos),)
+            margs = (jnp.asarray(cmpos), jnp.asarray(d, jnp.int32))
         with self._mesh_ctx():
             toks, cnt, new_k, new_v = step(
                 self.params, self.kv.k, self.kv.v,
@@ -826,8 +844,10 @@ class Context:
         upos = pos0 + np.arange(cnt, dtype=np.int32)
         self.cells.occupy(used, upos, np.full(cnt, seq_id, np.int64))
         if self.cells_mpos is not None:
+            d = self.mrope_delta.get(seq_id, 0)
             self.cells_mpos[used] = np.stack(
-                [upos, upos, upos, np.zeros(cnt, np.int32)], axis=1)
+                [upos + d, upos + d, upos + d, np.zeros(cnt, np.int32)],
+                axis=1)
         self._logits.clear()
         self._embd.clear()
         self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3

@@ -134,3 +134,173 @@ def test_preprocess_image(clip_pair):
     out = preprocess_image(img, cfg)
     assert out.shape == (3, cfg.image_size, cfg.image_size)
     assert out.dtype == np.float32
+
+
+def _tiny_qwen2vl(n_img_tokens=4):
+    vis = dict(depth=2, embed_dim=32, hidden_size=64, num_heads=2,
+               in_channels=3, patch_size=4, spatial_merge_size=2,
+               temporal_patch_size=2)
+    cfg = transformers.Qwen2VLConfig(
+        text_config=dict(
+            vocab_size=97, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rope_theta=10000.0, tie_word_embeddings=False,
+            rope_scaling={"type": "mrope", "mrope_section": [4, 2, 2]},
+        ),
+        vision_config=vis, vocab_size=97,
+        image_token_id=96, vision_start_token_id=94, vision_end_token_id=95,
+    )
+    torch.manual_seed(0)
+    return transformers.Qwen2VLForConditionalGeneration(cfg).eval()
+
+
+def test_qwen2vl_vision_tower_matches_hf(tmp_path):
+    """Our qwen2vl vision tower (dual-slice patch conv, 2-D rotary in
+    merge-block order, quick-gelu MLP, 2x2 merger) reproduces HF's
+    m.visual embeddings from the same flattened patches."""
+    from llm_tpu.convert.hf_llama import convert_hf_qwen2vl_mmproj
+    from llm_tpu.models.qwen2vl_vision import (load_qwen2vl_vision,
+                                               qwen2vl_vision_encode)
+
+    m = _tiny_qwen2vl()
+    grid = torch.tensor([[1, 4, 4]])
+    pv = torch.randn(16, 3 * 2 * 4 * 4)
+    with torch.no_grad():
+        want = m.visual(pv, grid_thw=grid).numpy()
+    path = str(tmp_path / "q2vl_mmproj.gguf")
+    convert_hf_qwen2vl_mmproj(m.visual, path)
+    params, cfg = load_qwen2vl_vision(GGUFReader(path))
+    got = np.asarray(qwen2vl_vision_encode(
+        params, cfg, jnp.asarray(pv.numpy()), 1, 4, 4))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_qwen2vl_image_end_to_end(tmp_path):
+    """Full pipeline with NO HF at inference time: our vision tower + our
+    get_rope_index-equivalent position streams + the M-RoPE engine must
+    reproduce HF's image-conditioned logits."""
+    from llm_tpu.convert.hf_llama import (convert_hf_llama,
+                                          convert_hf_qwen2vl_mmproj)
+    from llm_tpu.models.qwen2vl_vision import (load_qwen2vl_vision,
+                                               qwen2vl_mrope_positions,
+                                               qwen2vl_vision_encode)
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    m = _tiny_qwen2vl()
+    grid = torch.tensor([[1, 4, 4]])
+    pv = torch.randn(16, 3 * 2 * 4 * 4)
+    pre, post = [3, 1, 94], [95, 5, 9]
+    with torch.no_grad():
+        n_img = m.visual(pv, grid_thw=grid).shape[0]
+        ids = pre + [96] * n_img + post
+        ref = m(torch.tensor([ids]), pixel_values=pv,
+                image_grid_thw=grid).logits[0].numpy()
+
+    lm = str(tmp_path / "lm.gguf")
+    mp = str(tmp_path / "mmproj.gguf")
+    convert_hf_llama(m, lm, arch="qwen2vl")
+    convert_hf_qwen2vl_mmproj(m.visual, mp)
+
+    vp, vcfg = load_qwen2vl_vision(GGUFReader(mp))
+    img = np.asarray(qwen2vl_vision_encode(
+        vp, vcfg, jnp.asarray(pv.numpy()), 1, 4, 4))
+    assert img.shape[0] == n_img
+
+    mpos, _ = qwen2vl_mrope_positions(len(pre), 1, 4, 4, len(post))
+    ctx = Context(GGUFReader(lm), n_cells=64, dtype=jnp.float32)
+    b = Batch()
+    for i, t in enumerate(pre):
+        b.add(t, pos=i, logits=True, mpos=mpos[i])
+    assert ctx.decode(b) == 0
+    pre_lg = [np.asarray(ctx.get_logits(i)) for i in range(len(pre))]
+    off = len(pre)
+    assert ctx.decode_embd(img, seq_id=0, pos_start=off,
+                           mpos=np.asarray(mpos[off:off + n_img])) == 0
+    b2 = Batch()
+    for j, t in enumerate(post):
+        b2.add(t, pos=off + n_img + j, logits=True,
+               mpos=mpos[off + n_img + j])
+    assert ctx.decode(b2) == 0
+    post_lg = [np.asarray(ctx.get_logits(j)) for j in range(len(post))]
+    ours = np.stack(pre_lg + post_lg)
+    want = np.concatenate([ref[: len(pre)], ref[off + n_img:]])
+    np.testing.assert_allclose(ours, want, atol=3e-3, rtol=3e-3)
+
+
+def test_qwen2vl_generation_after_image(tmp_path):
+    """Greedy continuation AFTER an image: HF tracks a rope-delta so text
+    resumes at max(streams)+1 while cache indices keep counting; the
+    engine's per-seq mrope_delta must reproduce HF's generate() tokens —
+    through both the per-token decode and the on-device loop."""
+    from llm_tpu.convert.hf_llama import (convert_hf_llama,
+                                          convert_hf_qwen2vl_mmproj)
+    from llm_tpu.mtmd import Chunk, MultimodalRuntime
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    m = _tiny_qwen2vl()
+    grid = torch.tensor([[1, 4, 4]])
+    pv = torch.randn(16, 3 * 2 * 4 * 4)
+    pre, post = [3, 1, 94], [95, 5, 9]
+    with torch.no_grad():
+        n_img = m.visual(pv, grid_thw=grid).shape[0]
+        ids = pre + [96] * n_img + post
+        gen = m.generate(torch.tensor([ids]), pixel_values=pv,
+                         image_grid_thw=grid, max_new_tokens=6,
+                         do_sample=False)
+    want = gen[0, len(ids):].tolist()
+
+    lm = str(tmp_path / "lm.gguf")
+    mp = str(tmp_path / "mmproj.gguf")
+    convert_hf_llama(m, lm, arch="qwen2vl")
+    convert_hf_qwen2vl_mmproj(m.visual, mp)
+    ctx = Context(GGUFReader(lm), n_cells=64, dtype=jnp.float32)
+    rt = MultimodalRuntime(ctx, None, GGUFReader(mp))
+    # build the image patches exactly as HF received them (bypass the
+    # resize: feed the flattened patch rows through the runtime's encoder)
+    import llm_tpu.models.qwen2vl_vision as qv
+    emb = np.asarray(qv.qwen2vl_vision_encode(
+        rt.clip_params, rt.clip_cfg, jnp.asarray(pv.numpy()), 1, 4, 4))
+    mpos, _ = qv.qwen2vl_mrope_positions(len(pre), 1, 4, 4, len(post))
+    b = Batch()
+    for i, t in enumerate(pre):
+        b.add(t, pos=i, mpos=mpos[i])
+    assert ctx.decode(b) == 0
+    off = len(pre)
+    assert ctx.decode_embd(emb, seq_id=0, pos_start=off,
+                           mpos=np.asarray(mpos[off:off + n_img])) == 0
+    b2 = Batch()
+    for j, t in enumerate(post):
+        i = off + n_img + j
+        b2.add(t, pos=i, logits=j == len(post) - 1, mpos=mpos[i])
+    assert ctx.decode(b2) == 0
+
+    # per-token continuation with DEFAULTED mpos (engine delta fills them)
+    toks = []
+    pos = len(ids)
+    tid = int(np.argmax(ctx.get_logits()))
+    for _ in range(6):
+        toks.append(tid)
+        assert ctx.decode(Batch.one(tid, pos=pos, seq_id=0)) == 0
+        tid = int(np.argmax(ctx.get_logits()))
+        pos += 1
+    assert toks == want
+
+    # same through the on-device loop (delta applied in-jit)
+    ctx2 = Context(GGUFReader(lm), n_cells=64, dtype=jnp.float32)
+    b = Batch()
+    for i, t in enumerate(pre):
+        b.add(t, pos=i, mpos=mpos[i])
+    assert ctx2.decode(b) == 0
+    assert ctx2.decode_embd(emb, seq_id=0, pos_start=off,
+                            mpos=np.asarray(mpos[off:off + n_img])) == 0
+    b2 = Batch()
+    for j, t in enumerate(post):
+        i = off + n_img + j
+        b2.add(t, pos=i, logits=j == len(post) - 1, mpos=mpos[i])
+    assert ctx2.decode(b2) == 0
+    first = int(np.argmax(ctx2.get_logits()))
+    out = ctx2.generate_loop(first, 5, seq_id=0)
+    assert [first] + out == want
