@@ -799,17 +799,20 @@ def convert_hf_clip_mmproj(
 
 
 def convert_hf_qwen2vl_mmproj(visual, path: str):
-    """HF Qwen2VisionTransformerPretrainedModel -> mmproj GGUF in the
-    reference's qwen2vl_merger conventions (clip.cpp build_qwen2vl /
-    clip-impl.h: dual patch-conv slices, split qkv, merger ln_q stored as
-    v.post_ln, merger mlp as mm.0/mm.1)."""
+    """HF Qwen2/Qwen2.5 vision transformer -> mmproj GGUF in the
+    reference's qwen2vl_merger / qwen2.5vl_merger conventions (clip.cpp
+    build_qwen2vl / clip-impl.h: dual patch-conv slices, split qkv, merger
+    ln_q stored as v.post_ln, merger mlp as mm.0/mm.1; 2.5 adds RMS norms,
+    gated-silu MLP and the n_wa_pattern window-attention key)."""
     import numpy as np
 
     cfg = visual.config
+    is_25 = hasattr(cfg, "fullatt_block_indexes")
     E = int(cfg.embed_dim if hasattr(cfg, "embed_dim") else cfg.hidden_size)
     w = GGUFWriter(path, arch="clip")
     w.add_kv("clip.has_vision_encoder", True)
-    w.add_kv("clip.projector_type", "qwen2vl_merger")
+    w.add_kv("clip.projector_type",
+             "qwen2.5vl_merger" if is_25 else "qwen2vl_merger")
     w.add_kv("clip.use_gelu", False)  # vision MLP act is quick-gelu
     w.add_kv("clip.vision.image_size", 28 * 16)  # dynamic; nominal value
     w.add_kv("clip.vision.patch_size", int(cfg.patch_size))
@@ -817,8 +820,18 @@ def convert_hf_qwen2vl_mmproj(visual, path: str):
     w.add_kv("clip.vision.block_count", int(cfg.depth))
     w.add_kv("clip.vision.attention.head_count", int(cfg.num_heads))
     w.add_kv("clip.vision.feed_forward_length",
-             int(round(E * float(getattr(cfg, "mlp_ratio", 4.0)))))
-    w.add_kv("clip.vision.projection_dim", int(cfg.hidden_size))
+             int(getattr(cfg, "intermediate_size", 0))
+             or int(round(E * float(getattr(cfg, "mlp_ratio", 4.0)))))
+    w.add_kv("clip.vision.projection_dim",
+             int(getattr(cfg, "out_hidden_size", 0))
+             or int(cfg.hidden_size))
+    if is_25:
+        # window pattern: fullatt_block_indexes -> every n-th block
+        # (reference converter computes KEY_WIN_ATTN_PATTERN the same way)
+        fab = list(cfg.fullatt_block_indexes)
+        pat = fab[0] + 1 if fab else 0
+        w.add_kv("clip.vision.n_wa_pattern", int(pat))
+        w.add_kv("clip.vision.window_size", int(cfg.window_size))
     w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
     w.add_kv("clip.vision.spatial_merge_size",
              int(cfg.spatial_merge_size))
@@ -849,15 +862,24 @@ def convert_hf_qwen2vl_mmproj(visual, path: str):
         put(g + "attn_out.weight", sd[b + "attn.proj.weight"])
         put(g + "attn_out.bias", sd[b + "attn.proj.bias"])
         put(g + "ln1.weight", sd[b + "norm1.weight"])
-        put(g + "ln1.bias", sd[b + "norm1.bias"])
         put(g + "ln2.weight", sd[b + "norm2.weight"])
-        put(g + "ln2.bias", sd[b + "norm2.bias"])
-        put(g + "ffn_up.weight", sd[b + "mlp.fc1.weight"])
-        put(g + "ffn_up.bias", sd[b + "mlp.fc1.bias"])
-        put(g + "ffn_down.weight", sd[b + "mlp.fc2.weight"])
-        put(g + "ffn_down.bias", sd[b + "mlp.fc2.bias"])
+        if is_25:  # RMS norms, gated-silu MLP
+            put(g + "ffn_gate.weight", sd[b + "mlp.gate_proj.weight"])
+            put(g + "ffn_gate.bias", sd[b + "mlp.gate_proj.bias"])
+            put(g + "ffn_up.weight", sd[b + "mlp.up_proj.weight"])
+            put(g + "ffn_up.bias", sd[b + "mlp.up_proj.bias"])
+            put(g + "ffn_down.weight", sd[b + "mlp.down_proj.weight"])
+            put(g + "ffn_down.bias", sd[b + "mlp.down_proj.bias"])
+        else:
+            put(g + "ln1.bias", sd[b + "norm1.bias"])
+            put(g + "ln2.bias", sd[b + "norm2.bias"])
+            put(g + "ffn_up.weight", sd[b + "mlp.fc1.weight"])
+            put(g + "ffn_up.bias", sd[b + "mlp.fc1.bias"])
+            put(g + "ffn_down.weight", sd[b + "mlp.fc2.weight"])
+            put(g + "ffn_down.bias", sd[b + "mlp.fc2.bias"])
     put("v.post_ln.weight", sd["merger.ln_q.weight"])
-    put("v.post_ln.bias", sd["merger.ln_q.bias"])
+    if not is_25:
+        put("v.post_ln.bias", sd["merger.ln_q.bias"])
     put("mm.0.weight", sd["merger.mlp.0.weight"])
     put("mm.0.bias", sd["merger.mlp.0.bias"])
     put("mm.1.weight", sd["merger.mlp.2.weight"])

@@ -37,6 +37,8 @@ class ClipVisionConfig:
     use_gelu: bool = True  # False -> quick-gelu (original CLIP)
     use_silu: bool = False
     projector: str = "mlp"  # llava mm.0/mm.2
+    window_size: int = 0  # qwen2.5vl window attention
+    n_wa_pattern: int = 0  # every n-th block is full-attention
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     has_class_embd: bool = True
@@ -68,6 +70,8 @@ def clip_config_from_gguf(reader) -> ClipVisionConfig:
         use_gelu=bool(_g(reader, "clip.use_gelu", True)),
         use_silu=bool(_g(reader, "clip.use_silu", False)),
         projector=str(_g(reader, "clip.projector_type", "mlp")),
+        window_size=int(_g(reader, "clip.vision.window_size", 0) or 0),
+        n_wa_pattern=int(_g(reader, "clip.vision.n_wa_pattern", 0) or 0),
         image_mean=tuple(np.asarray(mean, np.float32)) if mean is not None
         else ClipVisionConfig.image_mean,
         image_std=tuple(np.asarray(std, np.float32)) if std is not None

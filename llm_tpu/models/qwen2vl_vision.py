@@ -36,11 +36,32 @@ def _block_order_pos(h: int, w: int, merge: int = 2):
     return blk(hh), blk(ww)
 
 
+def _window_index(grid_t, gh_llm, gw_llm, win):
+    """Window-partition order over the MERGED grid + per-token window ids
+    (Qwen2_5_VisionTransformer.get_window_index)."""
+    idx = np.arange(grid_t * gh_llm * gw_llm).reshape(grid_t, gh_llm, gw_llm)
+    pad_h = (-gh_llm) % win
+    pad_w = (-gw_llm) % win
+    padded = np.full((grid_t, gh_llm + pad_h, gw_llm + pad_w), -100)
+    padded[:, :gh_llm, :gw_llm] = idx
+    nh, nw = (gh_llm + pad_h) // win, (gw_llm + pad_w) // win
+    padded = padded.reshape(grid_t, nh, win, nw, win)         .transpose(0, 1, 3, 2, 4).reshape(grid_t, nh * nw, win, win)
+    wids = np.repeat(np.arange(grid_t * nh * nw),
+                     (padded != -100).reshape(grid_t * nh * nw, -1).sum(1))
+    flat = padded.reshape(-1)
+    return flat[flat != -100], wids
+
+
 def qwen2vl_vision_encode(params: dict, cfg: ClipVisionConfig,
                           patches: jnp.ndarray, grid_t: int, grid_h: int,
                           grid_w: int, temporal: int = 2,
                           merge: int = 2) -> jnp.ndarray:
-    """patches [N, C*temporal*P*P] -> merged embeddings [N/merge^2, proj]."""
+    """patches [N, C*temporal*P*P] -> merged embeddings [N/merge^2, proj].
+
+    Handles both towers: qwen2vl_merger (LayerNorm, quick-gelu MLP, full
+    attention) and qwen2.5vl_merger (RMSNorm, gated-silu MLP, window
+    attention except full_attn_block_indexes — clip.cpp build_qwen2vl
+    use_window_attn branches)."""
     f32 = jnp.float32
     E = cfg.n_embd
     H = cfg.n_heads
@@ -48,6 +69,7 @@ def qwen2vl_vision_encode(params: dict, cfg: ClipVisionConfig,
     eps = cfg.eps
     P = cfg.patch_size
     N = patches.shape[0]
+    q25 = cfg.projector == "qwen2.5vl_merger"
 
     # dual-slice patch conv == one matmul over the flattened kernel
     w0 = params["patch_embd"].astype(f32).reshape(E, -1)  # [E, C*P*P] (t=0)
@@ -68,37 +90,79 @@ def qwen2vl_vision_encode(params: dict, cfg: ClipVisionConfig,
     cos = jnp.asarray(np.cos(emb), f32)[:, None, :]
     sin = jnp.asarray(np.sin(emb), f32)[:, None, :]
 
+    # qwen2.5: window-attention reorder (merge-unit groups) + masks
+    attn_bias_win = None
+    fullatt = ()
+    if q25:
+        win = max(1, cfg.window_size // merge // P)
+        mh, mw = grid_h // merge, grid_w // merge
+        widx, wids = _window_index(grid_t, mh, mw, win)
+        unit = merge * merge
+        order = (widx[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
+        x = x[jnp.asarray(order)]
+        cos = cos[jnp.asarray(order)]
+        sin = sin[jnp.asarray(order)]
+        tok_wid = np.repeat(wids, unit)
+        attn_bias_win = jnp.asarray(
+            np.where(tok_wid[:, None] == tok_wid[None, :], 0.0, -np.inf),
+            f32)
+        # every n_wa_pattern-th block runs full attention (KEY_WIN_ATTN_PATTERN)
+        pat = cfg.n_wa_pattern
+        fullatt = {i for i in range(cfg.n_layers)
+                   if pat > 0 and (i + 1) % pat == 0}
+
     def rope(t):  # rotate-half over the full head dim
         th = jnp.concatenate([-t[..., D // 2:], t[..., : D // 2]], axis=-1)
         return t * cos + th * sin
 
+    def norm(t, w, b):
+        if q25:  # RMSNorm
+            tf = t.astype(f32)
+            return tf / jnp.sqrt((tf ** 2).mean(-1, keepdims=True) + eps) \
+                * w.astype(f32)
+        return _ln(t, w, b, eps)
+
     scale = D ** -0.5
-    for L in params["layers"]:
-        h1 = _ln(x, L["ln1"], L.get("ln1_b"), eps)
+    for il, L in enumerate(params["layers"]):
+        h1 = norm(x, L["ln1"], L.get("ln1_b"))
         q = (h1 @ L["attn_q"].T.astype(f32) + L["attn_q_b"]).reshape(N, H, D)
         k = (h1 @ L["attn_k"].T.astype(f32) + L["attn_k_b"]).reshape(N, H, D)
         v = (h1 @ L["attn_v"].T.astype(f32) + L["attn_v_b"]).reshape(N, H, D)
         q, k = rope(q), rope(k)
-        att = jax.nn.softmax(
-            jnp.einsum("qhd,khd->hqk", q * scale, k), axis=-1)
+        scores = jnp.einsum("qhd,khd->hqk", q * scale, k)
+        if attn_bias_win is not None and il not in fullatt:
+            scores = scores + attn_bias_win
+        att = jax.nn.softmax(scores, axis=-1)
         o = jnp.einsum("hqk,khd->qhd", att, v).reshape(N, E)
         x = x + (o @ L["attn_out"].T.astype(f32) + L["attn_out_b"])
-        h2 = _ln(x, L["ln2"], L.get("ln2_b"), eps)
-        up = h2 @ L["ffn_up"].T.astype(f32) + L["ffn_up_b"]
-        if cfg.use_silu:
-            up = jax.nn.silu(up)
-        elif cfg.use_gelu:
-            up = jax.nn.gelu(up, approximate=False)
-        else:  # quick-gelu (Qwen2VL vision default)
-            up = up * jax.nn.sigmoid(1.702 * up)
+        h2 = norm(x, L["ln2"], L.get("ln2_b"))
+        if "ffn_gate" in L:  # qwen2.5: gated silu
+            up = (jax.nn.silu(h2 @ L["ffn_gate"].T.astype(f32)
+                              + L["ffn_gate_b"])
+                  * (h2 @ L["ffn_up"].T.astype(f32) + L["ffn_up_b"]))
+        else:
+            up = h2 @ L["ffn_up"].T.astype(f32) + L["ffn_up_b"]
+            if cfg.use_silu:
+                up = jax.nn.silu(up)
+            elif cfg.use_gelu:
+                up = jax.nn.gelu(up, approximate=False)
+            else:  # quick-gelu (Qwen2VL vision default)
+                up = up * jax.nn.sigmoid(1.702 * up)
         x = x + (up @ L["ffn_down"].T.astype(f32) + L["ffn_down_b"])
 
     # merger: ln_q (stored as v.post_ln) -> [N/4, 4E] -> mm.0 -> GELU -> mm.1
-    x = _ln(x, params["post_ln"], params.get("post_ln_b"), 1e-6)
+    if q25:
+        xf = x.astype(f32)
+        x = xf / jnp.sqrt((xf ** 2).mean(-1, keepdims=True) + 1e-6) \
+            * params["post_ln"].astype(f32)
+    else:
+        x = _ln(x, params["post_ln"], params.get("post_ln_b"), 1e-6)
     x = x.reshape(N // (merge * merge), -1)
     x = x @ params["mm_0"].T.astype(f32) + params["mm_0_b"]
     x = jax.nn.gelu(x, approximate=False)
     x = x @ params["mm_1"].T.astype(f32) + params["mm_1_b"]
+    if q25:  # undo the window-partition reorder (merged-token order)
+        x = x[jnp.asarray(np.argsort(widx))]
     return x
 
 

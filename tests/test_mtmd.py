@@ -304,3 +304,35 @@ def test_qwen2vl_generation_after_image(tmp_path):
     first = int(np.argmax(ctx2.get_logits()))
     out = ctx2.generate_loop(first, 5, seq_id=0)
     assert [first] + out == want
+
+
+def test_qwen25vl_vision_tower_matches_hf(tmp_path):
+    """Qwen2.5-VL tower: RMS norms, gated-silu MLP, WINDOW attention with
+    the merge-unit reorder + full-attention pattern blocks, RMS merger
+    ln_q; output back in merged-token order (clip.cpp use_window_attn)."""
+    from llm_tpu.convert.hf_llama import convert_hf_qwen2vl_mmproj
+    from llm_tpu.models.qwen2vl_vision import (load_qwen2vl_vision,
+                                               qwen2vl_vision_encode)
+
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import \
+        Qwen2_5_VLVisionConfig
+    vcfg = Qwen2_5_VLVisionConfig(
+        depth=4, hidden_size=32, intermediate_size=48, num_heads=2,
+        in_channels=3, patch_size=4, spatial_merge_size=2,
+        temporal_patch_size=2, window_size=16,  # 16/2/4 = 2 merged tokens
+        fullatt_block_indexes=[1, 3], out_hidden_size=64,
+    )
+    torch.manual_seed(0)
+    vis = transformers.models.qwen2_5_vl.modeling_qwen2_5_vl \
+        .Qwen2_5_VisionTransformerPretrainedModel(vcfg).eval()
+    grid = torch.tensor([[1, 8, 8]])  # 8x8 patches -> 4x4 merged
+    pv = torch.randn(64, 3 * 2 * 4 * 4)
+    with torch.no_grad():
+        want = vis(pv, grid_thw=grid).numpy()
+    path = str(tmp_path / "q25_mmproj.gguf")
+    convert_hf_qwen2vl_mmproj(vis, path)
+    params, cfg = load_qwen2vl_vision(GGUFReader(path))
+    assert cfg.projector == "qwen2.5vl_merger" and cfg.n_wa_pattern == 2
+    got = np.asarray(qwen2vl_vision_encode(
+        params, cfg, jnp.asarray(pv.numpy()), 1, 8, 8))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
