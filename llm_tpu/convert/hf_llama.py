@@ -1633,3 +1633,57 @@ def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
             f"{sorted(_MODEL_TYPE_ARCH) + ['mamba', 'mamba2', 't5']}")
     return convert_hf_llama(model, path, arch=arch, out_type=out_type,
                             vocab=vocab)
+
+
+def convert_hf_idefics3_mmproj(vision_model, connector, path: str,
+                               scale_factor: int):
+    """HF Idefics3VisionTransformer + Idefics3Connector -> mmproj GGUF
+    (reference conventions: siglip tower tensors, pixel-shuffle scale in
+    clip.vision.projector.scale_factor, projection as mm.model.fc)."""
+    import numpy as np
+
+    cfg = vision_model.config
+    w = GGUFWriter(path, arch="clip")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "idefics3")
+    w.add_kv("clip.use_gelu", True)
+    w.add_kv("clip.vision.image_size", int(cfg.image_size))
+    w.add_kv("clip.vision.patch_size", int(cfg.patch_size))
+    w.add_kv("clip.vision.embedding_length", int(cfg.hidden_size))
+    w.add_kv("clip.vision.block_count", int(cfg.num_hidden_layers))
+    w.add_kv("clip.vision.attention.head_count", int(cfg.num_attention_heads))
+    w.add_kv("clip.vision.feed_forward_length", int(cfg.intermediate_size))
+    w.add_kv("clip.vision.projection_dim", int(cfg.hidden_size))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(cfg.layer_norm_eps))
+    w.add_kv("clip.vision.projector.scale_factor", int(scale_factor))
+    w.add_kv("clip.vision.image_mean", [0.5, 0.5, 0.5])
+    w.add_kv("clip.vision.image_std", [0.5, 0.5, 0.5])
+
+    sd = {k: v.detach().cpu().float().numpy()
+          for k, v in vision_model.state_dict().items()}
+
+    def put(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(arr, dtype=np.float32),
+                     ggml_type=GGMLType.F32)
+
+    put("v.patch_embd.weight", sd["embeddings.patch_embedding.weight"])
+    put("v.patch_embd.bias", sd["embeddings.patch_embedding.bias"])
+    put("v.position_embd.weight", sd["embeddings.position_embedding.weight"])
+    put("v.post_ln.weight", sd["post_layernorm.weight"])
+    put("v.post_ln.bias", sd["post_layernorm.bias"])
+    for il in range(int(cfg.num_hidden_layers)):
+        b = f"encoder.layers.{il}."
+        g = f"v.blk.{il}."
+        for hf, gg in (
+            ("self_attn.q_proj", "attn_q"), ("self_attn.k_proj", "attn_k"),
+            ("self_attn.v_proj", "attn_v"), ("self_attn.out_proj", "attn_out"),
+            ("mlp.fc1", "ffn_up"), ("mlp.fc2", "ffn_down"),
+            ("layer_norm1", "ln1"), ("layer_norm2", "ln2"),
+        ):
+            put(g + gg + ".weight", sd[b + hf + ".weight"])
+            put(g + gg + ".bias", sd[b + hf + ".bias"])
+    proj = connector.modality_projection.proj.weight.detach().float().numpy()
+    put("mm.model.fc.weight", proj)
+    w.write()
+    return path

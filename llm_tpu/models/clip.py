@@ -39,6 +39,7 @@ class ClipVisionConfig:
     projector: str = "mlp"  # llava mm.0/mm.2
     window_size: int = 0  # qwen2.5vl window attention
     n_wa_pattern: int = 0  # every n-th block is full-attention
+    proj_scale_factor: int = 0  # idefics3/internvl pixel-shuffle factor
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     has_class_embd: bool = True
@@ -72,6 +73,8 @@ def clip_config_from_gguf(reader) -> ClipVisionConfig:
         projector=str(_g(reader, "clip.projector_type", "mlp")),
         window_size=int(_g(reader, "clip.vision.window_size", 0) or 0),
         n_wa_pattern=int(_g(reader, "clip.vision.n_wa_pattern", 0) or 0),
+        proj_scale_factor=int(
+            _g(reader, "clip.vision.projector.scale_factor", 0) or 0),
         image_mean=tuple(np.asarray(mean, np.float32)) if mean is not None
         else ClipVisionConfig.image_mean,
         image_std=tuple(np.asarray(std, np.float32)) if std is not None
@@ -125,6 +128,7 @@ def load_clip_params(reader) -> dict:
         opt(p, f"mm_{i}_b", f"mm.{i}.bias")
     opt(p, "mm_input_projection", "mm.input_projection.weight")  # gemma3
     opt(p, "mm_soft_emb_norm", "mm.soft_emb_norm.weight")
+    opt(p, "mm_projection", "mm.model.fc.weight")  # idefics3
     return p
 
 
@@ -212,6 +216,17 @@ def clip_encode(params: dict, cfg: ClipVisionConfig, patches: jnp.ndarray):
             x = x @ params["mm_2"].T + params.get("mm_2_b", 0.0)
     elif "mm_input_projection" in params:  # gemma3-style single projection
         x = x @ params["mm_input_projection"]
+    elif "mm_projection" in params:
+        # idefics3: pixel shuffle then a single projection
+        # (Idefics3Connector; clip.cpp build_siglip IDEFICS3 branch)
+        s = cfg.proj_scale_factor
+        seq, E = x.shape
+        side = int(np.sqrt(seq))
+        x = x.reshape(side, side // s, E * s)
+        x = jnp.swapaxes(x, 0, 1)
+        x = x.reshape(side // s, side // s, E * s * s)
+        x = jnp.swapaxes(x, 0, 1).reshape(seq // (s * s), E * s * s)
+        x = x @ params["mm_projection"].T
     return x
 
 

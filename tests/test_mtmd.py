@@ -336,3 +336,41 @@ def test_qwen25vl_vision_tower_matches_hf(tmp_path):
     got = np.asarray(qwen2vl_vision_encode(
         params, cfg, jnp.asarray(pv.numpy()), 1, 8, 8))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_idefics3_projector_matches_hf(tmp_path):
+    """idefics3: SigLIP tower + pixel-shuffle connector + single fc
+    projection (Idefics3Connector; clip.cpp build_siglip IDEFICS3 branch +
+    clip.vision.projector.scale_factor)."""
+    from transformers.models.idefics3.modeling_idefics3 import (
+        Idefics3Connector, Idefics3VisionTransformer)
+
+    from llm_tpu.convert.hf_llama import convert_hf_idefics3_mmproj
+    from llm_tpu.models.clip import (clip_config_from_gguf, clip_encode,
+                                     load_clip_params, patchify)
+
+    vcfg = transformers.Idefics3VisionConfig(
+        hidden_size=32, intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=4,
+        hidden_act="gelu_pytorch_tanh")
+    full = transformers.Idefics3Config(
+        vision_config=vcfg, scale_factor=2,
+        text_config=dict(vocab_size=64, hidden_size=48,
+                         intermediate_size=64, num_hidden_layers=1,
+                         num_attention_heads=2))
+    torch.manual_seed(0)
+    vis = Idefics3VisionTransformer(vcfg).eval()
+    conn = Idefics3Connector(full).eval()
+    px = torch.randn(1, 3, 32, 32)
+    with torch.no_grad():
+        h = vis(px).last_hidden_state
+        want = conn(h)[0].numpy()
+    path = str(tmp_path / "idefics3.gguf")
+    convert_hf_idefics3_mmproj(vis, conn, path, scale_factor=2)
+    r = GGUFReader(path)
+    cfg = clip_config_from_gguf(r)
+    assert cfg.proj_scale_factor == 2
+    params = load_clip_params(r)
+    patches = patchify(px[0].numpy(), 4)
+    got = np.asarray(clip_encode(params, cfg, jnp.asarray(patches)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
