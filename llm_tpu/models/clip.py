@@ -171,7 +171,20 @@ def clip_encode(params: dict, cfg: ClipVisionConfig, patches: jnp.ndarray):
         x = x + params["patch_bias"]
     if "class_embd" in params:
         x = jnp.concatenate([params["class_embd"][None, :], x], axis=0)
-    x = x + params["pos_embd"][: x.shape[0]]
+    if cfg.projector == "idefics3":
+        # idefics3/SmolVLM NaViT-style embeddings bucketize fractional patch
+        # coords into n_patches_per_side bins (HF Idefics3VisionEmbeddings):
+        # bucket(i, n) = floor(i/n * (1-1e-6) * nps) — for a full-size image
+        # this yields [0, 0, 1, ..., nps-2] per axis (bucket 0 reused, last
+        # row of the table unused), NOT arange. Trained checkpoints expect
+        # exactly this mapping.
+        side = int(round(np.sqrt(x.shape[0])))
+        nps = cfg.n_patches_per_side
+        idx = np.floor(np.arange(side) / side * (1 - 1e-6) * nps).astype(np.int32)
+        pos_ids = (idx[:, None] * nps + idx[None, :]).reshape(-1)
+        x = x + params["pos_embd"][pos_ids]
+    else:
+        x = x + params["pos_embd"][: x.shape[0]]
     if "pre_ln" in params:
         x = _ln(x, params["pre_ln"], params.get("pre_ln_b"), cfg.eps)
 

@@ -374,3 +374,42 @@ def test_idefics3_projector_matches_hf(tmp_path):
     patches = patchify(px[0].numpy(), 4)
     got = np.asarray(clip_encode(params, cfg, jnp.asarray(patches)))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_smolvlm_projector_matches_hf(tmp_path):
+    """SmolVLM: same Idefics3 family (HF SmolVLMVisionTransformer +
+    SmolVLMConnector are structural copies); exercises the NaViT bucketized
+    position ids (bucket 0 reused, last pos-embd row unused) at a different
+    geometry + scale_factor=3 (clip.cpp build_siglip IDEFICS3 branch)."""
+    from transformers.models.smolvlm.modeling_smolvlm import (
+        SmolVLMConnector, SmolVLMVisionTransformer)
+
+    from llm_tpu.convert.hf_llama import convert_hf_idefics3_mmproj
+    from llm_tpu.models.clip import (clip_config_from_gguf, clip_encode,
+                                     load_clip_params, patchify)
+
+    vcfg = transformers.models.smolvlm.SmolVLMVisionConfig(
+        hidden_size=36, intermediate_size=56, num_hidden_layers=2,
+        num_attention_heads=3, image_size=24, patch_size=2,
+        hidden_act="gelu_pytorch_tanh")
+    full = transformers.SmolVLMConfig(
+        vision_config=vcfg, scale_factor=3,
+        text_config=dict(vocab_size=64, hidden_size=48,
+                         intermediate_size=64, num_hidden_layers=1,
+                         num_attention_heads=2))
+    torch.manual_seed(1)
+    vis = SmolVLMVisionTransformer(vcfg).eval()
+    conn = SmolVLMConnector(full).eval()
+    px = torch.randn(1, 3, 24, 24)  # 12x12 patches -> 4x4 after shuffle
+    with torch.no_grad():
+        h = vis(px).last_hidden_state
+        want = conn(h)[0].numpy()
+    path = str(tmp_path / "smolvlm.gguf")
+    convert_hf_idefics3_mmproj(vis, conn, path, scale_factor=3)
+    r = GGUFReader(path)
+    cfg = clip_config_from_gguf(r)
+    assert cfg.proj_scale_factor == 3
+    params = load_clip_params(r)
+    patches = patchify(px[0].numpy(), 2)
+    got = np.asarray(clip_encode(params, cfg, jnp.asarray(patches)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
