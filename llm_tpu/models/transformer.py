@@ -146,7 +146,7 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
     # gather expert weights per (token, k): dense einsum over gathered planes
     act = ACTIVATIONS[cfg.act]
 
-    from ..parallel.moe import ep_mesh, moe_ffn_ep
+    from ..parallel.moe import ep_mesh, moe_ffn_ep, moe_ffn_grouped
 
     mesh, axis = ep_mesh()
     if mesh is not None and cfg.n_expert % mesh.shape[axis] == 0:
@@ -154,6 +154,16 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
             h, layer["ffn_up_exps"], layer.get("ffn_gate_exps"),
             layer["ffn_down_exps"], topi, topw.astype(jnp.float32), act,
             mesh, axis,
+        ).astype(h.dtype)
+
+    if T > 8:
+        # prefill: token-routed grouped dispatch — per-expert bucket
+        # matmuls stream each expert's weights from HBM once, instead of
+        # the per-assignment gather below that materializes [T, k, N, K]
+        # dequantized planes (O(T*k*N*K) bytes at real prefill sizes)
+        return moe_ffn_grouped(
+            h, layer["ffn_up_exps"], layer.get("ffn_gate_exps"),
+            layer["ffn_down_exps"], topi, topw.astype(jnp.float32), act,
         ).astype(h.dtype)
 
     cdtype = jnp.float32 if h.dtype == jnp.float32 else jnp.bfloat16
