@@ -23,7 +23,7 @@ from ..models.loader import load_params
 from ..models.transformer import forward
 from .batch import Batch, sanitize, split_simple
 from .kv_cache import (MAX_SEQS, CellTable, SWACellTable, new_kv_arrays,
-                       seq_bit_planes)
+                       pack_seq_sets, seq_bit_row)
 
 TOKEN_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
@@ -273,9 +273,7 @@ class Context:
         widx_swa[:n] = slots_swa
         spos = np.zeros(self.n_swa_rows, np.int32)
         spos[: self.cells_swa.n_cells] = self.cells_swa.pos
-        b64 = np.zeros(self.n_swa_rows, np.uint64)
-        b64[: self.cells_swa.n_cells] = self.cells_swa.seq_bits
-        return spos, seq_bit_planes(b64), widx_swa
+        return spos, self.cells_swa.bit_planes(self.n_swa_rows), widx_swa
 
     # -- decode ---------------------------------------------------------------
 
@@ -320,18 +318,13 @@ class Context:
             oidx[: len(out_rows)] = out_rows
 
             # occupy cells BEFORE the step so intra-ubatch attention sees them
-            bits = np.zeros(n, np.uint64)
-            for i, ss in enumerate(ub.seq_sets):
-                for s in ss:
-                    bits[i] |= np.uint64(1) << np.uint64(s)
+            bits = pack_seq_sets(ub.seq_sets)
             self.cells.pos[slots] = ub.pos
             self.cells.seq_bits[slots] = bits
 
             cpos = np.zeros(self.n_kv_rows, np.int32)
             cpos[: self.n_cells] = self.cells.pos
-            bits64 = np.zeros(self.n_kv_rows, np.uint64)
-            bits64[: self.n_cells] = self.cells.seq_bits
-            cbits = seq_bit_planes(bits64)
+            cbits = self.cells.bit_planes(self.n_kv_rows)
 
             extra = ()
             if slots_swa is not None:
@@ -463,18 +456,16 @@ class Context:
         widx[:n] = slots
 
         self.cells.pos[slots] = pos_np
-        self.cells.seq_bits[slots] = np.uint64(1) << np.uint64(seq_id)
+        self.cells.seq_bits[slots] = seq_bit_row(seq_id)
 
         cpos = np.zeros(self.n_kv_rows, np.int32)
         cpos[: self.n_cells] = self.cells.pos
-        bits64 = np.zeros(self.n_kv_rows, np.uint64)
-        bits64[: self.n_cells] = self.cells.seq_bits
-        cbits = seq_bit_planes(bits64)
+        cbits = self.cells.bit_planes(self.n_kv_rows)
 
         extra = ()
         if slots_swa is not None:
             self.cells_swa.pos[slots_swa] = pos_np
-            self.cells_swa.seq_bits[slots_swa] = np.uint64(1) << np.uint64(seq_id)
+            self.cells_swa.seq_bits[slots_swa] = seq_bit_row(seq_id)
             spos, sbits, widx_swa = self._swa_step_inputs(T, n, slots_swa)
             extra = (jnp.asarray(spos), jnp.asarray(sbits),
                      jnp.asarray(widx_swa))
@@ -812,9 +803,7 @@ class Context:
         cpos = np.zeros(self.n_kv_rows, np.int32)
         cpos[: self.n_cells] = self.cells.pos
         cpos[slots] = pos0 + np.arange(n, dtype=np.int32)  # pre-labeled
-        bits64 = np.zeros(self.n_kv_rows, np.uint64)
-        bits64[: self.n_cells] = self.cells.seq_bits
-        cbits = seq_bit_planes(bits64)
+        cbits = self.cells.bit_planes(self.n_kv_rows)
         eogs = np.asarray(list(eog_ids) or [-1], np.int32)
 
         step = self._get_gloop(n, float(temp), int(top_k))

@@ -26,18 +26,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MAX_SEQS = 64  # seq bit-set width (uint64 host-side; shipped to the device
-# as [S, 2] uint32 planes — TPUs have no 64-bit integer lanes). The
-# reference's server defaults to 256 slots but each ubatch still addresses
-# sequences through this per-cell membership set; 64 covers its practical
-# multi-slot configs (test-thread-safety runs 4-8).
+MAX_SEQS = 256  # seq bit-set width, matching the reference server's 256
+# parallel slots. Per-cell membership is a [SEQ_WORDS] uint32 word-plane
+# bitset host-side — the SAME layout the device mask consumes ([S, W]
+# uint32; TPUs have no 64-bit integer lanes, so 32-bit words are native
+# on both sides and the host table ships without conversion).
+SEQ_WORDS = MAX_SEQS // 32
 
 
-def seq_bit_planes(bits64: np.ndarray) -> np.ndarray:
-    """uint64 [S] -> uint32 [S, 2] (lo, hi) device planes."""
-    lo = (bits64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    hi = (bits64 >> np.uint64(32)).astype(np.uint32)
-    return np.stack([lo, hi], axis=1)
+def seq_bit_row(seq_id: int) -> np.ndarray:
+    """[SEQ_WORDS] uint32 bitset with only `seq_id` set."""
+    row = np.zeros(SEQ_WORDS, np.uint32)
+    row[seq_id >> 5] = np.uint32(1) << np.uint32(seq_id & 31)
+    return row
+
+
+def pack_seq_sets(seq_sets) -> np.ndarray:
+    """list of seq-id iterables -> [n, SEQ_WORDS] uint32 bitsets."""
+    bits = np.zeros((len(seq_sets), SEQ_WORDS), np.uint32)
+    for i, ss in enumerate(seq_sets):
+        for s in ss:
+            bits[i, s >> 5] |= np.uint32(1) << np.uint32(s & 31)
+    return bits
+
+
+def planes_from_u64(bits64: np.ndarray) -> np.ndarray:
+    """Legacy uint64 [n] bitsets -> [n, SEQ_WORDS] uint32 planes (old
+    state files stored the 64-seq single-word form)."""
+    out = np.zeros((len(bits64), SEQ_WORDS), np.uint32)
+    out[:, 0] = (bits64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out[:, 1] = (bits64 >> np.uint64(32)).astype(np.uint32)
+    return out
 
 
 @partial(
@@ -110,19 +129,29 @@ class CellTable:
     def __init__(self, n_cells: int):
         self.n_cells = n_cells
         self.pos = np.full(n_cells, -1, np.int32)
-        self.seq_bits = np.zeros(n_cells, np.uint64)
+        self.seq_bits = np.zeros((n_cells, SEQ_WORDS), np.uint32)
 
     # -- queries ------------------------------------------------------------
 
     def used_mask(self) -> np.ndarray:
-        return self.seq_bits != 0
+        return self.seq_bits.any(axis=1)
 
     @property
     def n_used(self) -> int:
-        return int(np.count_nonzero(self.seq_bits))
+        return int(np.count_nonzero(self.used_mask()))
 
     def seq_mask(self, seq_id: int) -> np.ndarray:
-        return (self.seq_bits >> np.uint64(seq_id)) & np.uint64(1) > 0
+        bit = np.uint32(1) << np.uint32(seq_id & 31)
+        return (self.seq_bits[:, seq_id >> 5] & bit) != 0
+
+    def bit_planes(self, n_rows: int | None = None) -> np.ndarray:
+        """[n_rows, SEQ_WORDS] uint32 device planes (zero-padded past
+        n_cells; padding rows have no members so they mask out)."""
+        if n_rows is None or n_rows == self.n_cells:
+            return self.seq_bits.copy()
+        out = np.zeros((n_rows, SEQ_WORDS), np.uint32)
+        out[: self.n_cells] = self.seq_bits
+        return out
 
     def seq_pos_min(self, seq_id: int) -> int:
         m = self.seq_mask(seq_id)
@@ -139,14 +168,17 @@ class CellTable:
 
     def find_slots(self, n: int) -> np.ndarray | None:
         """Indices of n free cells, or None if the cache is full."""
-        free = np.flatnonzero(self.seq_bits == 0)
+        free = np.flatnonzero(~self.used_mask())
         if len(free) < n:
             return None
         return free[:n].astype(np.int32)
 
     def occupy(self, idx: np.ndarray, pos: np.ndarray, seq_ids: np.ndarray) -> None:
         self.pos[idx] = pos
-        self.seq_bits[idx] = np.uint64(1) << seq_ids.astype(np.uint64)
+        seq_ids = np.asarray(seq_ids, np.int64)
+        self.seq_bits[idx] = 0
+        self.seq_bits[idx, seq_ids >> 5] = \
+            np.uint32(1) << (seq_ids & 31).astype(np.uint32)
 
     def release(self, idx: np.ndarray) -> None:
         self.pos[idx] = -1
@@ -163,17 +195,20 @@ class CellTable:
 
     def seq_rm(self, seq_id: int, p0: int = -1, p1: int = -1) -> None:
         m = self._range_mask(seq_id, p0, p1)
-        self.seq_bits[m] &= ~(np.uint64(1) << np.uint64(seq_id))
-        empty = m & (self.seq_bits == 0)
+        self.seq_bits[m, seq_id >> 5] &= \
+            ~(np.uint32(1) << np.uint32(seq_id & 31))
+        empty = m & ~self.used_mask()
         self.pos[empty] = -1
 
     def seq_cp(self, src: int, dst: int, p0: int = -1, p1: int = -1) -> None:
         m = self._range_mask(src, p0, p1)
-        self.seq_bits[m] |= np.uint64(1) << np.uint64(dst)
+        self.seq_bits[m, dst >> 5] |= np.uint32(1) << np.uint32(dst & 31)
 
     def seq_keep(self, seq_id: int) -> None:
         keep = self.seq_mask(seq_id)
-        self.seq_bits[:] = np.where(keep, np.uint64(1) << np.uint64(seq_id), np.uint64(0))
+        self.seq_bits[:] = 0
+        self.seq_bits[keep, seq_id >> 5] = \
+            np.uint32(1) << np.uint32(seq_id & 31)
         self.pos[~keep] = -1
 
     def seq_add(self, seq_id: int, p0: int, p1: int, delta: int) -> None:
@@ -215,13 +250,13 @@ class SWACellTable(CellTable):
         self.window = window
 
     def prune(self) -> None:
-        occupied = self.seq_bits != 0
+        occupied = self.used_mask()
         if not occupied.any():
             return
         live = np.zeros(self.n_cells, bool)
-        all_bits = np.bitwise_or.reduce(self.seq_bits)
+        all_bits = np.bitwise_or.reduce(self.seq_bits, axis=0)
         for s in range(MAX_SEQS):
-            if not (int(all_bits) >> s) & 1:
+            if not (int(all_bits[s >> 5]) >> (s & 31)) & 1:
                 continue
             m = self.seq_mask(s)
             pmax = int(self.pos[m].max())

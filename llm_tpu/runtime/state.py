@@ -13,7 +13,17 @@ from __future__ import annotations
 
 import numpy as np
 
+from .kv_cache import planes_from_u64, seq_bit_row
+
 MAGIC = "llm_tpu_state_v1"
+
+
+def _bits_planes(arr: np.ndarray) -> np.ndarray:
+    """Accept both stored forms: [n, SEQ_WORDS] uint32 planes (current) or
+    legacy [n] uint64 single-word bitsets."""
+    if arr.ndim == 1:
+        return planes_from_u64(arr)
+    return np.asarray(arr, np.uint32)
 
 
 def _rows_to_f32(cache, idx) -> np.ndarray:
@@ -55,7 +65,7 @@ def state_save(ctx, path: str, tokens: list[int] | None = None) -> None:
     """Full context state: all occupied cells + their KV rows. With the
     ISWA dual cache, SWA layers' rows come from their own ring (saved with
     its metadata under swa_* keys)."""
-    used = np.flatnonzero(ctx.cells.seq_bits != 0).astype(np.int32)
+    used = np.flatnonzero(ctx.cells.used_mask()).astype(np.int32)
     data = {
         "magic": np.asarray(MAGIC),
         "pos": ctx.cells.pos[used],
@@ -65,7 +75,7 @@ def state_save(ctx, path: str, tokens: list[int] | None = None) -> None:
     }
     used_swa = used
     if ctx.cells_swa is not None:
-        used_swa = np.flatnonzero(ctx.cells_swa.seq_bits != 0).astype(np.int32)
+        used_swa = np.flatnonzero(ctx.cells_swa.used_mask()).astype(np.int32)
         data["swa_pos"] = ctx.cells_swa.pos[used_swa]
         data["swa_seq_bits"] = ctx.cells_swa.seq_bits[used_swa]
     for il in range(ctx.cfg.n_layers):
@@ -90,7 +100,7 @@ def state_load(ctx, path: str) -> list[int]:
     if slots is None:
         raise ValueError(f"cache too small for saved state ({n} cells)")
     ctx.cells.pos[slots] = d["pos"]
-    ctx.cells.seq_bits[slots] = d["seq_bits"]
+    ctx.cells.seq_bits[slots] = _bits_planes(d["seq_bits"])
     idx = jnp.asarray(slots)
     idx_swa = idx
     if ctx.cells_swa is not None:
@@ -101,7 +111,7 @@ def state_load(ctx, path: str) -> list[int]:
         if slots_swa is None:
             raise ValueError("SWA ring too small for saved state")
         ctx.cells_swa.pos[slots_swa] = d["swa_pos"]
-        ctx.cells_swa.seq_bits[slots_swa] = d["swa_seq_bits"]
+        ctx.cells_swa.seq_bits[slots_swa] = _bits_planes(d["swa_seq_bits"])
         idx_swa = jnp.asarray(slots_swa)
     for il in range(ctx.cfg.n_layers):
         dst = idx_swa if _is_swa_layer(ctx, il) else idx
@@ -151,7 +161,7 @@ def state_seq_load(ctx, seq_id: int, path: str) -> list[int]:
     if slots is None:
         raise ValueError("no KV space for sequence state")
     ctx.cells.pos[slots] = d["pos"]
-    ctx.cells.seq_bits[slots] = np.uint64(1) << np.uint64(seq_id)
+    ctx.cells.seq_bits[slots] = seq_bit_row(seq_id)
     idx = jnp.asarray(slots)
     idx_swa = idx
     if ctx.cells_swa is not None:
@@ -162,7 +172,7 @@ def state_seq_load(ctx, seq_id: int, path: str) -> list[int]:
         if slots_swa is None:
             raise ValueError("no SWA ring space for sequence state")
         ctx.cells_swa.pos[slots_swa] = d["swa_pos"]
-        ctx.cells_swa.seq_bits[slots_swa] = np.uint64(1) << np.uint64(seq_id)
+        ctx.cells_swa.seq_bits[slots_swa] = seq_bit_row(seq_id)
         idx_swa = jnp.asarray(slots_swa)
     for il in range(ctx.cfg.n_layers):
         dst = idx_swa if _is_swa_layer(ctx, il) else idx

@@ -99,7 +99,7 @@ def test_invalid_seq_id_returns_neg1(tiny_gguf):
     path, _ = tiny_gguf
     ctx = Context(GGUFReader(path), n_cells=8, dtype=jnp.float32)
     b = Batch()
-    b.add(1, 0, (99,), True)
+    b.add(1, 0, (999,), True)
     assert ctx.decode(b) == -1
 
 
@@ -258,11 +258,12 @@ def test_iswa_state_roundtrip():
 
 
 def test_seq_ids_above_32():
-    """MAX_SEQS=64: sequences 32-63 work and are isolated (uint64 bitset
-    shipped as [S, 2] uint32 planes)."""
+    """MAX_SEQS=256 (the reference server's parallel-slot ceiling,
+    llama-server default --parallel cap): high sequence ids work and are
+    isolated (multi-word [S, W] uint32 bit-planes)."""
     from llm_tpu.runtime.kv_cache import MAX_SEQS
 
-    assert MAX_SEQS >= 64
+    assert MAX_SEQS >= 256
     from llm_tpu.models.synthetic import make_synthetic_model
 
     params, cfg = make_synthetic_model(
@@ -284,6 +285,17 @@ def test_seq_ids_above_32():
     assert ctx.seq_pos_max(63) == 2
     ctx.seq_rm(63)
     assert ctx.seq_pos_max(63) == -1
+    # word-3 bitset lane: seq 255 isolated from seq 40, seq_cp across words
+    assert ctx.decode(Batch.text(toks, seq_id=255)) == 0
+    np.testing.assert_allclose(ctx.get_logits(), ref, atol=1e-6)
+    ctx.seq_cp(255, 130)
+    assert ctx.decode(Batch.one(7, pos=len(toks), seq_id=130)) == 0
+    np.testing.assert_allclose(ctx.get_logits(), got40, atol=1e-6)
+    assert ctx.seq_pos_max(255) == len(toks) - 1
+    ctx.seq_keep(130)
+    assert ctx.seq_pos_max(255) == -1
+    assert ctx.seq_pos_max(40) == -1
+    assert ctx.seq_pos_max(130) == len(toks)
 
 
 def test_scan_layers_matches_loop():
