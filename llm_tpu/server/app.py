@@ -562,7 +562,11 @@ def main(argv=None):
 
     add_override_kv(ap)
     add_mesh_args(ap)
+    from ..tools.args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
     mesh = mesh_from_args(args)
 
     reader = GGUFReader(args.model)

@@ -42,6 +42,27 @@ def required_unless_env(name: str):
     return env_default(name, None) is None
 
 
+def add_device(ap) -> None:
+    """--device PLATFORM — pin the JAX platform (cpu / tpu / axon …), the
+    analogue of the reference's --device dev list (common/arg.cpp
+    --device). Needed because env-var platform overrides are unreliable
+    when a plugin platform (tunneled TPU) is registered; jax.config is
+    authoritative."""
+    ap.add_argument("--device", default=env_default("device", None),
+                    metavar="PLATFORM",
+                    help="JAX platform to run on (cpu|tpu|...); default: "
+                         "auto. Env: LLM_TPU_ARG_DEVICE")
+
+
+def apply_device(device: str | None) -> None:
+    """Apply a --device choice. Must run before the first JAX computation
+    (the backend is chosen lazily at first use)."""
+    if device:
+        import jax
+
+        jax.config.update("jax_platforms", device)
+
+
 def add_override_kv(ap) -> None:
     """--override-kv KEY=TYPE:VALUE (repeatable) — the analogue of the
     reference's llama_model_kv_override (llama.h:280-291, common arg

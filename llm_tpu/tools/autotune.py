@@ -73,7 +73,11 @@ def main(argv=None):
                     help="comma list of KxN pairs overriding geometry/model")
     ap.add_argument("--mins", action="store_true",
                     help="benchmark the fused-mins kernel (Q4_K decode path)")
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")

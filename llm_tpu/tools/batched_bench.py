@@ -66,7 +66,11 @@ def main(argv=None):
                     default=[1, 2, 4], help="parallel seq counts")
     ap.add_argument("-c", "--ctx-size", type=int, default=ed("ctx-size", 4096))
     ap.add_argument("--f32", action="store_true")
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
 
     reader = GGUFReader(args.model)
     ctx = Context(reader, n_cells=args.ctx_size,

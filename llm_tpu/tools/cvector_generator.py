@@ -109,7 +109,11 @@ def main(argv=None):
     ap.add_argument("--negative-file", required=True)
     ap.add_argument("-o", "--output", default="control_vector.gguf")
     ap.add_argument("--method", choices=("pca", "mean"), default="pca")
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
 
     pos = [l for l in open(args.positive_file, encoding="utf-8").read().splitlines() if l]
     neg = [l for l in open(args.negative_file, encoding="utf-8").read().splitlines() if l]

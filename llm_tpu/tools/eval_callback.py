@@ -31,7 +31,11 @@ def main(argv=None):
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     ap.add_argument("--values", type=int, default=8,
                     help="leading values printed per tensor row")
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

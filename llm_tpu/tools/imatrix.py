@@ -80,7 +80,11 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="imatrix.npz")
     ap.add_argument("-c", "--ctx-size", type=int, default=512)
     ap.add_argument("--chunks", type=int, default=None)
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
 
     reader = GGUFReader(args.model)
     tok = tokenizer_from_gguf(reader)

@@ -30,7 +30,11 @@ def main(argv=None):
     ap.add_argument("-c", "--ctx-size", type=int, default=4096)
     ap.add_argument("--temp", type=float, default=0.2)
     ap.add_argument("--f32", action="store_true")
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
 
     from PIL import Image
 

@@ -280,7 +280,11 @@ def main(argv=None):
     from .mesh_args import add_mesh_args, mesh_from_args
 
     add_mesh_args(ap)
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
     mesh = mesh_from_args(args)
 
     reader = GGUFReader(args.model)

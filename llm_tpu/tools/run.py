@@ -32,7 +32,11 @@ def main(argv=None):
     ap.add_argument("--temp", type=float, default=0.8)
     ap.add_argument("--chat-template", default=None)
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
     if args.platform:
         import jax
 

@@ -38,7 +38,11 @@ def main(argv=None):
     ap.add_argument("-o", "--output", required=True,
                     help="output GGUF (model checkpoint or LoRA adapter)")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
     if args.platform:
         import jax
 

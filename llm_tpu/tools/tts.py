@@ -48,7 +48,11 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="output.wav")
     ap.add_argument("-n", "--n-predict", type=int, default=768)
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    from .args import add_device, apply_device
+
+    add_device(ap)
     args = ap.parse_args(argv)
+    apply_device(args.device)
     if args.platform:
         import jax
 
