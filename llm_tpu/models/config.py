@@ -159,6 +159,11 @@ class ModelConfig:
     # array — llama-hparams.h n_head_arr/n_head_kv_arr)
     n_heads_list: tuple | None = None
     n_kv_heads_list: tuple | None = None
+    # fused-projection TP interleave factor: >1 when fused QKV / gate-up
+    # planes were re-laid out shard-major so they can shard over a tp mesh
+    # axis (parallel/sharding.interleave for the layout contract). The
+    # forward graph un-interleaves with a [T, tp, N/tp] reshape-slice.
+    fused_tp: int = 1
 
     def heads_at(self, il: int) -> int:
         return self.n_heads_list[il] if self.n_heads_list else self.n_heads

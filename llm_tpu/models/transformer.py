@@ -73,6 +73,33 @@ def _maybe_add(x, b):
     return x if b is None else x + b.astype(x.dtype)
 
 
+def _split_fused(out, splits, tpf: int):
+    """Slice a fused projection's output columns back into segments.
+
+    tpf > 1: the fused weight was interleaved shard-major for a tp-way
+    mesh (parallel/sharding.interleave_fused) — columns run
+    [q_0 k_0 v_0 | q_1 k_1 v_1 | ...], so recover segment s by a
+    [T, tpf, N/tpf] reshape + inner slice + flatten. The reshape factors
+    the tp-sharded axis, so under GSPMD this is metadata-only (no
+    collectives) and each shard keeps exactly its own heads."""
+    T = out.shape[0]
+    if tpf <= 1:
+        off = 0
+        segs = []
+        for n in splits:
+            segs.append(out[:, off: off + n])
+            off += n
+        return segs
+    o3 = out.reshape(T, tpf, -1)
+    off = 0
+    segs = []
+    for n in splits:
+        c = n // tpf
+        segs.append(o3[:, :, off: off + c].reshape(T, n))
+        off += c
+    return segs
+
+
 def _proj(h, layer, key, dtype=None):
     """Projection matmul with optional LoRA delta (build_lora_mm parity,
     /root/reference/src/llama-graph.h:517)."""
@@ -90,7 +117,7 @@ def _ffn(h, layer, cfg: ModelConfig, collect=None):
     if "ffn_gateup_fused" in layer:
         gu = qmm(h, layer["ffn_gateup_fused"])
         ng = cfg.n_ff
-        g, up = gu[:, :ng], gu[:, ng:]
+        g, up = _split_fused(gu, (ng, ng), cfg.fused_tp)
         cur = (act(g) * up).astype(h.dtype)
     else:
         gate = layer.get("ffn_gate")
@@ -339,8 +366,8 @@ def forward(
             # gpt2/bloom-style fused qkv with a fused bias
             qkv = qmm(h, layer["attn_qkv_fused"], out_dtype=dtype)
             qkv = qkv + layer["attn_qkv_fused_b"].astype(qkv.dtype)
-            nq, nk = H * Dk, Hkv * Dk
-            q, k, v = qkv[:, :nq], qkv[:, nq : nq + nk], qkv[:, nq + nk :]
+            q, k, v = _split_fused(qkv, (H * Dk, Hkv * Dk, Hkv * Dv),
+                                   cfg.fused_tp)
         elif cfg.kv_lora_rank > 0:
             # deepseek2 MLA (llm_build_deepseek2): low-rank Q/KV projections;
             # K/Q are laid out [rope_pe | nope] so the shared rope machinery
@@ -368,8 +395,8 @@ def forward(
             v = v.reshape(T, H, Dv)
         elif "attn_qkv_fused" in layer:
             qkv = qmm(h, layer["attn_qkv_fused"], out_dtype=dtype)
-            nq, nk = H * Dk, Hkv * Dk
-            q, k, v = qkv[:, :nq], qkv[:, nq : nq + nk], qkv[:, nq + nk :]
+            q, k, v = _split_fused(qkv, (H * Dk, Hkv * Dk, Hkv * Dv),
+                                   cfg.fused_tp)
             q = _maybe_add(q, layer.get("attn_q_b"))
             k = _maybe_add(k, layer.get("attn_k_b"))
             v = _maybe_add(v, layer.get("attn_v_b"))

@@ -85,9 +85,6 @@ class Context:
         compile time stops growing with depth (requires uniform layers; no
         runtime LoRA/cvec/imatrix, no ISWA dual cache)."""
         t0 = time.perf_counter()
-        if mesh is not None and scan_layers:
-            raise ValueError("scan_layers does not compose with a mesh yet "
-                             "— use the per-layer path for sharded runs")
         self.reader = reader
         if scan_layers and reader is not None \
                 and getattr(reader, "architecture", "") == "gemma3n":
@@ -122,9 +119,14 @@ class Context:
         self.mesh = mesh
         self.rslots = None
         if mesh is not None:
+            from dataclasses import replace
+
             from ..parallel.sharding import shard_params
 
-            self.params = shard_params(self.params, mesh)
+            self.params, fused_tp = shard_params(self.params, mesh,
+                                                 cfg=self.cfg)
+            if fused_tp > 1:
+                self.cfg = replace(self.cfg, fused_tp=fused_tp)
             if self.cfg.n_expert > 0 and mesh.shape.get("tp", 1) > 1:
                 from ..parallel.moe import set_ep_mesh
 
@@ -204,16 +206,22 @@ class Context:
             if mesh is not None:
                 from ..parallel.sharding import kv_shardings
 
+                stacked = not isinstance(self.kv.k, list)
                 ks, vs = kv_shardings(
                     self.cfg.n_layers, mesh,
                     n_kv_heads=self.cfg.n_kv_heads, n_rows=n_rows,
+                    stacked=stacked,
                 )
                 put = lambda a, s: (
                     tuple(jax.device_put(x, s) for x in a)
                     if isinstance(a, tuple) else jax.device_put(a, s)
                 )
-                self.kv.k = [put(a, s) for a, s in zip(self.kv.k, ks)]
-                self.kv.v = [put(a, s) for a, s in zip(self.kv.v, vs)]
+                if stacked:
+                    self.kv.k = put(self.kv.k, ks[0])
+                    self.kv.v = put(self.kv.v, vs[0])
+                else:
+                    self.kv.k = [put(a, s) for a, s in zip(self.kv.k, ks)]
+                    self.kv.v = [put(a, s) for a, s in zip(self.kv.v, vs)]
         self._steps: dict = {}
         self._logits: dict[int, np.ndarray] = {}  # batch index -> logits row
         self._embd: dict[int, np.ndarray] = {}  # batch index -> hidden row

@@ -45,7 +45,7 @@ def test_tp8_matches_single_device(qtype):
     ref = np.asarray(ref_logits)
 
     mesh = make_mesh(n_tp=8)
-    sparams = shard_params(params, mesh)
+    sparams, _ = shard_params(params, mesh)
     kss_k, kss_v = kv_shardings(cfg.n_layers, mesh)
     kv_k2, kv_v2 = _fresh_kv(cfg)
     kv_k2 = [jax.device_put(a, s) for a, s in zip(kv_k2, kss_k)]
@@ -95,7 +95,7 @@ def test_sequence_parallel_kv_matches_single_device():
         forward(params, cfg, kv_k, kv_v, *inputs, dtype=jnp.float32)[0])
 
     mesh = make_mesh(n_tp=2, n_sp=4)
-    sparams = shard_params(params, mesh)
+    sparams, _ = shard_params(params, mesh)
     kss_k, kss_v = kv_shardings(cfg.n_layers, mesh)
     kv_k2, kv_v2 = _fresh_kv(cfg)
     kv_k2 = [jax.device_put(a, s) for a, s in zip(kv_k2, kss_k)]
@@ -125,7 +125,7 @@ def test_expert_parallel_moe_matches_dense():
         forward(params, cfg, kv_k, kv_v, *inputs, dtype=jnp.float32)[0])
 
     mesh = make_mesh(n_tp=8)
-    sparams = shard_params(params, mesh)
+    sparams, _ = shard_params(params, mesh)
     kss_k, kss_v = kv_shardings(cfg.n_layers, mesh)
     kv_k2, kv_v2 = _fresh_kv(cfg)
     kv_k2 = [jax.device_put(a, s) for a, s in zip(kv_k2, kss_k)]
@@ -389,3 +389,62 @@ def test_moe_ep_grouped_compute_traffic_win():
     replicated_flops = 8 * (T * k) * (2 * N * K * 2)  # up+down matmuls
     assert flops > 0
     assert flops < replicated_flops * 0.5, (flops, replicated_flops)
+
+
+def test_fused_tp_interleave_matches_unfused():
+    """Fused QKV / gate-up planes compose with TP: shard_params interleaves
+    the fused lane axis shard-major (parallel/sharding.interleave_fused) so
+    P(..., "tp") gives each shard its own heads, and the forward's
+    _split_fused reshape recovers exact segments. Engine-level decode must
+    match an unfused, unsharded Context bit-for-bit within f32 tolerance."""
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
+        vocab=256, qtype=GGMLType.Q4_K, dtype=jnp.float32, fuse=True,
+    )
+    assert "attn_qkv_fused" in params["layers"][0]
+    ref_ctx = Context(None, n_cells=31, params_cfg=(params, cfg),
+                      dtype=jnp.float32)
+    mesh = make_mesh(n_tp=8)
+    tp_ctx = Context(None, n_cells=31, params_cfg=(params, cfg),
+                     dtype=jnp.float32, mesh=mesh)
+    assert tp_ctx.cfg.fused_tp == 8
+    toks = list(range(8))
+    for ctx in (ref_ctx, tp_ctx):
+        assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
+    np.testing.assert_allclose(tp_ctx.get_logits(), ref_ctx.get_logits(),
+                               atol=2e-4, rtol=2e-4)
+    # fused planes actually sharded, not replicated
+    qt = tp_ctx.params["layers"][0]["attn_qkv_fused"]
+    assert "tp" in jax.tree.leaves(tuple(qt.qs.sharding.spec))
+
+
+def test_scan_layers_under_mesh_matches_loop():
+    """lax.scan decoder + TP mesh: stacked [L, ...] planes shard with a
+    leading replicated dim, stacked KV rides scan xs, and decode matches
+    the unsharded per-layer loop."""
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_layers=3, n_heads=8, n_kv_heads=8, n_ff=512,
+        vocab=256, qtype=GGMLType.Q4_K, dtype=jnp.float32, fuse=True,
+    )
+    ref_ctx = Context(None, n_cells=31, params_cfg=(params, cfg),
+                      dtype=jnp.float32)
+    mesh = make_mesh(n_tp=8)
+    tp_ctx = Context(None, n_cells=31, params_cfg=(params, cfg),
+                     dtype=jnp.float32, mesh=mesh, scan_layers=True)
+    assert "layers_stacked" in tp_ctx.params
+    assert tp_ctx.cfg.fused_tp == 8
+    toks = [3, 1, 4, 1, 5, 9, 2, 6]
+    for ctx in (ref_ctx, tp_ctx):
+        assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
+    np.testing.assert_allclose(tp_ctx.get_logits(), ref_ctx.get_logits(),
+                               atol=2e-4, rtol=2e-4)
+    for ctx in (ref_ctx, tp_ctx):
+        assert ctx.decode(Batch.one(7, pos=len(toks), seq_id=0)) == 0
+    np.testing.assert_allclose(tp_ctx.get_logits(), ref_ctx.get_logits(),
+                               atol=2e-4, rtol=2e-4)
