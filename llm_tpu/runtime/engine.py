@@ -283,6 +283,41 @@ class Context:
         spos[: self.cells_swa.n_cells] = self.cells_swa.pos
         return spos, self.cells_swa.bit_planes(self.n_swa_rows), widx_swa
 
+    def _plan_swa_slots(self, seq_id: int, pos0: int, n: int):
+        """Precompute the SWA ring slot for each of n generated tokens.
+
+        Ring allocation is deterministic given the positions pos0..pos0+n-1:
+        free cells first, then reuse this sequence's oldest exclusively-
+        owned cell once it falls out of the attention window (dead iff
+        cell_pos <= p - window, the complement of the is_masked_swa rule in
+        ops/attention.py:52 — and positions only grow, so dead stays dead).
+        Returns [n] int32 (values may repeat: a cell reused across steps),
+        or None when the ring cannot host the schedule."""
+        import heapq
+
+        ct = self.cells_swa
+        this = ct.seq_mask(seq_id)
+        bits = ct.seq_bits.copy()
+        bits[:, seq_id >> 5] &= ~(np.uint32(1) << np.uint32(seq_id & 31))
+        shared = bits.any(axis=1)  # member of some OTHER seq too
+        free_list = [int(c) for c in np.flatnonzero(~ct.used_mask())]
+        heap = [(int(ct.pos[c]), int(c))
+                for c in np.flatnonzero(this & ~shared)]
+        heapq.heapify(heap)
+        slots = np.empty(n, np.int32)
+        win = ct.window
+        for i in range(n):
+            p = pos0 + i
+            if free_list:
+                s = free_list.pop()
+            elif heap and heap[0][0] <= p - win:
+                s = heapq.heappop(heap)[1]
+            else:
+                return None
+            slots[i] = s
+            heapq.heappush(heap, (p, s))
+        return slots
+
     # -- decode ---------------------------------------------------------------
 
     def decode(self, batch: Batch) -> int:
@@ -649,20 +684,22 @@ class Context:
         if key in self._steps:
             return self._steps[key]
         cfg, dtype = self.cfg, self.dtype
+        dual = self.cells_swa is not None
         if cfg.arch == "gemma3n":
             from ..models.gemma3n import forward_gemma3n as fwd
         else:
             fwd = forward
 
         def _loop(params, kv_k, kv_v, tok0, slots, cpos, cbits, pos0,
-                  seq_id, eogs, rkey, cmpos=None, mdelta=0):
+                  seq_id, eogs, rkey, cmpos=None, mdelta=0,
+                  slots_swa=None, spos0=None, sbits0=None):
             toks0 = jnp.full((n,), -1, jnp.int32)
             word = seq_id >> 5
             mask = (jnp.uint32(1) << (seq_id & 31).astype(jnp.uint32))
             seq_arr = seq_id[None].astype(jnp.int32)
 
             def body(carry):
-                i, tok, kk, vv, cb, toks, done, rk = carry
+                i, tok, kk, vv, cb, sp, sb, toks, done, rk = carry
                 # make the new token's pre-labeled cell visible to itself
                 cb = cb.at[slots[i], word].set(cb[slots[i], word] | mask)
                 kw = {}
@@ -670,6 +707,16 @@ class Context:
                     p = (pos0 + i + mdelta).astype(jnp.int32)
                     kw = dict(tok_mpos=jnp.stack(
                         [p, p, p, jnp.int32(0)])[None], cell_mpos=cmpos)
+                if dual:
+                    # ISWA ring: the planned slot may REUSE an out-of-window
+                    # cell, so its position label and seq bit are updated
+                    # in-loop (device-side ring-slot arithmetic); the old
+                    # contents are window-masked out by construction.
+                    s = slots_swa[i]
+                    sp = sp.at[s].set(pos0 + i)
+                    sb = sb.at[s, word].set(sb[s, word] | mask)
+                    kw.update(swa_cell_pos=sp, swa_cell_seq_bits=sb,
+                              swa_write_idx=s[None])
                 logits, kk, vv, _ = fwd(
                     params, cfg, kk, vv, tok[None],
                     (pos0 + i)[None].astype(jnp.int32), seq_arr,
@@ -688,14 +735,18 @@ class Context:
                     nxt = jax.random.categorical(sub, lg)
                 nxt = nxt.astype(jnp.int32)
                 toks = toks.at[i].set(nxt)
-                return (i + 1, nxt, kk, vv, cb, toks,
+                return (i + 1, nxt, kk, vv, cb, sp, sb, toks,
                         jnp.any(nxt == eogs), rk)
 
             def cond(c):
-                return (c[0] < n) & ~c[6]
+                return (c[0] < n) & ~c[8]
 
-            i, _, kk, vv, _, toks, _, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), tok0, kv_k, kv_v, cbits, toks0,
+            if spos0 is None:
+                spos0 = jnp.zeros((0,), jnp.int32)
+                sbits0 = jnp.zeros((0, 1), jnp.uint32)
+            i, _, kk, vv, _, _, _, toks, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tok0, kv_k, kv_v, cbits,
+                             spos0, sbits0, toks0,
                              jnp.asarray(False), rkey))
             return toks, i, kk, vv
 
@@ -765,9 +816,9 @@ class Context:
         (tools/main) and a host-driven engine grows with host<->device
         latency, so the production path keeps the loop on device. Cache
         cells are pre-allocated and pre-labeled with their positions; host
-        metadata is reconciled after the loop from the emitted count.
-        Unsupported for recurrent models and the ISWA dual ring (host-side
-        state/pruning) — callers fall back to decode()."""
+        metadata is reconciled after the loop from the emitted count. With
+        the ISWA dual ring, ring slots are scheduled host-side up front
+        (_plan_swa_slots) and relabeled in-loop on device."""
         if self.rslots is not None:
             # recurrent: states carry through the in-jit chain directly
             n = int(n_tokens)
@@ -794,9 +845,6 @@ class Context:
             self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
             self.perf.n_decode += cnt
             return [int(t) for t in np.asarray(toks)[:cnt]]
-        if self.cells_swa is not None:
-            raise ValueError("generate_loop: ISWA dual ring unsupported "
-                             "(use swa_full=True)")
         if not (0 <= seq_id < MAX_SEQS):
             raise ValueError(f"bad seq_id {seq_id}")
         n = int(n_tokens)
@@ -815,7 +863,7 @@ class Context:
         eogs = np.asarray(list(eog_ids) or [-1], np.int32)
 
         step = self._get_gloop(n, float(temp), int(top_k))
-        margs = ()
+        kw = {}
         if self.cells_mpos is not None:
             d = self.mrope_delta.get(seq_id, 0)
             cmpos = np.zeros((self.n_kv_rows, 4), np.int32)
@@ -823,7 +871,21 @@ class Context:
             labels = pos0 + d + np.arange(n, dtype=np.int32)
             cmpos[slots] = np.stack(
                 [labels, labels, labels, np.zeros(n, np.int32)], axis=1)
-            margs = (jnp.asarray(cmpos), jnp.asarray(d, jnp.int32))
+            kw = dict(cmpos=jnp.asarray(cmpos), mdelta=jnp.asarray(d, jnp.int32))
+        plan_swa = None
+        if self.cells_swa is not None:
+            # ISWA ring: precompute the per-step ring slot schedule on the
+            # host (allocation is deterministic: position i reuses the
+            # oldest own cell once it falls out of the window)
+            plan_swa = self._plan_swa_slots(seq_id, pos0, n)
+            if plan_swa is None:
+                raise RuntimeError("generate_loop: no SWA ring space")
+            spos = np.zeros(self.n_swa_rows, np.int32)
+            spos[: self.cells_swa.n_cells] = self.cells_swa.pos
+            kw.update(slots_swa=jnp.asarray(plan_swa),
+                      spos0=jnp.asarray(spos),
+                      sbits0=jnp.asarray(
+                          self.cells_swa.bit_planes(self.n_swa_rows)))
         with self._mesh_ctx():
             toks, cnt, new_k, new_v = step(
                 self.params, self.kv.k, self.kv.v,
@@ -831,7 +893,7 @@ class Context:
                 jnp.asarray(cpos), jnp.asarray(cbits),
                 jnp.asarray(pos0, jnp.int32),
                 jnp.asarray(seq_id, jnp.int32), jnp.asarray(eogs),
-                jax.random.PRNGKey(seed), *margs,
+                jax.random.PRNGKey(seed), **kw,
             )
         toks = np.asarray(toks)
         cnt = int(cnt)
@@ -840,6 +902,15 @@ class Context:
         used = slots[:cnt]
         upos = pos0 + np.arange(cnt, dtype=np.int32)
         self.cells.occupy(used, upos, np.full(cnt, seq_id, np.int64))
+        if plan_swa is not None and cnt > 0:
+            # final position per ring slot = its LAST write in the schedule
+            final: dict[int, int] = {}
+            for i, s in enumerate(plan_swa[:cnt]):
+                final[int(s)] = pos0 + i
+            us = np.fromiter(final.keys(), np.int32, len(final))
+            up = np.fromiter(final.values(), np.int32, len(final))
+            self.cells_swa.occupy(us, up, np.full(len(us), seq_id, np.int64))
+            self.cells_swa.prune()
         if self.cells_mpos is not None:
             d = self.mrope_delta.get(seq_id, 0)
             self.cells_mpos[used] = np.stack(

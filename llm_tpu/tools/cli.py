@@ -62,7 +62,7 @@ def generate(
         and sampling.xtc_probability == 0.0
     )
     n_scalar = n_predict  # scalar-loop budget (reduced by the fast path)
-    if (simple_greedy and not antiprompts and ctx.cells_swa is None
+    if (simple_greedy and not antiprompts
             and (ctx.rslots is not None
                  or n_past + n_predict + 2 <= n_ctx)):
         eogs = tuple(i for i in (tok.vocab.eos_id, tok.vocab.eot_id)

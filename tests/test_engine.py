@@ -484,3 +484,69 @@ def test_generate_loop_q8_cache(tiny_gguf):
     assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
     out = ctx.generate_loop(toks[0], 7, seq_id=0)
     assert out == toks[1:8]
+
+
+def test_generate_loop_iswa_ring():
+    """generate_loop over the ISWA dual ring: the host-planned ring-slot
+    schedule + in-loop relabeling must emit exactly the tokens the
+    swa_full cache's loop emits, INCLUDING once the ring has wrapped and
+    slots are being reused mid-loop; afterwards the host SWACellTable is
+    reconciled so plain decode() continues correctly."""
+    from llm_tpu.models.synthetic import make_synthetic_model
+
+    params, cfg = make_synthetic_model(
+        n_embd=64, n_layers=2, n_heads=4, n_kv_heads=4, n_ff=128,
+        vocab=64, qtype=None, dtype=jnp.float32, fuse=False)
+    from dataclasses import replace
+
+    cfg = replace(cfg, swa_window=8, swa_pattern=2)
+    full = Context(None, n_cells=128, dtype=jnp.float32,
+                   params_cfg=(params, cfg), swa_full=True, n_ubatch=16)
+    dual = Context(None, n_cells=128, dtype=jnp.float32,
+                   params_cfg=(params, cfg), n_ubatch=16, n_seq_hint=1)
+    ring = dual.cells_swa.n_cells
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    for ctx in (full, dual):
+        assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+    first = int(np.argmax(full.get_logits()))
+    n = ring + 8  # force mid-loop ring reuse
+    want = full.generate_loop(first, n, seq_id=0)
+    got = dual.generate_loop(first, n, seq_id=0)
+    assert got == want
+    # host ring metadata reconciled: follow-up decode matches too
+    t = want[-1]
+    p0 = len(prompt) + n
+    for i in range(4):
+        for ctx in (full, dual):
+            assert ctx.decode(Batch.one(t, pos=p0 + i, seq_id=0)) == 0
+        np.testing.assert_allclose(dual.get_logits(), full.get_logits(),
+                                   atol=1e-5, rtol=1e-5)
+        t = int(np.argmax(full.get_logits()))
+
+
+def test_generate_loop_iswa_sharded():
+    """gemma-style interleaved-SWA geometry, TP-sharded: generate_loop over
+    the ISWA ring on an 8-device mesh matches the unsharded swa_full loop."""
+    from dataclasses import replace
+
+    from llm_tpu.models.synthetic import make_synthetic_model
+    from llm_tpu.parallel.sharding import make_mesh
+
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
+        vocab=256, qtype=None, dtype=jnp.float32, fuse=False)
+    cfg = replace(cfg, swa_window=8, swa_pattern=2)
+    full = Context(None, n_cells=64, dtype=jnp.float32,
+                   params_cfg=(params, cfg), swa_full=True, n_ubatch=16)
+    mesh = make_mesh(n_tp=8)
+    dual = Context(None, n_cells=64, dtype=jnp.float32,
+                   params_cfg=(params, cfg), n_ubatch=16, n_seq_hint=1,
+                   mesh=mesh)
+    assert dual.cells_swa is not None
+    prompt = [3, 1, 4, 1, 5]
+    for ctx in (full, dual):
+        assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+    first = int(np.argmax(full.get_logits()))
+    want = full.generate_loop(first, 12, seq_id=0)
+    got = dual.generate_loop(first, 12, seq_id=0)
+    assert got == want
