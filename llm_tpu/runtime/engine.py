@@ -237,6 +237,39 @@ class Context:
 
         return self.mesh if self.mesh is not None else contextlib.nullcontext()
 
+    def _in(self, a, dtype=None):
+        """Step-input array transfer. Single-controller: plain jnp.asarray.
+        Multi-controller (a mesh spanning >1 process — the multi-host-pod
+        path, tests/test_distributed.py): host inputs must become GLOBAL
+        replicated arrays, put collectively on every process, or the
+        processes would disagree on input shardings."""
+        if dtype is not None:
+            a = np.asarray(a, dtype)
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(np.asarray(a), NamedSharding(self.mesh, P()))
+        return jnp.asarray(a)
+
+    def _jit_step(self, fn, host_out=(0,)):
+        """jit a step with its KV/state args donated. Multi-controller: the
+        outputs the host will np.asarray (host_out indices — logits, emitted
+        tokens) are constrained fully-replicated in-graph, since pulling a
+        cross-process-sharded array to one host is not possible."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rs = NamedSharding(self.mesh, P())
+            inner = fn
+
+            def fn(*a, **k):
+                outs = list(inner(*a, **k))
+                for i in host_out:
+                    outs[i] = jax.lax.with_sharding_constraint(outs[i], rs)
+                return tuple(outs)
+
+        return jax.jit(fn, donate_argnums=(1, 2))
+
     def _get_step(self, T: int, O: int):
         dual = self.cells_swa is not None
         key = (T, O, dual)
@@ -271,7 +304,7 @@ class Context:
                     cbits, oidx, dtype=dtype,
                 )
 
-        fn = jax.jit(_step, donate_argnums=(1, 2))
+        fn = self._jit_step(_step, host_out=(0, 3))
         self._steps[key] = fn
         return fn
 
@@ -374,8 +407,8 @@ class Context:
                 self.cells_swa.pos[slots_swa] = ub.pos
                 self.cells_swa.seq_bits[slots_swa] = bits
                 spos, sbits, widx_swa = self._swa_step_inputs(T, n, slots_swa)
-                extra = (jnp.asarray(spos), jnp.asarray(sbits),
-                         jnp.asarray(widx_swa))
+                extra = (self._in(spos), self._in(sbits),
+                         self._in(widx_swa))
             elif self.cells_mpos is not None:
                 mp = ub.mpos.copy()
                 for i in range(n):
@@ -391,16 +424,16 @@ class Context:
                 tmpos[:n] = mp
                 cmpos = np.zeros((self.n_kv_rows, 4), np.int32)
                 cmpos[: self.n_cells] = self.cells_mpos
-                extra = (jnp.asarray(tmpos), jnp.asarray(cmpos))
+                extra = (self._in(tmpos), self._in(cmpos))
 
             step = self._get_step(T, O)
             try:
                 with self._mesh_ctx():
                     logits, new_k, new_v, hidden = step(
                         self.params, self.kv.k, self.kv.v,
-                        jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
-                        jnp.asarray(widx), jnp.asarray(cpos), jnp.asarray(cbits),
-                        jnp.asarray(oidx), *extra,
+                        self._in(tokens), self._in(pos), self._in(seq),
+                        self._in(widx), self._in(cpos), self._in(cbits),
+                        self._in(oidx), *extra,
                     )
             except Exception:
                 # roll back cell occupation for this ubatch (decode() failure
@@ -463,7 +496,7 @@ class Context:
                     cbits, oidx, dtype=dtype, input_embd=embd,
                 )
 
-        fn = jax.jit(_step, donate_argnums=(1, 2))
+        fn = self._jit_step(_step, host_out=(0, 3))
         self._steps[key] = fn
         return fn
 
@@ -510,8 +543,8 @@ class Context:
             self.cells_swa.pos[slots_swa] = pos_np
             self.cells_swa.seq_bits[slots_swa] = seq_bit_row(seq_id)
             spos, sbits, widx_swa = self._swa_step_inputs(T, n, slots_swa)
-            extra = (jnp.asarray(spos), jnp.asarray(sbits),
-                     jnp.asarray(widx_swa))
+            extra = (self._in(spos), self._in(sbits),
+                     self._in(widx_swa))
         elif self.cells_mpos is not None:
             if mpos is not None:
                 mp = np.asarray(mpos, np.int32)
@@ -526,16 +559,16 @@ class Context:
             tmpos[:n] = mp
             cmpos = np.zeros((self.n_kv_rows, 4), np.int32)
             cmpos[: self.n_cells] = self.cells_mpos
-            extra = (jnp.asarray(tmpos), jnp.asarray(cmpos))
+            extra = (self._in(tmpos), self._in(cmpos))
 
         step = self._get_embd_step(T, 1)
         try:
             with self._mesh_ctx():
                 _, new_k, new_v, _ = step(
                     self.params, self.kv.k, self.kv.v,
-                    jnp.asarray(rows, self.dtype), jnp.asarray(pos),
-                    jnp.asarray(seq), jnp.asarray(widx), jnp.asarray(cpos),
-                    jnp.asarray(cbits), jnp.zeros(1, jnp.int32), *extra,
+                    self._in(rows, self.dtype), self._in(pos),
+                    self._in(seq), self._in(widx), self._in(cpos),
+                    self._in(cbits), self._in(np.zeros(1, np.int32)), *extra,
                 )
         except Exception:
             self.cells.release(slots)
@@ -568,7 +601,7 @@ class Context:
             return fwd(params, cfg, conv, ssm, tokens, slots, oidx,
                        dtype=dtype)
 
-        fn = jax.jit(_step, donate_argnums=(1, 2))
+        fn = self._jit_step(_step, host_out=(0, 3))
         self._steps[key] = fn
         return fn
 
@@ -750,7 +783,7 @@ class Context:
                              jnp.asarray(False), rkey))
             return toks, i, kk, vv
 
-        fn = jax.jit(_loop, donate_argnums=(1, 2))
+        fn = self._jit_step(_loop, host_out=(0, 1))
         self._steps[key] = fn
         return fn
 
@@ -800,7 +833,7 @@ class Context:
                              jnp.asarray(False), rkey))
             return toks, i, cv, sm
 
-        fn = jax.jit(_loop, donate_argnums=(1, 2))
+        fn = self._jit_step(_loop, host_out=(0, 1))
         self._steps[key] = fn
         return fn
 
@@ -871,7 +904,7 @@ class Context:
             labels = pos0 + d + np.arange(n, dtype=np.int32)
             cmpos[slots] = np.stack(
                 [labels, labels, labels, np.zeros(n, np.int32)], axis=1)
-            kw = dict(cmpos=jnp.asarray(cmpos), mdelta=jnp.asarray(d, jnp.int32))
+            kw = dict(cmpos=self._in(cmpos), mdelta=self._in(d, np.int32))
         plan_swa = None
         if self.cells_swa is not None:
             # ISWA ring: precompute the per-step ring slot schedule on the
@@ -882,18 +915,18 @@ class Context:
                 raise RuntimeError("generate_loop: no SWA ring space")
             spos = np.zeros(self.n_swa_rows, np.int32)
             spos[: self.cells_swa.n_cells] = self.cells_swa.pos
-            kw.update(slots_swa=jnp.asarray(plan_swa),
-                      spos0=jnp.asarray(spos),
-                      sbits0=jnp.asarray(
+            kw.update(slots_swa=self._in(plan_swa),
+                      spos0=self._in(spos),
+                      sbits0=self._in(
                           self.cells_swa.bit_planes(self.n_swa_rows)))
         with self._mesh_ctx():
             toks, cnt, new_k, new_v = step(
                 self.params, self.kv.k, self.kv.v,
-                jnp.asarray(first_token, jnp.int32), jnp.asarray(slots),
-                jnp.asarray(cpos), jnp.asarray(cbits),
-                jnp.asarray(pos0, jnp.int32),
-                jnp.asarray(seq_id, jnp.int32), jnp.asarray(eogs),
-                jax.random.PRNGKey(seed), **kw,
+                self._in(first_token, np.int32), self._in(slots),
+                self._in(cpos), self._in(cbits),
+                self._in(pos0, np.int32),
+                self._in(seq_id, np.int32), self._in(eogs),
+                self._in(np.asarray(jax.random.PRNGKey(seed))), **kw,
             )
         toks = np.asarray(toks)
         cnt = int(cnt)

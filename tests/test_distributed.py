@@ -61,6 +61,52 @@ np.testing.assert_allclose(r, [v.sum()], rtol=1e-6)
 print("DIST_OK", jax.process_index(), flush=True)
 """
 
+_WORKER_ENGINE = r"""
+import argparse
+import numpy as np
+
+from llm_tpu.tools.mesh_args import add_mesh_args, mesh_from_args
+
+ap = argparse.ArgumentParser()
+add_mesh_args(ap)
+args = ap.parse_args()
+mesh = mesh_from_args(args)
+assert mesh is not None
+
+import jax
+import jax.numpy as jnp
+
+assert jax.process_count() == 2
+
+# the 70B-geometry virtual-pod rehearsal in miniature: a synthetic sharded
+# decode through the FULL engine (Context.decode) on a mesh that spans two
+# processes over localhost DCN — identical host control flow on every
+# controller (the multi-host SPMD contract), step inputs shipped as global
+# replicated arrays (engine._in), logits gathered in-graph (_jit_step).
+from llm_tpu.models.synthetic import make_synthetic_model
+from llm_tpu.runtime.batch import Batch
+from llm_tpu.runtime.engine import Context
+
+params, cfg = make_synthetic_model(
+    n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
+    vocab=256, qtype=None, dtype=jnp.float32, fuse=False, seed=11)
+params = jax.tree.map(np.asarray, params)  # host leaves: collective put
+
+ref = Context(None, n_cells=31, params_cfg=(params, cfg), dtype=jnp.float32)
+tpc = Context(None, n_cells=31, params_cfg=(params, cfg), dtype=jnp.float32,
+              mesh=mesh)
+toks = list(range(8))
+for c in (ref, tpc):
+    assert c.decode(Batch.text(toks, seq_id=0)) == 0
+np.testing.assert_allclose(tpc.get_logits(), ref.get_logits(),
+                           atol=2e-4, rtol=2e-4)
+for c in (ref, tpc):
+    assert c.decode(Batch.one(3, pos=len(toks), seq_id=0)) == 0
+np.testing.assert_allclose(tpc.get_logits(), ref.get_logits(),
+                           atol=2e-4, rtol=2e-4)
+print("DIST_ENGINE_OK", jax.process_index(), flush=True)
+"""
+
 
 def _free_port():
     s = socket.socket()
@@ -70,9 +116,9 @@ def _free_port():
     return port
 
 
-def test_two_process_mesh(tmp_path):
+def _run_two_process(tmp_path, script, ok_marker):
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
+    worker.write_text(script)
     port = _free_port()
     env = dict(os.environ)
     env["LLM_TPU_PLATFORM"] = "cpu"  # in-process jax.config (env alone is
@@ -99,4 +145,15 @@ def test_two_process_mesh(tmp_path):
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, err[-2000:]
-        assert "DIST_OK" in out, (out, err[-1000:])
+        assert ok_marker in out, (out, err[-1000:])
+
+
+def test_two_process_mesh(tmp_path):
+    _run_two_process(tmp_path, _WORKER, "DIST_OK")
+
+
+def test_two_process_engine_decode(tmp_path):
+    """Context.decode exact-match across a 2-process x 4-device DCN mesh
+    (BASELINE config 5 rehearsal: the engine path a real multi-host pod
+    runs, minus the hardware)."""
+    _run_two_process(tmp_path, _WORKER_ENGINE, "DIST_ENGINE_OK")
