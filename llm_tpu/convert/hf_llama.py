@@ -1615,10 +1615,22 @@ _MODEL_TYPE_ARCH = {
 
 
 def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
-                    vocab: dict | None = None) -> str:
+                    vocab: dict | None = None, tokenizer=None,
+                    pre: str | None = None) -> str:
     """Dispatch on config.model_type like the reference's converter
     registry (convert_hf_to_gguf.py ModelBase.register). Architectures with
-    dedicated converters (mamba/mamba2/t5/clip) route to them."""
+    dedicated converters (mamba/mamba2/t5/clip) route to them.
+
+    Pass a HF tokenizer as `tokenizer=` to embed its vocab, with the
+    pre-tokenizer auto-detected from the hash registry (`pre=` overrides
+    detection for fingerprints not yet registered)."""
+    if vocab is None and tokenizer is not None:
+        from .pre_tokenizers import vocab_from_hf
+
+        is_spm = getattr(tokenizer, "vocab_files_names", {}).get(
+            "vocab_file", "").endswith(".model")
+        vocab = vocab_from_hf(tokenizer, model="llama" if is_spm else "gpt2",
+                              pre=pre)
     mt = getattr(model.config, "model_type", "llama")
     if mt == "mamba":
         return convert_hf_mamba(model, path, out_type=out_type, vocab=vocab)

@@ -28,21 +28,56 @@ _QWEN2 = (
 _DS_LLM_LETTERS = '\\s?[A-Za-z\xb5\xc0-\xd6\xd8-\xf6\xf8-\u01ba\u01bc-\u01bf\u01c4-\u0293\u0295-\u02af\u0370-\u0373\u0376\u0377\u037b-\u037d\u037f\u0386\u0388-\u038a\u038c\u038e-\u03a1\u03a3-\u03f5\u03f7-\u0481\u048a-\u052f\u0531-\u0556\u10a0-\u10c5\u13a0-\u13f5\u13f8-\u13fd\u1c90-\u1cba\u1cbd-\u1cbf\u1d00-\u1d2b\u1d6b-\u1d77\u1d79-\u1d9a\u1e00-\u1f15\u1f18-\u1f1d\u1f20-\u1f45\u1f48-\u1f4d\u1f50-\u1f57\u1f59\u1f5b\u1f5d\u1f5f-\u1f7d\u1f80-\u1fb4\u1fb6-\u1fbc\u1fbe\u1fc2-\u1fc4\u1fc6-\u1fcc\u1fd0-\u1fd3\u1fd6-\u1fdb\u1fe0-\u1fec\u1ff2-\u1ff4\u1ff6-\u1ffc\u2102\u2107\u210a-\u2113\u2115\u2119-\u211d\u2124\u2126\u2128\u212a-\u212d\u212f-\u2134\u2139\u213c-\u213f\u2145-\u2149\u214e\u2183\u2184\u2c00-\u2c7b\u2c7e-\u2ce4\u2ceb-\u2cee\u2cf2\u2cf3\ua640-\ua66d\ua680-\ua69b\ua722-\ua76f\ua771-\ua787\ua78b-\ua78e\uab70-\uabbf\ufb00-\ufb06\ufb13-\ufb17\uff21-\uff3a\uff41-\uff5a\U00010400-\U0001044f\U000104b0-\U000104d3\U000104d8-\U000104fb\U00010c80-\U00010cb2\U00010cc0-\U00010cf2\U000118a0-\U000118df\U0001e900-\U0001e943]+'
 _CJK = "[一-龥ࠀ-一가-퟿]+"
 
+# gpt-4o / llama4 (tokenizer.json original; the reference transliterates the
+# (?i:) groups for its engine — `regex` takes them natively)
+_GPT4O = (
+    r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+"
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)?"
+    r"|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*"
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)?"
+    r"|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+# mistral-nemo "tekken" (tokenizer.json original)
+_TEKKEN = (
+    r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+"
+    r"|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*"
+    r"|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+_PORO = " ?[^(\\s|.,!?…。，、।۔،)]+"
+
 PRE_PATTERNS: dict[str, list[str]] = {
     "default": [_GPT2],
     "gpt-2": [_GPT2],
     "gpt2": [_GPT2],
+    "phi-2": [_GPT2],
     "mpt": [_GPT2],
     "olmo": [_GPT2],
     "jais": [_GPT2],
+    "trillion": [_GPT2],
+    "jina-es": [_GPT2],
+    "jina-de": [_GPT2],
+    "jina-v1-en": [_GPT2],
+    "jina-v2-es": [_GPT2],
+    "jina-v2-de": [_GPT2],
+    "jina-v2-code": [_GPT2],
+    "roberta-bpe": [_GPT2],
+    "gigachat": [_GPT2],
     "llama3": [_LLAMA3],
     "llama-bpe": [_LLAMA3],
     "llama-v3": [_LLAMA3],
+    "falcon3": [_LLAMA3],
+    "pixtral": [_LLAMA3],
     "smaug-bpe": [_LLAMA3],
+    "dbrx": [_LLAMA3],
+    "glm4": [_LLAMA3],
+    "chatglm-bpe": [_LLAMA3],
     "qwen2": [_QWEN2],
     "deepseek-r1-qwen": [_QWEN2],
+    "megrez": [_QWEN2],
     "stablelm2": [_QWEN2],
-    "gpt-4o": [_QWEN2],
+    "gpt-4o": [_GPT4O],
+    "llama4": [_GPT4O],
+    "tekken": [_TEKKEN],
     "falcon": [
         r"[\p{P}\$\+<=>\^~\|`]+",
         r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)",
@@ -55,6 +90,13 @@ PRE_PATTERNS: dict[str, list[str]] = {
     "deepseek-coder": [
         r"[\r\n]", r"\s?\p{L}+", r"\s?\p{P}+", _CJK, r"\p{N}",
     ],
+    "deepseek-v3": [
+        r"\p{N}{1,3}",
+        "[一-龥぀-ゟ゠-ヿ]+",
+        "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~][A-Za-z]+"
+        r"|[^\r\n\p{L}\p{P}\p{S}]?[\p{L}\p{M}]+| ?[\p{P}\p{S}]+[\r\n]*"
+        r"|\s*[\r\n]+|\s+(?!\S)|\s+",
+    ],
     "starcoder": [r"\p{N}", _GPT2],
     "refact": [r"\p{N}", _GPT2],
     "command-r": [r"\p{N}", _GPT2],
@@ -62,6 +104,28 @@ PRE_PATTERNS: dict[str, list[str]] = {
     "codeshell": [r"\p{N}", _GPT2],
     "exaone": [r"\p{N}", _GPT2],
     "minerva-7b": [r"\p{N}", _GPT2],
+    "poro-chat": [_PORO],
+    "bloom": [_PORO],
+    "gpt3-finnish": [_PORO],
+    "viking": [_PORO, r"\p{N}"],
+    "superbpe": [r"\p{N}+", r"(?=(\d{3})+(?!\d))"],
+    "bailingmoe": [
+        # tokenizer.json original (possessive quantifiers are native here)
+        r"'(?i:[sdmt]|ll|ve|re)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}"
+        r"| ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+",
+    ],
+    "seed-coder": [
+        r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1}"
+        r"| ?[^\s\p{L}\p{N}\r\n]+|\s*[\r\n]+|\s+(?!\S)|\s+",
+    ],
+    "chameleon": [
+        r"<sentinel:[0-9]+>",
+        r"(IMGIMG)((A|B|C|D|E|F|G|H|I){1,4})Z",
+        "([\\t\\n]|    |  )",
+        r"\p{N}",
+        r"[\p{P}!-/:-@\[-`{-~]",
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)",
+    ],
 }
 
 
