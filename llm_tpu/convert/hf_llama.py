@@ -166,10 +166,13 @@ def convert_hf_llama(
     merges, special ids) to embed; tests pass None and read logits only.
     """
     hf_cfg = model.config
-    if arch in ("qwen2vl", "gemma3n"):
+    composite = hasattr(model.config, "text_config") and hasattr(
+        getattr(model.config, "text_config"), "num_hidden_layers")
+    if arch in ("qwen2vl", "gemma3n") or composite:
         # composite VL config: the LM hparams live in text_config, and the
-        # decoder weights under model.language_model.* (vision tower skipped
-        # — reference Qwen2VLModel converter exports the text model)
+        # decoder weights under model.language_model.* / model.text_model.*
+        # (reference Qwen2VLModel / Mistral3 / SmolVLM converters export the
+        # text model)
         hf_cfg = getattr(hf_cfg, "text_config", hf_cfg)
     if arch == "dbrx":  # nested DbrxConfig sections -> flat attributes
         hf_cfg.intermediate_size = hf_cfg.ffn_config.ffn_hidden_size
@@ -203,6 +206,16 @@ def convert_hf_llama(
         layer_map["self_attn.k_norm.bias"] = "attn_k_norm.bias"
     elif arch == "gemma3n":
         layer_map = _HF_GEMMA3N_MAP
+    elif arch == "arctic":
+        # parallel-residual MoE: post_attention_layernorm feeds the MoE
+        # branch (ffn_norm_exps) while residual_layernorm/residual_mlp is
+        # the dense FFN (reference ArcticModel arch_block_mappings_cfg)
+        layer_map = dict(_HF_LAYER_MAP)
+        layer_map["post_attention_layernorm.weight"] = "ffn_norm_exps.weight"
+        layer_map["residual_layernorm.weight"] = "ffn_norm.weight"
+        layer_map["residual_mlp.w1.weight"] = "ffn_gate.weight"
+        layer_map["residual_mlp.w3.weight"] = "ffn_up.weight"
+        layer_map["residual_mlp.w2.weight"] = "ffn_down.weight"
 
     w = GGUFWriter(path, arch=arch)
     a = arch
@@ -215,7 +228,13 @@ def convert_hf_llama(
              [int(v) for v in _ff] if isinstance(_ff, (list, tuple))
              else int(_ff))
     w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), int(n_head))
-    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), int(n_kv))
+    kv_per_layer = getattr(hf_cfg, "num_key_value_heads_per_layer", None)
+    if arch == "deci" and kv_per_layer is not None:
+        # DeciLM variable GQA: per-layer kv-head array (reference DeciModel)
+        w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a),
+                 [int(v) for v in kv_per_layer])
+    else:
+        w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), int(n_kv))
     w.add_kv(Keys.Attention.KEY_LENGTH.format(arch=a), int(head_dim))
     w.add_kv(Keys.Attention.VALUE_LENGTH.format(arch=a), int(head_dim))
     eps = getattr(hf_cfg, "rms_norm_eps", None)
@@ -261,6 +280,9 @@ def convert_hf_llama(
         w.add_kv(f"{a}.logit_scale", float(hf_cfg.logits_scaling))
         w.add_kv(Keys.Attention.SCALE.format(arch=a),
                  float(hf_cfg.attention_multiplier))
+        sff = getattr(hf_cfg, "shared_intermediate_size", None)
+        if sff:  # granitemoeshared (reference set_gguf_parameters)
+            w.add_kv(f"{a}.expert_shared_feed_forward_length", int(sff))
     if arch == "chameleon":
         # reference ChameleonModel converter records swin_norm; qk-norms
         # are written per-head below (llama.cpp stores {head_dim, n_head})
@@ -327,15 +349,35 @@ def convert_hf_llama(
         w.add_kv(Keys.LLM.EXPERT_COUNT.format(arch=a), n_expert)
         w.add_kv(Keys.LLM.EXPERT_USED_COUNT.format(arch=a),
                  int(getattr(hf_cfg, "num_experts_per_tok", 2)))
+    if arch in ("deepseek", "bailingmoe"):
+        # deepseek v1-style MoE hparams (reference DeepseekModel/
+        # BailingMoeModel set_gguf_parameters)
+        w.add_kv(f"{a}.leading_dense_block_count",
+                 int(getattr(hf_cfg, "first_k_dense_replace", 0)))
+        if getattr(hf_cfg, "moe_intermediate_size", None):
+            w.add_kv(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH.format(arch=a),
+                     int(hf_cfg.moe_intermediate_size))
+        w.add_kv(f"{a}.expert_shared_count",
+                 int(getattr(hf_cfg, "n_shared_experts", 0)
+                     or getattr(hf_cfg, "num_shared_experts", 0) or 0))
+        w.add_kv(f"{a}.expert_weights_scale",
+                 float(getattr(hf_cfg, "routed_scaling_factor", 1.0)))
+        if getattr(hf_cfg, "norm_topk_prob", None) is not None:
+            w.add_kv(f"{a}.expert_weights_norm", bool(hf_cfg.norm_topk_prob))
 
     if vocab:
         for key, val in vocab.items():
             w.add_kv(key, val)
 
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
-    if arch == "qwen2vl":
-        sd = {k.replace("model.language_model.", "model."): v
-              for k, v in sd.items() if ".visual." not in k}
+    if arch == "qwen2vl" or composite:
+        # strip the text-tower prefix; drop vision/audio/projector towers
+        sd = {k.replace("model.language_model.", "model.")
+               .replace("model.text_model.", "model."): v
+              for k, v in sd.items()
+              if ".visual." not in k and ".vision_tower." not in k
+              and ".vision_model." not in k and ".multi_modal_projector." not in k
+              and ".connector." not in k and ".audio_tower." not in k}
     if arch == "dbrx":
         # rename dbrx's transformer.blocks.* scheme onto the llama-ish one
         # (fused Wqkv -> attn_qkv via the phi3-style map entry)
@@ -373,9 +415,11 @@ def convert_hf_llama(
     # glm4 / cohere / ernie apply interleaved rotary natively — no permute
     permute = arch in ("llama", "mixtral", "olmo", "arcee", "chameleon",
                        "granite", "granitemoe", "minicpm", "deepseek",
-                       "bailingmoe", "arctic")
+                       "bailingmoe", "arctic", "deci")
     for il in range(hf_cfg.num_hidden_layers):
         pre = f"model.layers.{il}."
+        il_kv = int(kv_per_layer[il]) if (
+            arch == "deci" and kv_per_layer is not None) else n_kv
         for hf_suffix, gg_suffix in layer_map.items():
             key = pre + hf_suffix
             if key not in sd:
@@ -384,11 +428,11 @@ def convert_hf_llama(
             if permute and hf_suffix == "self_attn.q_proj.weight":
                 arr = permute_qk(arr, n_head)
             elif permute and hf_suffix == "self_attn.k_proj.weight":
-                arr = permute_qk(arr, n_kv)
+                arr = permute_qk(arr, il_kv)
             elif permute and hf_suffix == "self_attn.q_proj.bias":
                 arr = permute_qk(arr, n_head)
             elif permute and hf_suffix == "self_attn.k_proj.bias":
-                arr = permute_qk(arr, n_kv)
+                arr = permute_qk(arr, il_kv)
             elif arch == "chameleon" and hf_suffix.startswith(
                     ("self_attn.q_norm.", "self_attn.k_norm.")):
                 # HF stores per-head (n_head, head_dim) qk-norm affines;
@@ -398,11 +442,13 @@ def convert_hf_llama(
                 arr = permute_qk(arr.reshape(-1), reps).reshape(reps, -1)
             put(f"blk.{il}.{gg_suffix}", arr)
 
-        # MoE (qwen2moe-style): router + experts + gated shared expert
+        # MoE (qwen2moe/deepseek-v1-style): router + experts + shared expert
         q2_gate = pre + "mlp.gate.weight"
-        if q2_gate in sd and arch != "dots1":
+        if q2_gate in sd and arch != "dots1" \
+                and pre + "mlp.experts.0.gate_proj.weight" in sd:
             put(f"blk.{il}.ffn_gate_inp.weight", sd[q2_gate])
-            n_exp = int(hf_cfg.num_experts)
+            n_exp = int(getattr(hf_cfg, "num_experts", 0)
+                        or getattr(hf_cfg, "n_routed_experts", 0))
             for hf_w, gg in (("gate_proj", "ffn_gate_exps"),
                              ("up_proj", "ffn_up_exps"),
                              ("down_proj", "ffn_down_exps")):
@@ -421,6 +467,14 @@ def convert_hf_llama(
                     sd[pre + "mlp.shared_expert.down_proj.weight"])
                 put(f"blk.{il}.ffn_gate_inp_shexp.weight",
                     sd[pre + "mlp.shared_expert_gate.weight"])
+            elif pre + "mlp.shared_experts.gate_proj.weight" in sd:
+                # deepseek v1 / bailingmoe: ungated shared experts
+                put(f"blk.{il}.ffn_gate_shexp.weight",
+                    sd[pre + "mlp.shared_experts.gate_proj.weight"])
+                put(f"blk.{il}.ffn_up_shexp.weight",
+                    sd[pre + "mlp.shared_experts.up_proj.weight"])
+                put(f"blk.{il}.ffn_down_shexp.weight",
+                    sd[pre + "mlp.shared_experts.down_proj.weight"])
 
         # MoE (dbrx): flat expert params w1(gate)/v1(up)/w2(down, transposed)
         dbrx_w1 = pre + "ffn.experts.mlp.w1"
@@ -458,6 +512,19 @@ def convert_hf_llama(
             w.add_tensor(f"blk.{il}.ffn_down_exps.weight",
                          sd[pre + "block_sparse_moe.output_linear.weight"],
                          ggml_type=GGMLType.F32)
+            # granitemoeshared: fused shared_mlp.input_linear [2*shared_ff, d]
+            # splits into gate/up shexp (reference GraniteMoeModel
+            # modify_tensors shared_mlp branch)
+            sh = pre + "shared_mlp.input_linear.weight"
+            if sh in sd:
+                lin = sd[sh]
+                sff = lin.shape[0] // 2
+                put(f"blk.{il}.ffn_gate_shexp.weight",
+                    np.ascontiguousarray(lin[:sff]))
+                put(f"blk.{il}.ffn_up_shexp.weight",
+                    np.ascontiguousarray(lin[sff:]))
+                put(f"blk.{il}.ffn_down_shexp.weight",
+                    sd[pre + "shared_mlp.output_linear.weight"])
 
         # MoE (dots1/deepseek-v3-style): mlp.gate + per-expert tensors +
         # selection bias + ungated shared experts
@@ -525,8 +592,9 @@ def convert_hf_mamba(
     out_type: GGMLType = GGMLType.F32,
     vocab: dict | None = None,
 ):
-    """HF MambaForCausalLM -> GGUF (parity: convert_hf_to_gguf.py
-    MambaModel: A_log -> -exp(A_log), conv1d weight squeezed, ssm.* keys)."""
+    """HF Mamba/FalconMambaForCausalLM -> GGUF (parity: convert_hf_to_gguf.py
+    MambaModel: A_log -> -exp(A_log), conv1d weight squeezed, ssm.* keys;
+    falcon_mamba adds ssm.dt_b_c_rms)."""
     import numpy as np
 
     hf_cfg = model.config
@@ -546,6 +614,10 @@ def convert_hf_mamba(
     w.add_kv(Keys.SSM.INNER_SIZE.format(arch=a), d_inner)
     w.add_kv(Keys.SSM.STATE_SIZE.format(arch=a), int(hf_cfg.state_size))
     w.add_kv(Keys.SSM.TIME_STEP_RANK.format(arch=a), int(hf_cfg.time_step_rank))
+    if getattr(hf_cfg, "model_type", "mamba") == "falcon_mamba":
+        # falcon-mamba RMS-normalizes dt/B/C inside the mixer
+        w.add_kv(Keys.SSM.DT_B_C_RMS.format(arch=a),
+                 bool(getattr(hf_cfg, "mixer_rms_eps", 1e-6) is not None))
     w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
     if vocab:
         for key, val in vocab.items():
@@ -655,13 +727,16 @@ def convert_hf_t5(
     out_type: GGMLType = GGMLType.F32,
     vocab: dict | None = None,
 ):
-    """HF T5ForConditionalGeneration -> GGUF (parity: convert_hf_to_gguf.py
-    T5Model; tensor names per llama-arch.cpp T5 table: enc.blk.N.* /
-    dec.blk.N.* with attn_o / cross_attn_* / attn_rel_b)."""
+    """HF T5/MT5/UMT5ForConditionalGeneration or T5EncoderModel -> GGUF
+    (parity: convert_hf_to_gguf.py T5Model/T5EncoderModel; tensor names per
+    llama-arch.cpp T5 table: enc.blk.N.* / dec.blk.N.* with attn_o /
+    cross_attn_* / attn_rel_b; umt5 writes a rel_b per layer)."""
     import numpy as np
 
     hf_cfg = model.config
-    a = "t5"
+    enc_only = not any(k.startswith("decoder.")
+                       for k in model.state_dict().keys())
+    a = "t5encoder" if enc_only else "t5"
     w = GGUFWriter(path, arch=a)
     w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), 512)
     w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(hf_cfg.d_model))
@@ -675,8 +750,9 @@ def convert_hf_t5(
              float(hf_cfg.layer_norm_epsilon))
     w.add_kv(f"{a}.attention.relative_buckets_count",
              int(hf_cfg.relative_attention_num_buckets))
-    w.add_kv(f"{a}.decoder_start_token_id",
-             int(hf_cfg.decoder_start_token_id))
+    if not enc_only:
+        w.add_kv(f"{a}.decoder_start_token_id",
+                 int(hf_cfg.decoder_start_token_id))
     w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(hf_cfg.vocab_size))
     if vocab:
         for key, val in vocab.items():
@@ -687,9 +763,11 @@ def convert_hf_t5(
     def put(name, arr, qtype=None):
         w.add_tensor(name, arr, ggml_type=qtype or (out_type if arr.ndim == 2 else GGMLType.F32))
 
-    put("token_embd.weight", sd["shared.weight"])
+    put("token_embd.weight", sd["shared.weight"]
+        if "shared.weight" in sd else sd["encoder.embed_tokens.weight"])
     put("enc.output_norm.weight", sd["encoder.final_layer_norm.weight"])
-    put("dec.output_norm.weight", sd["decoder.final_layer_norm.weight"])
+    if not enc_only:
+        put("dec.output_norm.weight", sd["decoder.final_layer_norm.weight"])
     if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", True):
         put("output.weight", sd["lm_head.weight"])
 
@@ -711,6 +789,8 @@ def convert_hf_t5(
             put(b + "ffn_up.weight", sd[e + "layer.1.DenseReluDense.wi_1.weight"])
         put(b + "ffn_down.weight", sd[e + "layer.1.DenseReluDense.wo.weight"])
         put(b + "ffn_norm.weight", sd[e + "layer.1.layer_norm.weight"])
+        if enc_only:
+            continue
 
         d = f"decoder.block.{il}."
         b = f"dec.blk.{il}."
@@ -956,13 +1036,15 @@ def _deinterleave_pe(w: "np.ndarray", rope_dim: int, n_groups: int):
 
 
 def convert_hf_deepseek2(model, path: str, out_type: GGMLType = GGMLType.F32,
-                         vocab: dict | None = None):
-    """HF DeepseekV2ForCausalLM -> GGUF (deepseek2 arch): MLA projections
-    with [rope|nope] head layout, leading dense layers, routed+shared MoE."""
+                         vocab: dict | None = None, arch: str = "deepseek2"):
+    """HF DeepseekV2/V3ForCausalLM -> GGUF (deepseek2 arch): MLA projections
+    with [rope|nope] head layout, leading dense layers, routed+shared MoE.
+    minicpm3 (q+kv lora) and plm (kv lora, no-gate relu2 FFN) share the MLA
+    layout and ride the same path with arch overridden."""
     import numpy as np
 
     hf_cfg = model.config
-    a = "deepseek2"
+    a = arch
     n_head = int(hf_cfg.num_attention_heads)
     rope_dim = int(hf_cfg.qk_rope_head_dim)
     nope_dim = int(hf_cfg.qk_nope_head_dim)
@@ -1012,6 +1094,10 @@ def convert_hf_deepseek2(model, path: str, out_type: GGMLType = GGMLType.F32,
                  float(getattr(hf_cfg, "routed_scaling_factor", 1.0)))
         w.add_kv(f"{a}.expert_weights_norm",
                  bool(getattr(hf_cfg, "norm_topk_prob", False)))
+        # DeepSeek-V3: sigmoid selection (reference DeepseekV2Model converter
+        # maps scoring_func -> EXPERT_GATING_FUNC)
+        if getattr(hf_cfg, "scoring_func", "softmax") == "sigmoid":
+            w.add_kv(f"{a}.expert_gating_func", 2)
     if vocab:
         for key, val in vocab.items():
             w.add_kv(key, val)
@@ -1059,6 +1145,10 @@ def convert_hf_deepseek2(model, path: str, out_type: GGMLType = GGMLType.F32,
 
         if pre + "mlp.gate.weight" in sd:  # routed MoE layer
             put(b + "ffn_gate_inp.weight", sd[pre + "mlp.gate.weight"])
+            if pre + "mlp.gate.e_score_correction_bias" in sd:  # v3
+                w.add_tensor(b + "exp_probs_b.bias",
+                             sd[pre + "mlp.gate.e_score_correction_bias"],
+                             ggml_type=GGMLType.F32)
             for hf_w, gg in (("gate_proj", "ffn_gate_exps"),
                              ("up_proj", "ffn_up_exps"),
                              ("down_proj", "ffn_down_exps")):
@@ -1068,8 +1158,9 @@ def convert_hf_deepseek2(model, path: str, out_type: GGMLType = GGMLType.F32,
             put(b + "ffn_gate_shexp.weight", sd[pre + "mlp.shared_experts.gate_proj.weight"])
             put(b + "ffn_up_shexp.weight", sd[pre + "mlp.shared_experts.up_proj.weight"])
             put(b + "ffn_down_shexp.weight", sd[pre + "mlp.shared_experts.down_proj.weight"])
-        else:  # leading dense layer
-            put(b + "ffn_gate.weight", sd[pre + "mlp.gate_proj.weight"])
+        else:  # leading dense layer (plm: no-gate relu2 FFN)
+            if pre + "mlp.gate_proj.weight" in sd:
+                put(b + "ffn_gate.weight", sd[pre + "mlp.gate_proj.weight"])
             put(b + "ffn_up.weight", sd[pre + "mlp.up_proj.weight"])
             put(b + "ffn_down.weight", sd[pre + "mlp.down_proj.weight"])
 
@@ -1592,7 +1683,6 @@ _MODEL_TYPE_ARCH = {
     "ernie4_5": "ernie4_5",
     "dots1": "dots1",
     "bitnet": "bitnet",
-    "deepseek_v2": "deepseek2",
     "gpt2": "gpt2",
     "gptj": "gptj",
     "gpt_neox": "gptneox",
@@ -1611,7 +1701,26 @@ _MODEL_TYPE_ARCH = {
     "gemma3n_text": "gemma3n",
     "qwen2_vl": "qwen2vl",
     "qwen2_5_vl": "qwen2vl",
+    # round-3 long tail (reference @ModelBase.register coverage)
+    "glm": "glm4",
+    "internlm3": "llama",
+    "stablelm_epoch": "stablelm",
+    "granitemoeshared": "granitemoe",
+    "mistral3": "llama",
+    "idefics3": "llama",
+    "smolvlm": "llama",
+    "llava": "llama",
+    "deci": "deci",
+    "arctic": "arctic",
+    "deepseek": "deepseek",
+    "bailing_moe": "bailingmoe",
+    "grok-1": "grok",
+    "helium": "llama",
 }
+
+# model_types handled by dedicated converter functions in convert_hf_auto
+_DEDICATED = ("mamba", "mamba2", "falcon_mamba", "t5", "mt5", "umt5",
+              "t5encoder", "deepseek_v2", "deepseek_v3", "minicpm3", "plm")
 
 
 def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
@@ -1632,17 +1741,27 @@ def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
         vocab = vocab_from_hf(tokenizer, model="llama" if is_spm else "gpt2",
                               pre=pre)
     mt = getattr(model.config, "model_type", "llama")
-    if mt == "mamba":
+    if mt in ("mamba", "falcon_mamba"):
+        # falcon_mamba rides the mamba arch (reference FalconMambaModel)
         return convert_hf_mamba(model, path, out_type=out_type, vocab=vocab)
     if mt == "mamba2":
         return convert_hf_mamba2(model, path, out_type=out_type, vocab=vocab)
-    if mt == "t5":
+    if mt in ("t5", "mt5", "umt5", "t5encoder"):
         return convert_hf_t5(model, path, out_type=out_type, vocab=vocab)
+    if mt in ("deepseek_v2", "deepseek_v3"):
+        return convert_hf_deepseek2(model, path, out_type=out_type,
+                                    vocab=vocab)
+    if mt == "minicpm3":
+        return convert_hf_deepseek2(model, path, out_type=out_type,
+                                    vocab=vocab, arch="minicpm3")
+    if mt == "plm":
+        return convert_hf_deepseek2(model, path, out_type=out_type,
+                                    vocab=vocab, arch="plm")
     arch = _MODEL_TYPE_ARCH.get(mt)
     if arch is None:
         raise ValueError(
             f"unsupported model_type {mt!r}; supported: "
-            f"{sorted(_MODEL_TYPE_ARCH) + ['mamba', 'mamba2', 't5']}")
+            f"{sorted(_MODEL_TYPE_ARCH) + sorted(_DEDICATED)}")
     return convert_hf_llama(model, path, arch=arch, out_type=out_type,
                             vocab=vocab)
 

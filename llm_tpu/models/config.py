@@ -481,6 +481,11 @@ def config_from_gguf(reader) -> ModelConfig:
             n_expert_used=int(_ak(reader, Keys.LLM.EXPERT_USED_COUNT, 0) or 0),
             expert_weights_scale=float(_ak(reader, "{arch}.expert_weights_scale", 1.0) or 1.0),
             expert_weights_norm=bool(_ak(reader, "{arch}.expert_weights_norm", False)),
+            # DeepSeek-V3 checkpoints ride the same arch with sigmoid
+            # selection + exp_probs_b bias (llama_expert_gating_func_type)
+            expert_gating_func="sigmoid" if int(
+                _ak(reader, "{arch}.expert_gating_func", 1) or 1) == 2
+            else "softmax",
             rope=replace(rope, mode=ROPE_TYPE_NEOX, n_dims=rope_dim),
             attn_scale=(head_dim ** -0.5),
             # non-MLA-cache mode: K/V expand to full heads (llm_build_deepseek2)

@@ -96,6 +96,10 @@ def t5_encode(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
     rel0 = enc[0]["attn_rel_b"]
     bias = _pos_bias(pos, pos, rel0, cfg.t5_rel_buckets, bidirectional=True)
     for layer in enc:
+        if "attn_rel_b" in layer and layer["attn_rel_b"] is not rel0:
+            # umt5: every layer carries its own relative-position bias
+            bias = _pos_bias(pos, pos, layer["attn_rel_b"],
+                             cfg.t5_rel_buckets, bidirectional=True)
         h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
         q = _heads(qmm(h, layer["attn_q"], out_dtype=dtype), H, D)
         k = _heads(qmm(h, layer["attn_k"], out_dtype=dtype), H, D)
@@ -145,16 +149,22 @@ def t5_decode_step(
 
     dec = params["dec_layers"]
     rel0 = dec[0]["attn_rel_b"]
-    bias = _pos_bias(tok_pos, cell_pos, rel0, cfg.t5_rel_buckets,
-                     bidirectional=False)
     # causal + used-cell mask folded into the bias
     ok = (cell_pos[None, :] <= tok_pos[:, None]) & (cell_used[None, :] > 0)
-    bias = jnp.where(ok[None], bias, -1e30)
+
+    def _self_bias(rel_b):
+        b = _pos_bias(tok_pos, cell_pos, rel_b, cfg.t5_rel_buckets,
+                      bidirectional=False)
+        return jnp.where(ok[None], b, -1e30)
+
+    bias = _self_bias(rel0)
     cbias = jnp.where((enc_valid > 0)[None, None, :], 0.0, -1e30)
     cbias = jnp.broadcast_to(cbias, (H, T, enc_valid.shape[0]))
 
     new_k, new_v = [], []
     for il, layer in enumerate(dec):
+        if "attn_rel_b" in layer and layer["attn_rel_b"] is not rel0:
+            bias = _self_bias(layer["attn_rel_b"])  # umt5 per-layer bias
         h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
         q = _heads(qmm(h, layer["attn_q"], out_dtype=dtype), H, D)
         k = _heads(qmm(h, layer["attn_k"], out_dtype=dtype), H, D)

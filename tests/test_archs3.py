@@ -1,0 +1,474 @@
+"""Architecture batch 3: the round-3 converter long tail.
+
+HF logit oracles where transformers ships the class (glm4, granitemoeshared,
+falcon_mamba, deepseek-v3, mistral3/smolvlm text towers, mt5/umt5/t5encoder);
+trust_remote_code-only classes (deci, arctic, deepseek v1, minicpm3, plm,
+stablelm_epoch, internlm3) are exercised through stub models that carry
+exactly the HF tensor naming the reference's converters consume
+(convert_hf_to_gguf.py @ModelBase.register table + gguf-py tensor_mapping)."""
+
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from llm_tpu.convert.hf_llama import convert_hf_auto
+from llm_tpu.gguf.constants import Keys
+from llm_tpu.gguf.reader import GGUFReader
+from llm_tpu.models.config import config_from_gguf
+from llm_tpu.runtime.batch import Batch
+from llm_tpu.runtime.engine import Context
+
+from test_model_vs_hf import _run_ours
+
+
+def _logit_check(model, path, T=9, atol=3e-3, vocab=None):
+    rng = np.random.default_rng(0)
+    v = getattr(model.config, "vocab_size", None) or \
+        model.config.text_config.vocab_size
+    tokens = rng.integers(0, v, size=T).tolist()
+    ours = _run_ours(path, tokens)
+    with torch.no_grad():
+        ref = model(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=atol, rtol=atol)
+
+
+# ------------------------------------------------------------ HF oracles
+
+def test_glm4_from_glm_hf(tmp_path):
+    """GlmForCausalLM (glm-4-hf) -> glm4 arch: partial rotary, qkv bias,
+    fused gate_up (reference GlmForCausalLM registration)."""
+    cfg = transformers.GlmConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, partial_rotary_factor=0.5,
+        attention_bias=True, tie_word_embeddings=False, head_dim=16,
+        pad_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(0)
+    m = transformers.GlmForCausalLM(cfg).eval()
+    p = str(tmp_path / "glm.gguf")
+    convert_hf_auto(m, p)
+    assert GGUFReader(p).architecture == "glm4"
+    _logit_check(m, p)
+
+
+def test_granitemoeshared(tmp_path):
+    """GraniteMoeShared: granitemoe + fused shared_mlp split into
+    gate/up shexp (reference GraniteMoeModel shared_mlp branch)."""
+    cfg = transformers.GraniteMoeSharedConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=96,
+        shared_intermediate_size=80, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        logits_scaling=1.5, attention_multiplier=0.1,
+    )
+    torch.manual_seed(0)
+    m = transformers.GraniteMoeSharedForCausalLM(cfg).eval()
+    p = str(tmp_path / "gms.gguf")
+    convert_hf_auto(m, p)
+    r = GGUFReader(p)
+    assert r.architecture == "granitemoe"
+    assert r.akey("{arch}.expert_shared_feed_forward_length") == 80
+    names = set(r.tensors)
+    assert "blk.0.ffn_gate_shexp.weight" in names
+    _logit_check(m, p)
+
+
+def test_falcon_mamba(tmp_path):
+    """FalconMamba rides the mamba arch with ssm.dt_b_c_rms (reference
+    MambaModel registration incl. FalconMambaForCausalLM)."""
+    cfg = transformers.FalconMambaConfig(
+        vocab_size=97, hidden_size=64, num_hidden_layers=2, state_size=8,
+        conv_kernel=4, intermediate_size=128, time_step_rank=4,
+        use_cache=False, tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    m = transformers.FalconMambaForCausalLM(cfg).eval()
+    p = str(tmp_path / "fm.gguf")
+    convert_hf_auto(m, p)
+    r = GGUFReader(p)
+    assert r.architecture == "mamba"
+    assert bool(r.akey(Keys.SSM.DT_B_C_RMS)) is True
+    toks = [1, 10, 20, 30, 40]
+    ctx = Context(r, n_cells=8, dtype=jnp.float32)
+    assert ctx.decode(Batch.text(toks)) == 0
+    with torch.no_grad():
+        want = m(torch.tensor([toks])).logits[0, -1].numpy()
+    got = ctx.get_logits()
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.9999
+
+
+def test_deepseek_v3(tmp_path):
+    """DeepseekV3 -> deepseek2 arch with sigmoid gating + exp_probs_b
+    selection bias (reference DeepseekV2Model handles both registrations)."""
+    cfg = transformers.DeepseekV3Config(
+        vocab_size=97, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        n_group=1, topk_group=1, first_k_dense_replace=1,
+        norm_topk_prob=True, routed_scaling_factor=2.0,
+        scoring_func="sigmoid", kv_lora_rank=16, q_lora_rank=24,
+        qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=12,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        rope_interleave=False, use_cache=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.DeepseekV3ForCausalLM(cfg).eval()
+    p = str(tmp_path / "dsv3.gguf")
+    convert_hf_auto(m, p)
+    r = GGUFReader(p)
+    assert r.architecture == "deepseek2"
+    assert int(r.akey("{arch}.expert_gating_func")) == 2
+    names = set(r.tensors)
+    assert "blk.1.exp_probs_b.bias" in names
+    cfg2 = config_from_gguf(r)
+    assert cfg2.expert_gating_func == "sigmoid"
+    _logit_check(m, p)
+
+
+def test_mistral3_text_tower(tmp_path):
+    """Mistral3ForConditionalGeneration text tower -> llama arch
+    (reference Mistral3 registration exports the language model)."""
+    cfg = transformers.Mistral3Config(
+        text_config=dict(
+            model_type="mistral", vocab_size=97, hidden_size=64,
+            intermediate_size=112, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, tie_word_embeddings=False,
+            head_dim=16),
+        vision_config=dict(
+            model_type="pixtral", hidden_size=32, intermediate_size=48,
+            num_hidden_layers=1, num_attention_heads=2, image_size=32,
+            patch_size=8, num_channels=3, head_dim=16),
+        multimodal_projector_bias=False, vision_feature_layer=-1,
+        image_token_index=96, spatial_merge_size=1,
+    )
+    torch.manual_seed(0)
+    m = transformers.Mistral3ForConditionalGeneration(cfg).eval()
+    p = str(tmp_path / "m3.gguf")
+    convert_hf_auto(m, p)
+    assert GGUFReader(p).architecture == "llama"
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 96, size=9).tolist()
+    ours = _run_ours(p, tokens)
+    with torch.no_grad():
+        ref = m(input_ids=torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_smolvlm_text_tower(tmp_path):
+    """SmolVLM/Idefics3 text tower -> llama arch (model.text_model.*
+    prefix strip; reference SmolVLMForConditionalGeneration)."""
+    cfg = transformers.SmolVLMConfig(
+        text_config=dict(
+            model_type="llama", vocab_size=97, hidden_size=64,
+            intermediate_size=112, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, tie_word_embeddings=False,
+            pad_token_id=0),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=48, num_hidden_layers=1,
+            num_attention_heads=2, image_size=32, patch_size=8),
+        image_token_id=96, scale_factor=2,
+    )
+    torch.manual_seed(0)
+    m = transformers.SmolVLMForConditionalGeneration(cfg).eval()
+    p = str(tmp_path / "sv.gguf")
+    convert_hf_auto(m, p)
+    assert GGUFReader(p).architecture == "llama"
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 96, size=9).tolist()
+    ours = _run_ours(p, tokens)
+    with torch.no_grad():
+        ref = m(input_ids=torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+# ------------------------------------------- t5 family (mt5/umt5/encoder)
+
+def _t5_like(cls_name, cfg_cls_name, **kw):
+    cfg_cls = getattr(transformers, cfg_cls_name)
+    cfg = cfg_cls(
+        vocab_size=97, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        decoder_start_token_id=0, tie_word_embeddings=True,
+        use_cache=False, **kw)
+    torch.manual_seed(0)
+    return getattr(transformers, cls_name)(cfg).eval()
+
+
+@pytest.mark.parametrize("cls,cfgcls,mt", [
+    ("MT5ForConditionalGeneration", "MT5Config", "mt5"),
+    ("UMT5ForConditionalGeneration", "UMT5Config", "umt5"),
+])
+def test_mt5_umt5_encode_decode(cls, cfgcls, mt, tmp_path):
+    """mt5/umt5 ride the t5 path (umt5: per-layer rel-pos bias)."""
+    from llm_tpu.models.loader import load_params
+    from llm_tpu.models.t5 import t5_encode
+
+    m = _t5_like(cls, cfgcls)
+    assert m.config.model_type == mt
+    p = str(tmp_path / f"{mt}.gguf")
+    convert_hf_auto(m, p)
+    r = GGUFReader(p)
+    assert r.architecture == "t5"
+    if mt == "umt5":
+        names = set(r.tensors)
+        assert "enc.blk.1.attn_rel_b.weight" in names  # per-layer bias
+    params, cfg = load_params(r, dense_dtype=jnp.float32)
+    toks = [3, 1, 4, 1, 5]
+    enc = t5_encode(params, cfg, jnp.asarray(toks, jnp.int32),
+                    dtype=jnp.float32)
+    with torch.no_grad():
+        want = m.encoder(torch.tensor([toks])).last_hidden_state[0].numpy()
+    np.testing.assert_allclose(np.asarray(enc), want, atol=3e-3, rtol=3e-3)
+
+
+def test_t5_encoder_only(tmp_path):
+    """T5EncoderModel -> t5encoder arch (encoder-only GGUF)."""
+    from llm_tpu.models.loader import load_params
+    from llm_tpu.models.t5 import t5_encode
+
+    m = _t5_like("T5EncoderModel", "T5Config")
+    p = str(tmp_path / "t5enc.gguf")
+    convert_hf_auto(m, p)
+    r = GGUFReader(p)
+    assert r.architecture == "t5encoder"
+    assert not any(t.startswith("dec.") for t in r.tensors)
+    params, cfg = load_params(r, dense_dtype=jnp.float32)
+    toks = [3, 1, 4, 1, 5]
+    enc = t5_encode(params, cfg, jnp.asarray(toks, jnp.int32),
+                    dtype=jnp.float32)
+    with torch.no_grad():
+        want = m(torch.tensor([toks])).last_hidden_state[0].numpy()
+    np.testing.assert_allclose(np.asarray(enc), want, atol=3e-3, rtol=3e-3)
+
+
+# ------------------------------------------------------ stub state dicts
+
+class _Stub:
+    """Minimal object with .config / .state_dict() for converters whose HF
+    classes are trust_remote_code-only in transformers."""
+
+    def __init__(self, cfg: dict, sd: dict):
+        self.config = SimpleNamespace(**cfg)
+        self._sd = {k: torch.from_numpy(np.asarray(v, np.float32))
+                    for k, v in sd.items()}
+
+    def state_dict(self):
+        return self._sd
+
+
+def _llama_sd(rng, E=64, L=2, H=4, KV=2, FF=96, V=97, hd=16):
+    sd = {
+        "model.embed_tokens.weight": rng.normal(size=(V, E)) * 0.2,
+        "model.norm.weight": 1 + rng.normal(size=E) * 0.05,
+        "lm_head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        b = f"model.layers.{i}."
+        sd[b + "input_layernorm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "post_attention_layernorm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "self_attn.q_proj.weight"] = rng.normal(size=(H * hd, E)) * 0.15
+        sd[b + "self_attn.k_proj.weight"] = rng.normal(size=(KV * hd, E)) * 0.15
+        sd[b + "self_attn.v_proj.weight"] = rng.normal(size=(KV * hd, E)) * 0.15
+        sd[b + "self_attn.o_proj.weight"] = rng.normal(size=(E, H * hd)) * 0.15
+        sd[b + "mlp.gate_proj.weight"] = rng.normal(size=(FF, E)) * 0.15
+        sd[b + "mlp.up_proj.weight"] = rng.normal(size=(FF, E)) * 0.15
+        sd[b + "mlp.down_proj.weight"] = rng.normal(size=(E, FF)) * 0.15
+    return sd
+
+
+_LLAMA_CFG = dict(
+    vocab_size=97, hidden_size=64, num_hidden_layers=2,
+    intermediate_size=96, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+    head_dim=16, tie_word_embeddings=False, name_or_path="stub",
+)
+
+
+def _decode_ok(path, arch=None):
+    r = GGUFReader(path)
+    if arch:
+        assert config_from_gguf(r).arch == arch
+    ctx = Context(r, n_cells=32, dtype=jnp.float32)
+    assert ctx.decode(Batch.text([3, 1, 4, 1, 5], seq_id=0)) == 0
+    logits = ctx.get_logits()
+    assert np.isfinite(logits).all()
+    return logits
+
+
+def test_deci_per_layer_kv_conversion(tmp_path):
+    """DeciLM variable GQA: per-layer kv-head array + per-layer permute
+    (reference DeciModel)."""
+    rng = np.random.default_rng(1)
+    kvs = [2, 1]
+    sd = _llama_sd(rng, KV=4)  # overwrite k/v below with per-layer shapes
+    for i, kv in enumerate(kvs):
+        b = f"model.layers.{i}."
+        sd[b + "self_attn.k_proj.weight"] = rng.normal(size=(kv * 16, 64)) * 0.15
+        sd[b + "self_attn.v_proj.weight"] = rng.normal(size=(kv * 16, 64)) * 0.15
+    cfg = dict(_LLAMA_CFG, model_type="deci",
+               num_key_value_heads_per_layer=kvs)
+    p = str(tmp_path / "deci.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    assert list(r.akey(Keys.Attention.HEAD_COUNT_KV)) == kvs
+    _decode_ok(p, "deci")
+
+
+def test_arctic_conversion(tmp_path):
+    """Arctic: residual_mlp/residual_layernorm remap + parallel MoE
+    (reference ArcticModel arch_block_mappings_cfg)."""
+    rng = np.random.default_rng(2)
+    E, FF, NE = 64, 96, 4
+    sd = _llama_sd(rng)
+    for i in range(2):
+        b = f"model.layers.{i}."
+        # dense FFN moves to residual_mlp; MoE under block_sparse_moe
+        sd[b + "residual_layernorm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "residual_mlp.w1.weight"] = sd.pop(b + "mlp.gate_proj.weight")
+        sd[b + "residual_mlp.w3.weight"] = sd.pop(b + "mlp.up_proj.weight")
+        sd[b + "residual_mlp.w2.weight"] = sd.pop(b + "mlp.down_proj.weight")
+        sd[b + "block_sparse_moe.gate.weight"] = rng.normal(size=(NE, E)) * 0.15
+        for e in range(NE):
+            eb = b + f"block_sparse_moe.experts.{e}."
+            sd[eb + "w1.weight"] = rng.normal(size=(FF, E)) * 0.15
+            sd[eb + "w3.weight"] = rng.normal(size=(FF, E)) * 0.15
+            sd[eb + "w2.weight"] = rng.normal(size=(E, FF)) * 0.15
+    cfg = dict(_LLAMA_CFG, model_type="arctic", num_local_experts=NE,
+               num_experts_per_tok=2)
+    p = str(tmp_path / "arctic.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    names = set(GGUFReader(p).tensors)
+    assert {"blk.0.ffn_norm_exps.weight", "blk.0.ffn_norm.weight",
+            "blk.0.ffn_gate_exps.weight", "blk.0.ffn_gate.weight"} <= names
+    _decode_ok(p, "arctic")
+
+
+def test_deepseek_v1_conversion(tmp_path):
+    """DeepSeek v1: leading dense layers + ungated shared experts
+    (reference DeepseekModel)."""
+    rng = np.random.default_rng(3)
+    E, FF, NE = 64, 48, 4
+    sd = _llama_sd(rng)
+    b = "model.layers.1."  # layer 1 becomes MoE
+    for nm in ("gate_proj", "up_proj", "down_proj"):
+        sd.pop(b + f"mlp.{nm}.weight")
+    sd[b + "mlp.gate.weight"] = rng.normal(size=(NE, E)) * 0.15
+    for e in range(NE):
+        eb = b + f"mlp.experts.{e}."
+        sd[eb + "gate_proj.weight"] = rng.normal(size=(FF, E)) * 0.15
+        sd[eb + "up_proj.weight"] = rng.normal(size=(FF, E)) * 0.15
+        sd[eb + "down_proj.weight"] = rng.normal(size=(E, FF)) * 0.15
+    sd[b + "mlp.shared_experts.gate_proj.weight"] = rng.normal(size=(FF, E)) * 0.15
+    sd[b + "mlp.shared_experts.up_proj.weight"] = rng.normal(size=(FF, E)) * 0.15
+    sd[b + "mlp.shared_experts.down_proj.weight"] = rng.normal(size=(E, FF)) * 0.15
+    cfg = dict(_LLAMA_CFG, model_type="deepseek", n_routed_experts=NE,
+               num_experts_per_tok=2, first_k_dense_replace=1,
+               n_shared_experts=1, moe_intermediate_size=FF,
+               routed_scaling_factor=1.0, norm_topk_prob=False)
+    p = str(tmp_path / "ds1.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    assert int(r.akey("{arch}.leading_dense_block_count")) == 1
+    names = set(r.tensors)
+    assert "blk.1.ffn_gate_shexp.weight" in names
+    _decode_ok(p, "deepseek")
+
+
+def test_minicpm3_plm_conversion(tmp_path):
+    """minicpm3 (q+kv lora) and plm (kv lora, relu2) ride the deepseek2
+    MLA converter with their own arch strings."""
+    rng = np.random.default_rng(4)
+    E, H, qlr, kvlr, rope_d, nope_d, Dv = 64, 2, 24, 16, 8, 8, 12
+    Dk = rope_d + nope_d
+
+    def mla_sd(q_lora, gated):
+        sd = {
+            "model.embed_tokens.weight": rng.normal(size=(97, E)) * 0.2,
+            "model.norm.weight": 1 + rng.normal(size=E) * 0.05,
+            "lm_head.weight": rng.normal(size=(97, E)) * 0.15,
+        }
+        for i in range(2):
+            b = f"model.layers.{i}."
+            sd[b + "input_layernorm.weight"] = 1 + rng.normal(size=E) * 0.05
+            sd[b + "post_attention_layernorm.weight"] = \
+                1 + rng.normal(size=E) * 0.05
+            if q_lora:
+                sd[b + "self_attn.q_a_proj.weight"] = rng.normal(size=(qlr, E)) * 0.15
+                sd[b + "self_attn.q_a_layernorm.weight"] = 1 + rng.normal(size=qlr) * 0.05
+                sd[b + "self_attn.q_b_proj.weight"] = rng.normal(size=(H * Dk, qlr)) * 0.15
+            else:
+                sd[b + "self_attn.q_proj.weight"] = rng.normal(size=(H * Dk, E)) * 0.15
+            sd[b + "self_attn.kv_a_proj_with_mqa.weight"] = \
+                rng.normal(size=(kvlr + rope_d, E)) * 0.15
+            sd[b + "self_attn.kv_a_layernorm.weight"] = 1 + rng.normal(size=kvlr) * 0.05
+            sd[b + "self_attn.kv_b_proj.weight"] = \
+                rng.normal(size=(H * (nope_d + Dv), kvlr)) * 0.15
+            sd[b + "self_attn.o_proj.weight"] = rng.normal(size=(E, H * Dv)) * 0.15
+            if gated:
+                sd[b + "mlp.gate_proj.weight"] = rng.normal(size=(96, E)) * 0.15
+            sd[b + "mlp.up_proj.weight"] = rng.normal(size=(96, E)) * 0.15
+            sd[b + "mlp.down_proj.weight"] = rng.normal(size=(E, 96)) * 0.15
+        return sd
+
+    base = dict(vocab_size=97, hidden_size=E, num_hidden_layers=2,
+                intermediate_size=96, num_attention_heads=H,
+                num_key_value_heads=H, max_position_embeddings=128,
+                rms_norm_eps=1e-5, rope_theta=10000.0,
+                qk_rope_head_dim=rope_d, qk_nope_head_dim=nope_d,
+                v_head_dim=Dv, kv_lora_rank=kvlr,
+                tie_word_embeddings=False, name_or_path="stub")
+
+    p3 = str(tmp_path / "m3.gguf")
+    convert_hf_auto(_Stub(dict(base, model_type="minicpm3",
+                               q_lora_rank=qlr), mla_sd(True, True)), p3)
+    cfg3 = config_from_gguf(GGUFReader(p3))
+    assert cfg3.arch == "minicpm3"
+    assert cfg3.q_lora_rank == qlr and cfg3.kv_lora_rank == kvlr
+    _decode_ok(p3)
+
+    pp = str(tmp_path / "plm.gguf")
+    convert_hf_auto(_Stub(dict(base, model_type="plm", q_lora_rank=None),
+                          mla_sd(False, False)), pp)
+    cfgp = config_from_gguf(GGUFReader(pp))
+    assert cfgp.arch == "plm" and cfgp.act == "relu2"
+    assert cfgp.q_lora_rank == 0
+    _decode_ok(pp)
+
+
+def test_stablelm_epoch_and_internlm3_dispatch(tmp_path):
+    """Old-codebase model_types route onto the modern arch graphs
+    (StableLMEpoch -> stablelm, InternLM3 -> llama)."""
+    cfg = transformers.StableLmConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, partial_rotary_factor=0.25,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    m = transformers.StableLmForCausalLM(cfg).eval()
+    m.config.model_type = "stablelm_epoch"
+    p = str(tmp_path / "se.gguf")
+    convert_hf_auto(m, p)
+    assert GGUFReader(p).architecture == "stablelm"
+    _logit_check(m, p)
+
+    from test_model_vs_hf import _tiny_hf_llama
+
+    m2 = _tiny_hf_llama(hidden=64, layers=2, vocab=97)
+    m2.config.model_type = "internlm3"
+    p2 = str(tmp_path / "il3.gguf")
+    convert_hf_auto(m2, p2)
+    assert GGUFReader(p2).architecture == "llama"
+    _logit_check(m2, p2)
