@@ -1713,14 +1713,14 @@ _MODEL_TYPE_ARCH = {
     "deci": "deci",
     "arctic": "arctic",
     "deepseek": "deepseek",
-    "bailing_moe": "bailingmoe",
-    "grok-1": "grok",
     "helium": "llama",
 }
 
 # model_types handled by dedicated converter functions in convert_hf_auto
 _DEDICATED = ("mamba", "mamba2", "falcon_mamba", "t5", "mt5", "umt5",
-              "t5encoder", "deepseek_v2", "deepseek_v3", "minicpm3", "plm")
+              "t5encoder", "deepseek_v2", "deepseek_v3", "minicpm3", "plm",
+              "qwen", "chatglm", "codeshell", "gpt_refact", "jais",
+              "openelm", "plamo", "grok-1", "bailing_moe")
 
 
 def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
@@ -1757,6 +1757,17 @@ def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
     if mt == "plm":
         return convert_hf_deepseek2(model, path, out_type=out_type,
                                     vocab=vocab, arch="plm")
+    _renamed = {"qwen": "convert_hf_qwen1", "chatglm": "convert_hf_chatglm",
+                "codeshell": "convert_hf_codeshell",
+                "gpt_refact": "convert_hf_refact", "jais": "convert_hf_jais",
+                "openelm": "convert_hf_openelm", "plamo": "convert_hf_plamo",
+                "grok-1": "convert_hf_grok",
+                "bailing_moe": "convert_hf_bailingmoe"}
+    if mt in _renamed:
+        from . import hf_longtail
+
+        return getattr(hf_longtail, _renamed[mt])(
+            model, path, out_type=out_type, vocab=vocab)
     arch = _MODEL_TYPE_ARCH.get(mt)
     if arch is None:
         raise ValueError(

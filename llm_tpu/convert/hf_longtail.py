@@ -1,0 +1,503 @@
+"""HF -> GGUF converters for the renamed/fused-tensor architectures.
+
+Parity targets: convert_hf_to_gguf.py QwenModel / ChatGLMModel /
+CodeShellModel / RefactModel / JaisModel / OpenELMModel / PlamoModel /
+GrokModel / BailingMoeModel and the gguf-py tensor_mapping rows for each.
+These classes are trust_remote_code-only in the installed transformers, so
+the converters accept any object with .config and .state_dict() (the same
+duck-typing the rest of convert/ uses)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, Keys
+from ..gguf.writer import GGUFWriter
+from .hf_llama import permute_qk
+
+
+def _sd(model):
+    return {k: v.detach().cpu().float().numpy()
+            for k, v in model.state_dict().items()}
+
+
+def _base_kv(w, a, *, ctx, E, L, FF, H, KV, eps, V, rms=True, rot=None,
+             freq=None):
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), int(ctx))
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), int(E))
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), int(L))
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a),
+             [int(f) for f in FF] if isinstance(FF, (list, tuple)) else int(FF))
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a),
+             [int(h) for h in H] if isinstance(H, (list, tuple)) else int(H))
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a),
+             [int(h) for h in KV] if isinstance(KV, (list, tuple)) else int(KV))
+    key = (Keys.Attention.LAYERNORM_RMS_EPS if rms
+           else Keys.Attention.LAYERNORM_EPS)
+    w.add_kv(key.format(arch=a), float(eps))
+    if rot is not None:
+        w.add_kv(Keys.Rope.DIMENSION_COUNT.format(arch=a), int(rot))
+    if freq is not None:
+        w.add_kv(Keys.Rope.FREQ_BASE.format(arch=a), float(freq))
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), int(V))
+
+
+def _finish(w, vocab):
+    if vocab:
+        for k, v in vocab.items():
+            w.add_kv(k, v)
+    w.write()
+
+
+def convert_hf_qwen1(model, path, out_type=GGMLType.F32, vocab=None):
+    """QWenLMHeadModel -> qwen arch: fused qkv+bias, NEOX rope, gated silu
+    with half-width w1/w2 (reference QwenModel: ff = intermediate_size//2)."""
+    c = model.config
+    sd = _sd(model)
+    a = "qwen"
+    E = int(c.hidden_size)
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=getattr(c, "seq_length", 8192), E=E,
+             L=c.num_hidden_layers, FF=int(c.intermediate_size) // 2,
+             H=c.num_attention_heads, KV=c.num_attention_heads,
+             eps=getattr(c, "layer_norm_epsilon", 1e-6), V=c.vocab_size,
+             rot=E // int(c.num_attention_heads),
+             freq=getattr(c, "rotary_emb_base", 10000.0))
+
+    def put(n, arr):
+        w.add_tensor(n, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["transformer.wte.weight"])
+    put("output_norm.weight", sd["transformer.ln_f.weight"])
+    put("output.weight", sd["lm_head.weight"])
+    for il in range(c.num_hidden_layers):
+        h = f"transformer.h.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[h + "ln_1.weight"])
+        put(b + "attn_qkv.weight", sd[h + "attn.c_attn.weight"])
+        put(b + "attn_qkv.bias", sd[h + "attn.c_attn.bias"])
+        put(b + "attn_output.weight", sd[h + "attn.c_proj.weight"])
+        put(b + "ffn_norm.weight", sd[h + "ln_2.weight"])
+        put(b + "ffn_gate.weight", sd[h + "mlp.w2.weight"])
+        put(b + "ffn_up.weight", sd[h + "mlp.w1.weight"])
+        put(b + "ffn_down.weight", sd[h + "mlp.c_proj.weight"])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_chatglm(model, path, out_type=GGMLType.F32, vocab=None):
+    """ChatGLMModel (glm-2/3/4 pre-hf) -> chatglm arch: fused qkv+bias,
+    fused swiglu dense_h_to_4h, half-dim rotary (reference ChatGLMModel)."""
+    c = model.config
+    sd = _sd(model)
+    a = "chatglm"
+    E = int(c.hidden_size)
+    H = int(c.num_attention_heads)
+    kv = int(getattr(c, "multi_query_group_num",
+                     getattr(c, "num_key_value_heads", H)))
+    head_dim = int(getattr(c, "kv_channels", E // H))
+    freq = 10000.0 * float(getattr(c, "rope_ratio", 1.0))
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=getattr(c, "seq_length", E), E=E,
+             L=int(getattr(c, "num_layers", 0)
+                   or getattr(c, "num_hidden_layers")),
+             FF=getattr(c, "ffn_hidden_size",
+                        getattr(c, "intermediate_size", 4 * E)),
+             H=H, KV=kv, eps=getattr(c, "layernorm_epsilon", 1e-5),
+             V=getattr(c, "padded_vocab_size", c.vocab_size),
+             rot=int(head_dim * getattr(c, "partial_rotary_factor", 0.5)),
+             freq=freq)
+
+    def put(n, arr):
+        w.add_tensor(n, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    L = int(getattr(c, "num_layers", 0) or getattr(c, "num_hidden_layers"))
+    put("token_embd.weight",
+        sd["transformer.embedding.word_embeddings.weight"])
+    put("output_norm.weight", sd["transformer.encoder.final_layernorm.weight"])
+    put("output.weight", sd["transformer.output_layer.weight"])
+    for il in range(L):
+        h = f"transformer.encoder.layers.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[h + "input_layernorm.weight"])
+        put(b + "attn_qkv.weight", sd[h + "self_attention.query_key_value.weight"])
+        if h + "self_attention.query_key_value.bias" in sd:
+            put(b + "attn_qkv.bias", sd[h + "self_attention.query_key_value.bias"])
+        put(b + "attn_output.weight", sd[h + "self_attention.dense.weight"])
+        put(b + "ffn_norm.weight", sd[h + "post_attention_layernorm.weight"])
+        put(b + "ffn_up.weight", sd[h + "mlp.dense_h_to_4h.weight"])
+        put(b + "ffn_down.weight", sd[h + "mlp.dense_4h_to_h.weight"])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_codeshell(model, path, out_type=GGMLType.F32, vocab=None):
+    """CodeShellForCausalLM -> codeshell arch: starcoder tensors (LN+bias,
+    fused MQA qkv, gelu) with NEOX rope (reference CodeShellModel)."""
+    c = model.config
+    sd = _sd(model)
+    a = "codeshell"
+    E = int(getattr(c, "hidden_size", 0) or getattr(c, "n_embd"))
+    H = int(getattr(c, "num_attention_heads", 0) or getattr(c, "n_head"))
+    L = int(getattr(c, "num_hidden_layers", 0) or getattr(c, "n_layer"))
+    kv = int(getattr(c, "num_query_groups", 1))
+    hd = E // H
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=getattr(c, "n_positions", 8192), E=E, L=L,
+             FF=getattr(c, "n_inner", None) or 4 * E, H=H, KV=kv,
+             eps=getattr(c, "layer_norm_epsilon", 1e-5), V=c.vocab_size,
+             rms=False, rot=hd,
+             freq=getattr(c, "rope_theta", 10000.0))
+
+    def put(n, arr):
+        w.add_tensor(n, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["transformer.wte.weight"])
+    put("output_norm.weight", sd["transformer.ln_f.weight"])
+    put("output_norm.bias", sd["transformer.ln_f.bias"])
+    if "lm_head.weight" in sd:
+        put("output.weight", sd["lm_head.weight"])
+    for il in range(L):
+        h = f"transformer.h.{il}."
+        b = f"blk.{il}."
+        for hf, gg in (("ln_1", "attn_norm"), ("ln_2", "ffn_norm")):
+            put(b + gg + ".weight", sd[h + hf + ".weight"])
+            put(b + gg + ".bias", sd[h + hf + ".bias"])
+        for hf, gg in (("attn.c_attn", "attn_qkv"),
+                       ("attn.c_proj", "attn_output"),
+                       ("mlp.c_fc", "ffn_up"), ("mlp.c_proj", "ffn_down")):
+            put(b + gg + ".weight", sd[h + hf + ".weight"])
+            if h + hf + ".bias" in sd:
+                put(b + gg + ".bias", sd[h + hf + ".bias"])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_refact(model, path, out_type=GGMLType.F32, vocab=None):
+    """GPTRefactForCausalLM -> refact arch: MQA with fused kv split, fused
+    gate_up split at the 2/3-rounded ff dim, ALiBi (reference RefactModel)."""
+    c = model.config
+    sd = _sd(model)
+    a = "refact"
+    E = int(getattr(c, "n_embd", 0) or getattr(c, "hidden_size"))
+    H = int(getattr(c, "n_head", 0) or getattr(c, "num_attention_heads"))
+    L = int(getattr(c, "n_layer", 0) or getattr(c, "num_hidden_layers"))
+    hd = E // H
+    # ff dim recomputed exactly as the checkpoint builder did
+    inner = 4 * E
+    hidden = int(2 * inner / 3)
+    ff = 256 * ((hidden + 256 - 1) // 256)
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=getattr(c, "n_positions", 4096), E=E, L=L, FF=ff,
+             H=H, KV=1, eps=getattr(c, "layer_norm_epsilon", 1e-6),
+             V=c.vocab_size)
+
+    def put(n, arr):
+        w.add_tensor(n, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["transformer.wte.weight"])
+    put("output_norm.weight", sd["ln_f.weight"]
+        if "ln_f.weight" in sd else sd["transformer.ln_f.weight"])
+    put("output.weight", sd["lm_head.weight"])
+    for il in range(L):
+        h = f"transformer.h.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[h + "ln_1.weight"])
+        put(b + "ffn_norm.weight", sd[h + "ln_2.weight"])
+        put(b + "attn_q.weight", sd[h + "attn.q.weight"])
+        kvw = sd[h + "attn.kv.weight"]
+        put(b + "attn_k.weight", np.ascontiguousarray(kvw[:hd]))
+        put(b + "attn_v.weight", np.ascontiguousarray(kvw[hd:]))
+        put(b + "attn_output.weight", sd[h + "attn.c_proj.weight"])
+        gu = sd[h + "mlp.gate_up_proj.weight"]
+        put(b + "ffn_gate.weight", np.ascontiguousarray(gu[:ff]))
+        put(b + "ffn_up.weight", np.ascontiguousarray(gu[ff:]))
+        put(b + "ffn_down.weight", sd[h + "mlp.c_proj.weight"])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_jais(model, path, out_type=GGMLType.F32, vocab=None):
+    """JAISLMHeadModel -> jais arch: gpt2 Conv1D transposes, muP embedding/
+    output scales folded into the tensors, ALiBi max bias recovered from the
+    precomputed slopes (reference JaisModel)."""
+    c = model.config
+    sd = _sd(model)
+    a = "jais"
+    E = int(getattr(c, "n_embd", 0) or getattr(c, "hidden_size"))
+    H = int(getattr(c, "n_head", 0) or getattr(c, "num_attention_heads"))
+    L = int(getattr(c, "n_layer", 0) or getattr(c, "num_hidden_layers"))
+    emb_scale = float(getattr(c, "mup_embeddings_scale", 0.0)
+                      or getattr(c, "embeddings_scale", 1.0))
+    width_scale = 1.0
+    if getattr(c, "mup_output_alpha", None) is not None:
+        width_scale = float(c.mup_output_alpha) * float(c.mup_width_scale)
+    elif getattr(c, "width_scale", None) is not None:
+        width_scale = float(c.width_scale)
+
+    max_alibi = 8.0
+    for k in sd:
+        if k.endswith("relative_pe.slopes"):
+            closest = 2 ** math.floor(math.log2(H))
+            max_alibi = -round(math.log2(float(sd[k][0])) * closest)
+            break
+
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=getattr(c, "n_positions", 2048), E=E, L=L,
+             FF=getattr(c, "n_inner", None) or 4 * E, H=H, KV=H,
+             eps=getattr(c, "layer_norm_epsilon", 1e-5), V=c.vocab_size,
+             rms=False)
+    w.add_kv(f"{a}.attention.max_alibi_bias", float(max_alibi))
+
+    def put(n, arr):
+        w.add_tensor(n, np.ascontiguousarray(arr),
+                     ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["transformer.wte.weight"] * emb_scale)
+    put("output_norm.weight", sd["transformer.ln_f.weight"])
+    put("output_norm.bias", sd["transformer.ln_f.bias"])
+    if "lm_head.weight" in sd:
+        put("output.weight", sd["lm_head.weight"] * width_scale)
+    else:  # tied head rides the scaled embedding; undo emb scale
+        put("output.weight",
+            sd["transformer.wte.weight"] * width_scale)
+    for il in range(L):
+        h = f"transformer.h.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[h + "ln_1.weight"])
+        put(b + "attn_norm.bias", sd[h + "ln_1.bias"])
+        put(b + "ffn_norm.weight", sd[h + "ln_2.weight"])
+        put(b + "ffn_norm.bias", sd[h + "ln_2.bias"])
+        for hf, gg in (("attn.c_attn", "attn_qkv"),
+                       ("attn.c_proj", "attn_output"),
+                       ("mlp.c_fc", "ffn_up"), ("mlp.c_fc2", "ffn_gate"),
+                       ("mlp.c_proj", "ffn_down")):
+            put(b + gg + ".weight", sd[h + hf + ".weight"].T)
+            if h + hf + ".bias" in sd:
+                put(b + gg + ".bias", sd[h + hf + ".bias"])
+    _finish(w, vocab)
+    return path
+
+
+def _make_divisible(v, divisor: int) -> int:
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def convert_hf_openelm(model, path, out_type=GGMLType.F32, vocab=None):
+    """OpenELMForCausalLM -> openelm arch: per-layer head/kv/ff arrays,
+    fused qkv, per-head RMS qk-norm, split proj_1 (reference OpenELMModel)."""
+    c = model.config
+    sd = _sd(model)
+    a = "openelm"
+    E = int(c.model_dim)
+    L = int(c.num_transformer_layers)
+    heads = [int(h) for h in c.num_query_heads]
+    kvs = [int(h) for h in c.num_kv_heads]
+    hd = int(c.head_dim)
+    ffs = [_make_divisible(m * E, int(c.ffn_dim_divisor))
+           for m in c.ffn_multipliers]
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=int(c.max_context_length), E=E, L=L, FF=ffs,
+             H=heads, KV=kvs, eps=1e-6, V=int(c.vocab_size), rot=hd,
+             freq=float(getattr(c, "rope_freq_constant", 10000.0)))
+    w.add_kv(Keys.Attention.KEY_LENGTH.format(arch=a), hd)
+    w.add_kv(Keys.Attention.VALUE_LENGTH.format(arch=a), hd)
+
+    def put(n, arr):
+        w.add_tensor(n, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["transformer.token_embeddings.weight"])
+    put("output_norm.weight", sd["transformer.norm.weight"])
+    for il in range(L):
+        h = f"transformer.layers.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[h + "attn_norm.weight"])
+        put(b + "attn_qkv.weight", sd[h + "attn.qkv_proj.weight"])
+        put(b + "attn_output.weight", sd[h + "attn.out_proj.weight"])
+        put(b + "attn_q_norm.weight", sd[h + "attn.q_norm.weight"])
+        put(b + "attn_k_norm.weight", sd[h + "attn.k_norm.weight"])
+        put(b + "ffn_norm.weight", sd[h + "ffn_norm.weight"])
+        p1 = sd[h + "ffn.proj_1.weight"]
+        put(b + "ffn_gate.weight", np.ascontiguousarray(p1[:ffs[il]]))
+        put(b + "ffn_up.weight", np.ascontiguousarray(p1[ffs[il]:]))
+        put(b + "ffn_down.weight", sd[h + "ffn.proj_2.weight"])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_plamo(model, path, out_type=GGMLType.F32, vocab=None):
+    """PlamoForCausalLM -> plamo arch: model.layers.layers.* naming, the
+    grouped-query interleave shuffle on q/k (reference PlamoModel
+    shuffle_attn_q_weight generalized to the config's head counts)."""
+    c = model.config
+    sd = _sd(model)
+    a = "plamo"
+    E = int(c.hidden_size)
+    H = int(c.num_attention_heads)
+    kv = int(getattr(c, "num_key_value_heads", H) or H)
+    hd = E // H
+    L = int(c.num_hidden_layers)
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=getattr(c, "max_position_embeddings", 4096), E=E,
+             L=L, FF=c.intermediate_size, H=H, KV=kv,
+             eps=getattr(c, "rms_norm_eps", 1e-6), V=c.vocab_size, rot=hd)
+
+    def shuffle_q(x):
+        # plamo checkpoints store q heads as [group, kv] — regroup to
+        # [kv, group] for GQA broadcasting (reference shuffle_attn_q_weight,
+        # generalized from the hardcoded 13b shapes)
+        return np.ascontiguousarray(
+            x.reshape(H // kv, kv, hd, E).swapaxes(0, 1).reshape(H * hd, E))
+
+    def shuffle_o(x):
+        # inverse column shuffle on the output projection
+        return np.ascontiguousarray(
+            x.reshape(E, H // kv, kv, hd).transpose(0, 2, 1, 3)
+            .reshape(E, H * hd))
+
+    def put(n, arr):
+        w.add_tensor(n, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["model.embed_tokens.weight"])
+    put("output_norm.weight", sd["model.norm.weight"])
+    put("output.weight", sd["lm_head.weight"])
+    for il in range(L):
+        h = f"model.layers.layers.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[h + "norm.weight"])
+        put(b + "attn_q.weight", shuffle_q(sd[h + "self_attn.q_proj.weight"]))
+        put(b + "attn_k.weight", sd[h + "self_attn.k_proj.weight"])
+        put(b + "attn_v.weight", sd[h + "self_attn.v_proj.weight"])
+        put(b + "attn_output.weight", shuffle_o(sd[h + "self_attn.o_proj.weight"]))
+        put(b + "ffn_gate.weight", sd[h + "mlp.gate_proj.weight"])
+        put(b + "ffn_up.weight", sd[h + "mlp.up_proj.weight"])
+        put(b + "ffn_down.weight", sd[h + "mlp.down_proj.weight"])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_grok(model, path, out_type=GGMLType.F32, vocab=None):
+    """GrokForCausalLM -> grok arch: transformer.decoder_layer.* naming,
+    post-norm remaps (rms_norm_1/2/3), per-expert moe.N.linear* merged into
+    stacked expert tensors (reference GrokModel)."""
+    c = model.config
+    sd = _sd(model)
+    a = "grok"
+    E = int(c.hidden_size)
+    H = int(c.num_attention_heads)
+    kv = int(getattr(c, "num_key_value_heads", H))
+    L = int(c.num_hidden_layers)
+    NE = int(getattr(c, "num_local_experts", 8))
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=getattr(c, "max_position_embeddings", 8192), E=E,
+             L=L, FF=c.intermediate_size, H=H, KV=kv,
+             eps=getattr(c, "rms_norm_eps", 1e-5), V=c.vocab_size,
+             rot=E // H)
+    w.add_kv(Keys.LLM.EXPERT_COUNT.format(arch=a), NE)
+    w.add_kv(Keys.LLM.EXPERT_USED_COUNT.format(arch=a),
+             int(getattr(c, "num_experts_per_tok", 2)))
+
+    def put(n, arr):
+        w.add_tensor(n, arr, ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["transformer.in_out_embed.weight"])
+    put("output_norm.weight", sd["transformer.rms_norm.weight"])
+    if "lm_head.weight" in sd:
+        put("output.weight", sd["lm_head.weight"])
+    for il in range(L):
+        h = f"transformer.decoder_layer.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[h + "rms_norm.weight"])
+        put(b + "attn_out_norm.weight", sd[h + "rms_norm_1.weight"])
+        put(b + "ffn_norm.weight", sd[h + "rms_norm_2.weight"])
+        put(b + "layer_out_norm.weight", sd[h + "rms_norm_3.weight"])
+        put(b + "attn_q.weight", sd[h + "multi_head_attention.query.weight"])
+        put(b + "attn_k.weight", sd[h + "multi_head_attention.key.weight"])
+        put(b + "attn_v.weight", sd[h + "multi_head_attention.value.weight"])
+        put(b + "attn_output.weight",
+            sd[h + "multi_head_attention.linear.weight"])
+        put(b + "ffn_gate_inp.weight", sd[h + "router.weight"])
+        for hf, gg in (("linear", "ffn_gate_exps"),
+                       ("linear_v", "ffn_up_exps"),
+                       ("linear_1", "ffn_down_exps")):
+            stack = np.stack([sd[f"{h}moe.{e}.{hf}.weight"]
+                              for e in range(NE)])
+            w.add_tensor(b + gg + ".weight", stack, ggml_type=GGMLType.F32)
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_bailingmoe(model, path, out_type=GGMLType.F32, vocab=None):
+    """BailingMoeForCausalLM -> bailingmoe arch: fused query_key_value
+    split with the NORM-rope permute, deepseek-v1-style MoE with ungated
+    shared experts (reference BailingMoeModel)."""
+    c = model.config
+    sd = _sd(model)
+    a = "bailingmoe"
+    E = int(c.hidden_size)
+    H = int(c.num_attention_heads)
+    kv = int(getattr(c, "num_key_value_heads", H))
+    hd = int(getattr(c, "head_dim", 0) or E // H)
+    L = int(c.num_hidden_layers)
+    NE = int(c.num_experts)
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=getattr(c, "max_position_embeddings", 4096), E=E,
+             L=L, FF=c.intermediate_size, H=H, KV=kv,
+             eps=getattr(c, "rms_norm_eps", 1e-6), V=c.vocab_size, rot=hd,
+             freq=getattr(c, "rope_theta", 10000.0))
+    w.add_kv(f"{a}.leading_dense_block_count",
+             int(getattr(c, "first_k_dense_replace", 0)))
+    w.add_kv(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH.format(arch=a),
+             int(c.moe_intermediate_size))
+    w.add_kv(f"{a}.expert_weights_scale", 1.0)
+    w.add_kv(Keys.LLM.EXPERT_COUNT.format(arch=a), NE)
+    w.add_kv(Keys.LLM.EXPERT_USED_COUNT.format(arch=a),
+             int(getattr(c, "num_experts_per_tok", 2)))
+    w.add_kv(f"{a}.expert_shared_count",
+             int(getattr(c, "num_shared_experts", 0)))
+    w.add_kv(f"{a}.expert_weights_norm", bool(getattr(c, "norm_topk_prob", False)))
+
+    def put(n, arr):
+        w.add_tensor(n, np.ascontiguousarray(arr),
+                     ggml_type=out_type if arr.ndim == 2 else GGMLType.F32)
+
+    put("token_embd.weight", sd["model.word_embeddings.weight"])
+    put("output_norm.weight", sd["model.norm.weight"])
+    put("output.weight", sd["lm_head.weight"])
+    for il in range(L):
+        h = f"model.layers.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[h + "input_layernorm.weight"])
+        put(b + "ffn_norm.weight", sd[h + "post_attention_layernorm.weight"])
+        qkv = sd[h + "attention.query_key_value.weight"]
+        q, k, v = np.split(qkv, [H * hd, H * hd + kv * hd])
+        put(b + "attn_q.weight", permute_qk(q, H))
+        put(b + "attn_k.weight", permute_qk(k, kv))
+        put(b + "attn_v.weight", v)
+        put(b + "attn_output.weight", sd[h + "attention.dense.weight"])
+        if h + "mlp.gate.weight" in sd:  # MoE layer
+            put(b + "ffn_gate_inp.weight", sd[h + "mlp.gate.weight"])
+            for hf, gg in (("gate_proj", "ffn_gate_exps"),
+                           ("up_proj", "ffn_up_exps"),
+                           ("down_proj", "ffn_down_exps")):
+                stack = np.stack([sd[f"{h}mlp.experts.{e}.{hf}.weight"]
+                                  for e in range(NE)])
+                w.add_tensor(b + gg + ".weight", stack,
+                             ggml_type=GGMLType.F32)
+            for hf, gg in (("gate_proj", "ffn_gate_shexp"),
+                           ("up_proj", "ffn_up_shexp"),
+                           ("down_proj", "ffn_down_shexp")):
+                key = f"{h}mlp.shared_experts.{hf}.weight"
+                if key in sd:
+                    put(b + gg + ".weight", sd[key])
+        else:  # leading dense layer
+            put(b + "ffn_gate.weight", sd[h + "mlp.gate_proj.weight"])
+            put(b + "ffn_up.weight", sd[h + "mlp.up_proj.weight"])
+            put(b + "ffn_down.weight", sd[h + "mlp.down_proj.weight"])
+    _finish(w, vocab)
+    return path

@@ -20,6 +20,12 @@ transformers = pytest.importorskip("transformers")
 from llm_tpu.convert.hf_llama import convert_hf_auto
 from llm_tpu.gguf.constants import Keys
 from llm_tpu.gguf.reader import GGUFReader
+from llm_tpu.quant import codecs as _codecs
+
+
+def _rd(r, name):
+    ti = r.tensors[name]
+    return _codecs.dequantize_tensor(r.data(name), ti.ggml_type, ti.shape)
 from llm_tpu.models.config import config_from_gguf
 from llm_tpu.runtime.batch import Batch
 from llm_tpu.runtime.engine import Context
@@ -472,3 +478,366 @@ def test_stablelm_epoch_and_internlm3_dispatch(tmp_path):
     convert_hf_auto(m2, p2)
     assert GGUFReader(p2).architecture == "llama"
     _logit_check(m2, p2)
+
+
+# ------------------------------------------- batch 2: renamed/fused classes
+# trust_remote_code-only HF classes (QWen, ChatGLM, CodeShell, Refact, JAIS,
+# OpenELM, Plamo, Grok, BailingMoe) exercised through stub state dicts with
+# the exact HF tensor naming their converters consume
+# (convert_hf_to_gguf.py QwenModel..BailingMoeModel).
+
+def test_qwen1_conversion(tmp_path):
+    """qwen1: fused qkv+bias, half-width w1/w2 gated FFN (reference
+    QwenModel: ff = intermediate_size // 2)."""
+    rng = np.random.default_rng(10)
+    E, H, FF, V, L = 64, 4, 48, 97, 2
+    sd = {
+        "transformer.wte.weight": rng.normal(size=(V, E)) * 0.2,
+        "transformer.ln_f.weight": 1 + rng.normal(size=E) * 0.05,
+        "lm_head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        b = f"transformer.h.{i}."
+        sd[b + "ln_1.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "ln_2.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "attn.c_attn.weight"] = rng.normal(size=(3 * E, E)) * 0.15
+        sd[b + "attn.c_attn.bias"] = rng.normal(size=3 * E) * 0.05
+        sd[b + "attn.c_proj.weight"] = rng.normal(size=(E, E)) * 0.15
+        sd[b + "mlp.w1.weight"] = rng.normal(size=(FF, E)) * 0.15  # up
+        sd[b + "mlp.w2.weight"] = rng.normal(size=(FF, E)) * 0.15  # gate
+        sd[b + "mlp.c_proj.weight"] = rng.normal(size=(E, FF)) * 0.15
+    cfg = dict(model_type="qwen", hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, intermediate_size=2 * FF,
+               seq_length=128, layer_norm_epsilon=1e-6, vocab_size=V,
+               rotary_emb_base=10000.0, name_or_path="stub")
+    p = str(tmp_path / "qwen1.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    assert r.akey(Keys.LLM.FEED_FORWARD_LENGTH) == FF
+    assert "blk.0.attn_qkv.bias" in set(r.tensors)
+    _decode_ok(p, "qwen")
+
+
+def test_chatglm_conversion(tmp_path):
+    """chatglm (glm2/3 pre-hf): fused MQA qkv+bias, fused [gate;up]
+    dense_h_to_4h, half-dim rotary (reference ChatGLMModel)."""
+    rng = np.random.default_rng(11)
+    E, H, KV, hd, FF, V, L = 64, 4, 2, 16, 48, 97, 2
+    sd = {
+        "transformer.embedding.word_embeddings.weight":
+            rng.normal(size=(V, E)) * 0.2,
+        "transformer.encoder.final_layernorm.weight":
+            1 + rng.normal(size=E) * 0.05,
+        "transformer.output_layer.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        b = f"transformer.encoder.layers.{i}."
+        sd[b + "input_layernorm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "post_attention_layernorm.weight"] = \
+            1 + rng.normal(size=E) * 0.05
+        nq = (H + 2 * KV) * hd
+        sd[b + "self_attention.query_key_value.weight"] = \
+            rng.normal(size=(nq, E)) * 0.15
+        sd[b + "self_attention.query_key_value.bias"] = \
+            rng.normal(size=nq) * 0.05
+        sd[b + "self_attention.dense.weight"] = rng.normal(size=(E, E)) * 0.15
+        sd[b + "mlp.dense_h_to_4h.weight"] = \
+            rng.normal(size=(2 * FF, E)) * 0.15
+        sd[b + "mlp.dense_4h_to_h.weight"] = rng.normal(size=(E, FF)) * 0.15
+    cfg = dict(model_type="chatglm", hidden_size=E, num_layers=L,
+               num_attention_heads=H, multi_query_group_num=KV,
+               kv_channels=hd, ffn_hidden_size=FF, seq_length=128,
+               layernorm_epsilon=1e-5, padded_vocab_size=V, vocab_size=V,
+               rope_ratio=1.0, name_or_path="stub")
+    p = str(tmp_path / "chatglm.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    assert r.akey(Keys.Rope.DIMENSION_COUNT) == hd // 2
+    _decode_ok(p, "chatglm")
+
+
+def test_codeshell_conversion(tmp_path):
+    """codeshell: starcoder tensors (LN+bias, fused MQA qkv, gelu) + NEOX
+    rope (reference CodeShellModel)."""
+    rng = np.random.default_rng(12)
+    E, H, KV, V, L = 64, 4, 1, 97, 2
+    hd = E // H
+    sd = {
+        "transformer.wte.weight": rng.normal(size=(V, E)) * 0.2,
+        "transformer.ln_f.weight": 1 + rng.normal(size=E) * 0.05,
+        "transformer.ln_f.bias": rng.normal(size=E) * 0.02,
+        "lm_head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        b = f"transformer.h.{i}."
+        for ln in ("ln_1", "ln_2"):
+            sd[b + ln + ".weight"] = 1 + rng.normal(size=E) * 0.05
+            sd[b + ln + ".bias"] = rng.normal(size=E) * 0.02
+        nq = E + 2 * KV * hd
+        sd[b + "attn.c_attn.weight"] = rng.normal(size=(nq, E)) * 0.15
+        sd[b + "attn.c_attn.bias"] = rng.normal(size=nq) * 0.05
+        sd[b + "attn.c_proj.weight"] = rng.normal(size=(E, E)) * 0.15
+        sd[b + "attn.c_proj.bias"] = rng.normal(size=E) * 0.02
+        sd[b + "mlp.c_fc.weight"] = rng.normal(size=(4 * E, E)) * 0.15
+        sd[b + "mlp.c_fc.bias"] = rng.normal(size=4 * E) * 0.05
+        sd[b + "mlp.c_proj.weight"] = rng.normal(size=(E, 4 * E)) * 0.15
+        sd[b + "mlp.c_proj.bias"] = rng.normal(size=E) * 0.02
+    cfg = dict(model_type="codeshell", hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, num_query_groups=KV, n_positions=128,
+               layer_norm_epsilon=1e-5, vocab_size=V, rope_theta=10000.0,
+               name_or_path="stub")
+    p = str(tmp_path / "codeshell.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    names = set(GGUFReader(p).tensors)
+    assert {"blk.0.attn_qkv.weight", "blk.0.attn_qkv.bias",
+            "output_norm.bias"} <= names
+    _decode_ok(p, "codeshell")
+
+
+def test_refact_conversion(tmp_path):
+    """refact: fused kv split at head_dim, fused gate_up split at the
+    256-rounded 2/3 ff dim, ALiBi (reference RefactModel)."""
+    rng = np.random.default_rng(13)
+    E, H, V, L = 64, 4, 97, 2
+    hd = E // H
+    ff = 256 * ((int(2 * 4 * E / 3) + 255) // 256)
+    sd = {
+        "transformer.wte.weight": rng.normal(size=(V, E)) * 0.2,
+        "ln_f.weight": 1 + rng.normal(size=E) * 0.05,
+        "lm_head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        b = f"transformer.h.{i}."
+        sd[b + "ln_1.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "ln_2.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "attn.q.weight"] = rng.normal(size=(E, E)) * 0.15
+        sd[b + "attn.kv.weight"] = rng.normal(size=(2 * hd, E)) * 0.15
+        sd[b + "attn.c_proj.weight"] = rng.normal(size=(E, E)) * 0.15
+        sd[b + "mlp.gate_up_proj.weight"] = rng.normal(size=(2 * ff, E)) * 0.15
+        sd[b + "mlp.c_proj.weight"] = rng.normal(size=(E, ff)) * 0.15
+    cfg = dict(model_type="gpt_refact", n_embd=E, n_head=H, n_layer=L,
+               n_positions=128, layer_norm_epsilon=1e-6, vocab_size=V,
+               name_or_path="stub")
+    p = str(tmp_path / "refact.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    assert r.akey(Keys.LLM.FEED_FORWARD_LENGTH) == ff
+    assert r.akey(Keys.Attention.HEAD_COUNT_KV) == 1
+    _decode_ok(p, "refact")
+
+
+def test_jais_conversion(tmp_path):
+    """jais: Conv1D transposes, muP scales folded into tensors, ALiBi max
+    bias recovered from the slopes (reference JaisModel)."""
+    rng = np.random.default_rng(14)
+    E, H, FF, V, L = 64, 4, 96, 97, 2
+    sd = {
+        "transformer.wte.weight": rng.normal(size=(V, E)) * 0.2,
+        "transformer.ln_f.weight": 1 + rng.normal(size=E) * 0.05,
+        "transformer.ln_f.bias": rng.normal(size=E) * 0.02,
+        "transformer.relative_pe.slopes": np.array(
+            [2.0 ** (-8.0 * (i + 1) / H) for i in range(H)]),
+    }
+    for i in range(L):
+        b = f"transformer.h.{i}."
+        for ln in ("ln_1", "ln_2"):
+            sd[b + ln + ".weight"] = 1 + rng.normal(size=E) * 0.05
+            sd[b + ln + ".bias"] = rng.normal(size=E) * 0.02
+        # Conv1D layout: (in, out)
+        sd[b + "attn.c_attn.weight"] = rng.normal(size=(E, 3 * E)) * 0.15
+        sd[b + "attn.c_attn.bias"] = rng.normal(size=3 * E) * 0.05
+        sd[b + "attn.c_proj.weight"] = rng.normal(size=(E, E)) * 0.15
+        sd[b + "attn.c_proj.bias"] = rng.normal(size=E) * 0.02
+        sd[b + "mlp.c_fc.weight"] = rng.normal(size=(E, FF)) * 0.15
+        sd[b + "mlp.c_fc.bias"] = rng.normal(size=FF) * 0.05
+        sd[b + "mlp.c_fc2.weight"] = rng.normal(size=(E, FF)) * 0.15
+        sd[b + "mlp.c_fc2.bias"] = rng.normal(size=FF) * 0.05
+        sd[b + "mlp.c_proj.weight"] = rng.normal(size=(FF, E)) * 0.15
+        sd[b + "mlp.c_proj.bias"] = rng.normal(size=E) * 0.02
+    cfg = dict(model_type="jais", n_embd=E, n_head=H, n_layer=L,
+               n_inner=FF, n_positions=128, layer_norm_epsilon=1e-5,
+               vocab_size=V, mup_embeddings_scale=2.0, mup_output_alpha=1.5,
+               mup_width_scale=0.5, name_or_path="stub")
+    p = str(tmp_path / "jais.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    assert r.akey("{arch}.attention.max_alibi_bias") == 8.0
+    # muP folds: embedding x2.0, tied head x (alpha*width)=0.75 of raw wte
+    np.testing.assert_allclose(
+        _rd(r, "token_embd.weight"),
+        np.float32(sd["transformer.wte.weight"] * 2.0), rtol=1e-6)
+    np.testing.assert_allclose(
+        _rd(r, "output.weight"),
+        np.float32(sd["transformer.wte.weight"] * 0.75), rtol=1e-6)
+    _decode_ok(p, "jais")
+
+
+def test_openelm_conversion(tmp_path):
+    """openelm: per-layer head/ff arrays from ffn_multipliers, fused qkv,
+    per-head qk-norm, split proj_1, tied head (reference OpenELMModel)."""
+    rng = np.random.default_rng(15)
+    E, hd, V, L = 64, 16, 97, 2
+    heads, kvs = [4, 2], [2, 1]
+    mults, div = [1.0, 2.0], 32
+    ffs = [64, 128]
+    sd = {
+        "transformer.token_embeddings.weight": rng.normal(size=(V, E)) * 0.2,
+        "transformer.norm.weight": 1 + rng.normal(size=E) * 0.05,
+    }
+    for i in range(L):
+        b = f"transformer.layers.{i}."
+        nq = (heads[i] + 2 * kvs[i]) * hd
+        sd[b + "attn_norm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "attn.qkv_proj.weight"] = rng.normal(size=(nq, E)) * 0.15
+        sd[b + "attn.out_proj.weight"] = \
+            rng.normal(size=(E, heads[i] * hd)) * 0.15
+        sd[b + "attn.q_norm.weight"] = 1 + rng.normal(size=hd) * 0.05
+        sd[b + "attn.k_norm.weight"] = 1 + rng.normal(size=hd) * 0.05
+        sd[b + "ffn_norm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "ffn.proj_1.weight"] = rng.normal(size=(2 * ffs[i], E)) * 0.15
+        sd[b + "ffn.proj_2.weight"] = rng.normal(size=(E, ffs[i])) * 0.15
+    cfg = dict(model_type="openelm", model_dim=E, num_transformer_layers=L,
+               num_query_heads=heads, num_kv_heads=kvs, head_dim=hd,
+               ffn_multipliers=mults, ffn_dim_divisor=div,
+               max_context_length=128, vocab_size=V,
+               rope_freq_constant=10000.0, name_or_path="stub")
+    p = str(tmp_path / "openelm.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    assert list(r.akey(Keys.LLM.FEED_FORWARD_LENGTH)) == ffs
+    assert list(r.akey(Keys.Attention.HEAD_COUNT)) == heads
+    assert "output.weight" not in set(r.tensors)  # tied
+    _decode_ok(p, "openelm")
+
+
+def test_plamo_conversion(tmp_path):
+    """plamo: model.layers.layers.* naming + the GQA interleave shuffle on
+    q and o (reference PlamoModel shuffle_attn_q_weight /
+    shuffle_attn_output_weight)."""
+    from llm_tpu.convert.hf_longtail import convert_hf_plamo  # noqa: F401
+
+    rng = np.random.default_rng(16)
+    E, H, KV, V, L = 64, 4, 2, 97, 2
+    hd = E // H
+    sd = {
+        "model.embed_tokens.weight": rng.normal(size=(V, E)) * 0.2,
+        "model.norm.weight": 1 + rng.normal(size=E) * 0.05,
+        "lm_head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        b = f"model.layers.layers.{i}."
+        sd[b + "norm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "self_attn.q_proj.weight"] = rng.normal(size=(E, E)) * 0.15
+        sd[b + "self_attn.k_proj.weight"] = rng.normal(size=(KV * hd, E)) * 0.15
+        sd[b + "self_attn.v_proj.weight"] = rng.normal(size=(KV * hd, E)) * 0.15
+        sd[b + "self_attn.o_proj.weight"] = rng.normal(size=(E, E)) * 0.15
+        sd[b + "mlp.gate_proj.weight"] = rng.normal(size=(96, E)) * 0.15
+        sd[b + "mlp.up_proj.weight"] = rng.normal(size=(96, E)) * 0.15
+        sd[b + "mlp.down_proj.weight"] = rng.normal(size=(E, 96)) * 0.15
+    cfg = dict(model_type="plamo", hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, num_key_value_heads=KV,
+               intermediate_size=96, max_position_embeddings=128,
+               rms_norm_eps=1e-6, vocab_size=V, name_or_path="stub")
+    p = str(tmp_path / "plamo.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    # the q-row shuffle and the o-column shuffle must be inverse
+    # permutations: o' @ q' == o @ q for the converted pair
+    q0 = sd["model.layers.layers.0.self_attn.q_proj.weight"]
+    o0 = sd["model.layers.layers.0.self_attn.o_proj.weight"]
+    np.testing.assert_allclose(
+        np.asarray(_rd(r, "blk.0.attn_output.weight"), np.float64)
+        @ np.asarray(_rd(r, "blk.0.attn_q.weight"), np.float64),
+        np.asarray(o0, np.float64) @ np.asarray(q0, np.float64), atol=1e-6)
+    _decode_ok(p, "plamo")
+
+
+def test_grok_conversion(tmp_path):
+    """grok: transformer.decoder_layer.* naming, rms_norm_1/2/3 post-norm
+    remaps, per-expert moe.N.* stacked (reference GrokModel)."""
+    rng = np.random.default_rng(17)
+    E, H, FF, NE, V, L = 64, 4, 96, 4, 97, 2
+    sd = {
+        "transformer.in_out_embed.weight": rng.normal(size=(V, E)) * 0.2,
+        "transformer.rms_norm.weight": 1 + rng.normal(size=E) * 0.05,
+        "lm_head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        b = f"transformer.decoder_layer.{i}."
+        for n in ("rms_norm", "rms_norm_1", "rms_norm_2", "rms_norm_3"):
+            sd[b + n + ".weight"] = 1 + rng.normal(size=E) * 0.05
+        for n in ("query", "key", "value", "linear"):
+            sd[b + f"multi_head_attention.{n}.weight"] = \
+                rng.normal(size=(E, E)) * 0.15
+        sd[b + "router.weight"] = rng.normal(size=(NE, E)) * 0.15
+        for e in range(NE):
+            sd[b + f"moe.{e}.linear.weight"] = rng.normal(size=(FF, E)) * 0.15
+            sd[b + f"moe.{e}.linear_v.weight"] = rng.normal(size=(FF, E)) * 0.15
+            sd[b + f"moe.{e}.linear_1.weight"] = rng.normal(size=(E, FF)) * 0.15
+    cfg = dict(model_type="grok-1", hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, num_key_value_heads=H,
+               intermediate_size=FF, max_position_embeddings=128,
+               rms_norm_eps=1e-5, vocab_size=V, num_local_experts=NE,
+               num_experts_per_tok=2, name_or_path="stub")
+    p = str(tmp_path / "grok.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    names = set(r.tensors)
+    assert {"blk.0.attn_out_norm.weight", "blk.0.layer_out_norm.weight",
+            "blk.0.ffn_gate_exps.weight"} <= names
+    assert tuple(r.tensors["blk.0.ffn_up_exps.weight"].shape) == (E, FF, NE)  # ne order
+    np.testing.assert_allclose(
+        _rd(r, "blk.0.ffn_up_exps.weight")[1],
+        np.float32(sd["transformer.decoder_layer.0.moe.1.linear_v.weight"]))
+    _decode_ok(p, "grok")
+
+
+def test_bailingmoe_conversion(tmp_path):
+    """bailingmoe: fused query_key_value split + NORM permute, leading
+    dense layer, shared experts (reference BailingMoeModel)."""
+    rng = np.random.default_rng(18)
+    E, H, KV, FF, MFF, NE, V, L = 64, 4, 2, 96, 48, 4, 97, 2
+    hd = E // H
+    sd = {
+        "model.word_embeddings.weight": rng.normal(size=(V, E)) * 0.2,
+        "model.norm.weight": 1 + rng.normal(size=E) * 0.05,
+        "lm_head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        b = f"model.layers.{i}."
+        sd[b + "input_layernorm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[b + "post_attention_layernorm.weight"] = \
+            1 + rng.normal(size=E) * 0.05
+        sd[b + "attention.query_key_value.weight"] = \
+            rng.normal(size=((H + 2 * KV) * hd, E)) * 0.15
+        sd[b + "attention.dense.weight"] = rng.normal(size=(E, E)) * 0.15
+        if i == 0:  # leading dense layer
+            sd[b + "mlp.gate_proj.weight"] = rng.normal(size=(FF, E)) * 0.15
+            sd[b + "mlp.up_proj.weight"] = rng.normal(size=(FF, E)) * 0.15
+            sd[b + "mlp.down_proj.weight"] = rng.normal(size=(E, FF)) * 0.15
+        else:
+            sd[b + "mlp.gate.weight"] = rng.normal(size=(NE, E)) * 0.15
+            for e in range(NE):
+                eb = b + f"mlp.experts.{e}."
+                sd[eb + "gate_proj.weight"] = rng.normal(size=(MFF, E)) * 0.15
+                sd[eb + "up_proj.weight"] = rng.normal(size=(MFF, E)) * 0.15
+                sd[eb + "down_proj.weight"] = rng.normal(size=(E, MFF)) * 0.15
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                shp = (MFF, E) if nm != "down_proj" else (E, MFF)
+                sd[b + f"mlp.shared_experts.{nm}.weight"] = \
+                    rng.normal(size=shp) * 0.15
+    cfg = dict(model_type="bailing_moe", hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, num_key_value_heads=KV,
+               intermediate_size=FF, moe_intermediate_size=MFF,
+               max_position_embeddings=128, rms_norm_eps=1e-6, vocab_size=V,
+               num_experts=NE, num_experts_per_tok=2, num_shared_experts=1,
+               first_k_dense_replace=1, norm_topk_prob=False,
+               name_or_path="stub")
+    p = str(tmp_path / "bailing.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    assert r.akey("{arch}.leading_dense_block_count") == 1
+    names = set(r.tensors)
+    assert {"blk.0.ffn_gate.weight", "blk.1.ffn_gate_exps.weight",
+            "blk.1.ffn_up_shexp.weight"} <= names
+    _decode_ok(p, "bailingmoe")
