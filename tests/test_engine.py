@@ -550,3 +550,51 @@ def test_generate_loop_iswa_sharded():
     want = full.generate_loop(first, 12, seq_id=0)
     got = dual.generate_loop(first, 12, seq_id=0)
     assert got == want
+
+
+def test_parallel_contexts_thread_safety(tiny_gguf):
+    """Two Contexts sharing ONE params dict, driven from concurrent
+    threads, must each reproduce the serial single-context greedy stream
+    (reference test-thread-safety.cpp: n_ctx contexts over one shared
+    llama_model, concurrent generation, outputs must match)."""
+    import threading
+
+    from llm_tpu.models.loader import load_params
+
+    path, model = tiny_gguf
+    params, cfg = load_params(GGUFReader(path), dense_dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, model.config.vocab_size, size=5).tolist()
+               for _ in range(2)]
+
+    def run(prompt):
+        ctx = Context(GGUFReader(path), n_cells=64, dtype=jnp.float32,
+                      params_cfg=(params, cfg))
+        assert ctx.decode(Batch.text(prompt)) == 0
+        out = [int(np.argmax(ctx.get_logits()))]
+        for _ in range(6):
+            assert ctx.decode(Batch.one(out[-1])) == 0
+            out.append(int(np.argmax(ctx.get_logits())))
+        return out
+
+    # serial ground truth
+    want = [run(p) for p in prompts]
+
+    got = [None, None]
+    errs = []
+
+    def worker(i):
+        try:
+            got[i] = run(prompts[i])
+        except Exception as e:  # propagate to the main thread
+            errs.append(e)
+
+    for _ in range(3):  # a few rounds to shake out races
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errs, errs
+        assert got == want
