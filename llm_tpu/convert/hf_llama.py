@@ -1720,7 +1720,9 @@ _MODEL_TYPE_ARCH = {
 _DEDICATED = ("mamba", "mamba2", "falcon_mamba", "t5", "mt5", "umt5",
               "t5encoder", "deepseek_v2", "deepseek_v3", "minicpm3", "plm",
               "qwen", "chatglm", "codeshell", "gpt_refact", "jais",
-              "openelm", "plamo", "grok-1", "bailing_moe")
+              "openelm", "plamo", "grok-1", "bailing_moe",
+              "bert", "roberta", "xlm-roberta", "camembert", "distilbert",
+              "nomic_bert", "jina_bert_v2", "neobert")
 
 
 def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
@@ -1757,12 +1759,21 @@ def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
     if mt == "plm":
         return convert_hf_deepseek2(model, path, out_type=out_type,
                                     vocab=vocab, arch="plm")
+    if mt in ("roberta", "xlm-roberta", "camembert", "distilbert"):
+        from .hf_longtail import convert_hf_bert_family
+
+        return convert_hf_bert_family(model, path, vocab=vocab, mt=mt)
+    if mt == "bert":
+        return convert_hf_bert(model, path, vocab=vocab)
     _renamed = {"qwen": "convert_hf_qwen1", "chatglm": "convert_hf_chatglm",
                 "codeshell": "convert_hf_codeshell",
                 "gpt_refact": "convert_hf_refact", "jais": "convert_hf_jais",
                 "openelm": "convert_hf_openelm", "plamo": "convert_hf_plamo",
                 "grok-1": "convert_hf_grok",
-                "bailing_moe": "convert_hf_bailingmoe"}
+                "bailing_moe": "convert_hf_bailingmoe",
+                "nomic_bert": "convert_hf_nomic_bert",
+                "jina_bert_v2": "convert_hf_jina_bert_v2",
+                "neobert": "convert_hf_neo_bert"}
     if mt in _renamed:
         from . import hf_longtail
 

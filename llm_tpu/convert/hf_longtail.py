@@ -501,3 +501,295 @@ def convert_hf_bailingmoe(model, path, out_type=GGMLType.F32, vocab=None):
             put(b + "ffn_down.weight", sd[h + "mlp.down_proj.weight"])
     _finish(w, vocab)
     return path
+
+
+# ------------------------------------------------------------- bert family
+
+def convert_hf_bert_family(model, path, vocab=None, mt=None):
+    """Roberta/Camembert/XLMRoberta/DistilBert -> bert arch.
+
+    Parity: convert_hf_to_gguf.py RobertaModel (position_embd trimmed by
+    pad_token_id+1, ctx reduced), DistilBertModel (1e-12 eps, q_lin/k_lin
+    naming, no token types), XLMRobertaModel (same trim, UGM vocab);
+    CLS heads per tensor_mapping CLS/CLS_OUT rows."""
+    c = model.config
+    mt = mt or c.model_type
+    sd = {k: v.detach().cpu().float().numpy()
+          for k, v in model.state_dict().items()}
+    a = "bert"
+    w = GGUFWriter(path, arch=a)
+    E = int(getattr(c, "hidden_size", 0) or getattr(c, "dim"))
+    H = int(getattr(c, "num_attention_heads", 0) or getattr(c, "n_heads"))
+    L = int(getattr(c, "num_hidden_layers", 0) or getattr(c, "n_layers"))
+    FF = int(getattr(c, "intermediate_size", 0) or getattr(c, "hidden_dim"))
+    V = int(c.vocab_size)
+    ctx = int(c.max_position_embeddings)
+    roberta_like = mt in ("roberta", "xlm-roberta", "camembert")
+    off = 0
+    if roberta_like and getattr(c, "pad_token_id", None) is not None:
+        off = 1 + int(c.pad_token_id)
+        ctx -= off
+    eps = 1e-12 if mt == "distilbert" else float(
+        getattr(c, "layer_norm_eps", 1e-12))
+    _base_kv(w, a, ctx=ctx, E=E, L=L, FF=FF, H=H, KV=H, eps=eps, V=V,
+             rms=True)
+    w.add_kv(f"{a}.attention.causal", False)
+    w.add_kv(f"{a}.pooling_type", 1)  # MEAN
+    tcount = int(getattr(c, "type_vocab_size", 1) or 1)
+    if mt != "distilbert":
+        w.add_kv(f"{a}.attention.token_type_count", tcount)
+
+    # strip the model prefix ("roberta.", "bert.", "distilbert.")
+    for pre in ("roberta.", "bert.", "distilbert."):
+        if any(k.startswith(pre) for k in sd):
+            sd = {(k[len(pre):] if k.startswith(pre) else k): v
+                  for k, v in sd.items()}
+            break
+
+    def put(n, arr):
+        w.add_tensor(n, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    if mt == "distilbert":
+        put("token_embd.weight", sd["embeddings.word_embeddings.weight"])
+        put("position_embd.weight", sd["embeddings.position_embeddings.weight"])
+        put("token_embd_norm.weight", sd["embeddings.LayerNorm.weight"])
+        put("token_embd_norm.bias", sd["embeddings.LayerNorm.bias"])
+        for il in range(L):
+            b = f"transformer.layer.{il}."
+            g = f"blk.{il}."
+            for hf, gg in (("attention.q_lin", "attn_q"),
+                           ("attention.k_lin", "attn_k"),
+                           ("attention.v_lin", "attn_v"),
+                           ("attention.out_lin", "attn_output"),
+                           ("sa_layer_norm", "attn_output_norm"),
+                           ("ffn.lin1", "ffn_up"), ("ffn.lin2", "ffn_down"),
+                           ("output_layer_norm", "layer_output_norm")):
+                put(g + gg + ".weight", sd[b + hf + ".weight"])
+                put(g + gg + ".bias", sd[b + hf + ".bias"])
+    else:
+        put("token_embd.weight", sd["embeddings.word_embeddings.weight"])
+        pe = sd["embeddings.position_embeddings.weight"]
+        put("position_embd.weight", pe[off:] if off else pe)
+        put("token_types.weight", sd["embeddings.token_type_embeddings.weight"])
+        put("token_embd_norm.weight", sd["embeddings.LayerNorm.weight"])
+        put("token_embd_norm.bias", sd["embeddings.LayerNorm.bias"])
+        for il in range(L):
+            b = f"encoder.layer.{il}."
+            g = f"blk.{il}."
+            for hf, gg in (("attention.self.query", "attn_q"),
+                           ("attention.self.key", "attn_k"),
+                           ("attention.self.value", "attn_v"),
+                           ("attention.output.dense", "attn_output"),
+                           ("attention.output.LayerNorm", "attn_output_norm"),
+                           ("intermediate.dense", "ffn_up"),
+                           ("output.dense", "ffn_down"),
+                           ("output.LayerNorm", "layer_output_norm")):
+                put(g + gg + ".weight", sd[b + hf + ".weight"])
+                put(g + gg + ".bias", sd[b + hf + ".bias"])
+    # classification heads (tensor_mapping CLS / CLS_OUT)
+    for hf, gg in (("classifier.dense", "cls"), ("pre_classifier", "cls"),
+                   ("classifier.out_proj", "cls.output")):
+        if hf + ".weight" in sd:
+            put(gg + ".weight", sd[hf + ".weight"])
+            put(gg + ".bias", sd[hf + ".bias"])
+    if "classifier.weight" in sd and "classifier.dense.weight" not in sd:
+        put("cls.output.weight" if "pre_classifier.weight" in sd
+            else "cls.weight", sd["classifier.weight"])
+        put("cls.output.bias" if "pre_classifier.weight" in sd
+            else "cls.bias", sd["classifier.bias"])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_nomic_bert(model, path, out_type=GGMLType.F32, vocab=None):
+    """NomicBertModel -> nomic-bert / nomic-bert-moe: fused Wqkv, NEOX
+    rope, fc11/fc12 swiglu (or every-Nth-layer GELU MoE with viewed
+    expert weights), post-norm (reference NomicBertModel)."""
+    c = model.config
+    sd = _sd(model)
+    moe = bool(getattr(c, "moe_every_n_layers", 0))
+    a = "nomic-bert-moe" if moe else "nomic-bert"
+    E = int(getattr(c, "n_embd", 0) or getattr(c, "hidden_size"))
+    H = int(getattr(c, "n_head", 0) or getattr(c, "num_attention_heads"))
+    L = int(getattr(c, "n_layer", 0) or getattr(c, "num_hidden_layers"))
+    FF = int(getattr(c, "n_inner", 0) or getattr(c, "intermediate_size"))
+    npos = int(getattr(c, "n_positions", 2048))
+    mtp = int(getattr(c, "max_trained_positions", 2048))
+    # reference NomicBertModel n_positions clamp
+    ctx = 2048 if (npos, mtp) == (8192, 2048) else 512
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=ctx, E=E, L=L, FF=FF, H=H, KV=H,
+             eps=getattr(c, "layer_norm_epsilon", 1e-12), V=c.vocab_size,
+             rot=E // H, freq=getattr(c, "rotary_emb_base", 1000.0))
+    w.add_kv(f"{a}.attention.causal", False)
+    w.add_kv(f"{a}.pooling_type", 1)
+    if moe:
+        w.add_kv(f"{a}.moe_every_n_layers", int(c.moe_every_n_layers))
+        w.add_kv(Keys.LLM.EXPERT_COUNT.format(arch=a), int(c.num_experts))
+        w.add_kv(Keys.LLM.EXPERT_USED_COUNT.format(arch=a),
+                 int(getattr(c, "moe_top_k", 2)))
+
+    def put(n, arr):
+        w.add_tensor(n, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    put("token_embd.weight", sd["embeddings.word_embeddings.weight"])
+    if "embeddings.token_type_embeddings.weight" in sd:
+        put("token_types.weight",
+            sd["embeddings.token_type_embeddings.weight"])
+    put("token_embd_norm.weight", sd["emb_ln.weight"])
+    put("token_embd_norm.bias", sd["emb_ln.bias"])
+    NE = int(getattr(c, "num_experts", 0) or 0)
+    for il in range(L):
+        b = f"encoder.layers.{il}."
+        g = f"blk.{il}."
+        put(g + "attn_qkv.weight", sd[b + "attn.Wqkv.weight"])
+        if b + "attn.Wqkv.bias" in sd:
+            put(g + "attn_qkv.bias", sd[b + "attn.Wqkv.bias"])
+        put(g + "attn_output.weight", sd[b + "attn.out_proj.weight"])
+        if b + "attn.out_proj.bias" in sd:
+            put(g + "attn_output.bias", sd[b + "attn.out_proj.bias"])
+        put(g + "attn_output_norm.weight", sd[b + "norm1.weight"])
+        put(g + "attn_output_norm.bias", sd[b + "norm1.bias"])
+        put(g + "layer_output_norm.weight", sd[b + "norm2.weight"])
+        put(g + "layer_output_norm.bias", sd[b + "norm2.bias"])
+        if b + "mlp.experts.mlp.w1" in sd:  # MoE layer: flat experts
+            put(g + "ffn_gate_inp.weight", sd[b + "mlp.router.layer.weight"])
+            put(g + "ffn_up_exps.weight",
+                sd[b + "mlp.experts.mlp.w1"].reshape(NE, FF, E))
+            put(g + "ffn_down_exps.weight",
+                sd[b + "mlp.experts.mlp.w2"].reshape(NE, FF, E)
+                .transpose(0, 2, 1))
+        elif b + "mlp.fc11.weight" in sd:  # swiglu dense
+            put(g + "ffn_up.weight", sd[b + "mlp.fc11.weight"])
+            put(g + "ffn_gate.weight", sd[b + "mlp.fc12.weight"])
+            put(g + "ffn_down.weight", sd[b + "mlp.fc2.weight"])
+        else:  # moe model's dense GELU layers (fc1/fc2 with bias)
+            put(g + "ffn_up.weight", sd[b + "mlp.fc1.weight"])
+            if b + "mlp.fc1.bias" in sd:
+                put(g + "ffn_up.bias", sd[b + "mlp.fc1.bias"])
+            put(g + "ffn_down.weight", sd[b + "mlp.fc2.weight"])
+            if b + "mlp.fc2.bias" in sd:
+                put(g + "ffn_down.bias", sd[b + "mlp.fc2.bias"])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_jina_bert_v2(model, path, out_type=GGMLType.F32, vocab=None):
+    """JinaBertModel -> jina-bert-v2: bidirectional ALiBi, optional flat
+    qk LayerNorms, GEGLU gated_layers split (reference JinaBertV2Model +
+    tensor_mapping jina rows)."""
+    c = model.config
+    sd = _sd(model)
+    a = "jina-bert-v2"
+    E = int(c.hidden_size)
+    H = int(c.num_attention_heads)
+    L = int(c.num_hidden_layers)
+    FF = int(c.intermediate_size)
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=c.max_position_embeddings, E=E, L=L, FF=FF, H=H,
+             KV=H, eps=getattr(c, "layer_norm_eps", 1e-12), V=c.vocab_size)
+    w.add_kv(f"{a}.attention.causal", False)
+    w.add_kv(f"{a}.pooling_type", 1)
+    w.add_kv(f"{a}.attention.max_alibi_bias", 8.0)
+
+    for pre in ("bert.", "roberta."):
+        if any(k.startswith(pre) for k in sd):
+            sd = {(k[len(pre):] if k.startswith(pre) else k): v
+                  for k, v in sd.items()}
+            break
+
+    def put(n, arr):
+        w.add_tensor(n, np.ascontiguousarray(np.asarray(arr, np.float32)),
+                     ggml_type=GGMLType.F32)
+
+    put("token_embd.weight", sd["embeddings.word_embeddings.weight"])
+    if "embeddings.token_type_embeddings.weight" in sd:
+        put("token_types.weight",
+            sd["embeddings.token_type_embeddings.weight"])
+    put("token_embd_norm.weight", sd["embeddings.LayerNorm.weight"])
+    put("token_embd_norm.bias", sd["embeddings.LayerNorm.bias"])
+    for il in range(L):
+        b = f"encoder.layer.{il}."
+        g = f"blk.{il}."
+        if b + "mixer.Wqkv.weight" in sd:  # fused variant
+            qkv = sd[b + "mixer.Wqkv.weight"]
+            qw, kw, vw = np.split(qkv, 3)
+            names = ("attn_q", "attn_k", "attn_v")
+            for nm, arr in zip(names, (qw, kw, vw)):
+                put(g + nm + ".weight", arr)
+            if b + "mixer.Wqkv.bias" in sd:
+                qb, kb, vb = np.split(sd[b + "mixer.Wqkv.bias"], 3)
+                for nm, arr in zip(names, (qb, kb, vb)):
+                    put(g + nm + ".bias", arr)
+            put(g + "attn_output.weight", sd[b + "mixer.out_proj.weight"])
+            if b + "mixer.out_proj.bias" in sd:
+                put(g + "attn_output.bias", sd[b + "mixer.out_proj.bias"])
+        else:
+            for hf, gg in (("attention.self.query", "attn_q"),
+                           ("attention.self.key", "attn_k"),
+                           ("attention.self.value", "attn_v"),
+                           ("attention.output.dense", "attn_output")):
+                put(g + gg + ".weight", sd[b + hf + ".weight"])
+                if b + hf + ".bias" in sd:
+                    put(g + gg + ".bias", sd[b + hf + ".bias"])
+            for hf, gg in (("attention.self.layer_norm_q", "attn_q_norm"),
+                           ("attention.self.layer_norm_k", "attn_k_norm")):
+                if b + hf + ".weight" in sd:
+                    put(g + gg + ".weight", sd[b + hf + ".weight"])
+                    put(g + gg + ".bias", sd[b + hf + ".bias"])
+        put(g + "attn_output_norm.weight",
+            sd[b + "attention.output.LayerNorm.weight"])
+        put(g + "attn_output_norm.bias",
+            sd[b + "attention.output.LayerNorm.bias"])
+        gl = sd[b + "mlp.gated_layers.weight"]
+        put(g + "ffn_gate.weight", gl[:FF])
+        put(g + "ffn_up.weight", gl[FF:])
+        put(g + "ffn_down.weight", sd[b + "mlp.wo.weight"])
+        if b + "mlp.wo.bias" in sd:
+            put(g + "ffn_down.bias", sd[b + "mlp.wo.bias"])
+        put(g + "layer_output_norm.weight",
+            sd[b + "mlp.layernorm.weight"])
+        put(g + "layer_output_norm.bias", sd[b + "mlp.layernorm.bias"])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_neo_bert(model, path, out_type=GGMLType.F32, vocab=None):
+    """NeoBERT -> neo-bert: pre-norm RMS blocks, fused qkv, packed w12
+    SWIGLU, ff = 2/3 intermediate, CLS pooling (reference NeoBert)."""
+    c = model.config
+    sd = _sd(model)
+    sd = {(k[6:] if k.startswith("model.") else k): v
+          for k, v in sd.items() if not k.startswith("decoder.")}
+    a = "neo-bert"
+    E = int(c.hidden_size)
+    H = int(c.num_attention_heads)
+    L = int(c.num_hidden_layers)
+    FF = int(2 * c.intermediate_size / 3)
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=c.max_position_embeddings, E=E, L=L, FF=FF, H=H,
+             KV=H, eps=getattr(c, "norm_eps", 1e-6), V=c.vocab_size,
+             rot=E // H, freq=10000.0)
+    w.add_kv(f"{a}.attention.causal", False)
+    w.add_kv(f"{a}.pooling_type", 3)  # CLS
+
+    def put(n, arr):
+        w.add_tensor(n, np.asarray(arr, np.float32), ggml_type=GGMLType.F32)
+
+    put("token_embd.weight", sd["encoder.weight"])
+    put("enc.output_norm.weight", sd["layer_norm.weight"])
+    for il in range(L):
+        b = f"transformer_encoder.{il}."
+        g = f"blk.{il}."
+        put(g + "attn_norm.weight", sd[b + "attention_norm.weight"])
+        put(g + "attn_qkv.weight", sd[b + "qkv.weight"])
+        put(g + "attn_output.weight", sd[b + "wo.weight"])
+        put(g + "ffn_norm.weight", sd[b + "ffn_norm.weight"])
+        put(g + "ffn_up.weight", sd[b + "ffn.w12.weight"])
+        put(g + "ffn_down.weight", sd[b + "ffn.w3.weight"])
+    for hf, gg in (("dense", "cls"),):
+        if hf + ".weight" in sd:
+            put(gg + ".weight", sd[hf + ".weight"])
+            put(gg + ".bias", sd[hf + ".bias"])
+    _finish(w, vocab)
+    return path
