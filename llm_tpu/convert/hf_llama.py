@@ -1722,7 +1722,8 @@ _DEDICATED = ("mamba", "mamba2", "falcon_mamba", "t5", "mt5", "umt5",
               "qwen", "chatglm", "codeshell", "gpt_refact", "jais",
               "openelm", "plamo", "grok-1", "bailing_moe",
               "bert", "roberta", "xlm-roberta", "camembert", "distilbert",
-              "nomic_bert", "jina_bert_v2", "neobert")
+              "nomic_bert", "jina_bert_v2", "neobert",
+              "rwkv6", "rwkv6qwen2", "rwkv7", "rwkv_hybrid")
 
 
 def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
@@ -1759,6 +1760,12 @@ def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
     if mt == "plm":
         return convert_hf_deepseek2(model, path, out_type=out_type,
                                     vocab=vocab, arch="plm")
+    if mt in ("rwkv7", "rwkv_hybrid"):
+        from .hf_longtail import convert_hf_rwkv7
+
+        return convert_hf_rwkv7(
+            model, path, out_type=out_type, vocab=vocab,
+            arch="arwkv7" if mt == "rwkv_hybrid" else "rwkv7")
     if mt in ("roberta", "xlm-roberta", "camembert", "distilbert"):
         from .hf_longtail import convert_hf_bert_family
 
@@ -1771,6 +1778,8 @@ def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
                 "openelm": "convert_hf_openelm", "plamo": "convert_hf_plamo",
                 "grok-1": "convert_hf_grok",
                 "bailing_moe": "convert_hf_bailingmoe",
+                "rwkv6": "convert_hf_rwkv6",
+                "rwkv6qwen2": "convert_hf_rwkv6qwen2",
                 "nomic_bert": "convert_hf_nomic_bert",
                 "jina_bert_v2": "convert_hf_jina_bert_v2",
                 "neobert": "convert_hf_neo_bert"}

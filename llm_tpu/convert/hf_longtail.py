@@ -793,3 +793,292 @@ def convert_hf_neo_bert(model, path, out_type=GGMLType.F32, vocab=None):
             put(gg + ".bias", sd[hf + ".bias"])
     _finish(w, vocab)
     return path
+
+
+# ------------------------------------------------------------- rwkv family
+
+def _rwkv_put(w, out_type):
+    def put(n, arr, q=False):
+        arr = np.ascontiguousarray(np.asarray(arr, np.float32))
+        w.add_tensor(n, arr,
+                     ggml_type=out_type if (q and arr.ndim == 2) else GGMLType.F32)
+    return put
+
+
+def convert_hf_rwkv6(model, path, out_type=GGMLType.F32, vocab=None):
+    """Rwkv6ForCausalLM -> rwkv6 arch: fused [w,k,v,r,g] lerp stack,
+    transposed time_maa_w1/w2 + decay LoRA, 2^(i//rescale) folds on
+    time_mix_output/channel_mix_value (reference Rwkv6Model)."""
+    c = model.config
+    sd = _sd(model)
+    a = "rwkv6"
+    E = int(c.hidden_size)
+    L = int(c.num_hidden_layers)
+    D = int(getattr(c, "head_size", 64))
+    resc = int(getattr(c, "rescale_every", 6))
+    FF = int(getattr(c, "intermediate_size", None)
+             or (E * 3.5) // 32 * 32)
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=1 << 20, E=E, L=L, FF=FF, H=0, KV=0,
+             eps=getattr(c, "layer_norm_epsilon", 1e-5),
+             V=int(c.vocab_size))
+    w.add_kv(f"{a}.rescale_every_n_layers", resc)
+    w.add_kv(f"{a}.wkv.head_size", D)
+    w.add_kv(f"{a}.time_mix_extra_dim", 64 if E == 4096 else 32)
+    w.add_kv(f"{a}.time_decay_extra_dim", 128 if E == 4096 else 64)
+    put = _rwkv_put(w, out_type)
+
+    put("token_embd.weight", sd["rwkv.embeddings.weight"])
+    put("token_embd_norm.weight", sd["rwkv.blocks.0.pre_ln.weight"])
+    put("token_embd_norm.bias", sd["rwkv.blocks.0.pre_ln.bias"])
+    put("output_norm.weight", sd["rwkv.ln_out.weight"])
+    put("output_norm.bias", sd["rwkv.ln_out.bias"])
+    put("output.weight", sd["head.weight"], q=True)
+    for il in range(L):
+        h = f"rwkv.blocks.{il}."
+        b = f"blk.{il}."
+        scale = 2.0 ** int(il // resc) if resc > 0 else 1.0
+        put(b + "attn_norm.weight", sd[h + "ln1.weight"])
+        put(b + "attn_norm.bias", sd[h + "ln1.bias"])
+        put(b + "attn_norm_2.weight", sd[h + "ln2.weight"])
+        put(b + "attn_norm_2.bias", sd[h + "ln2.bias"])
+        at = h + "attention."
+        put(b + "time_mix_lerp_x.weight", sd[at + "time_maa_x"].squeeze())
+        put(b + "time_mix_lerp_fused.weight",
+            np.stack([sd[at + f"time_maa_{i}"].squeeze()
+                      for i in "wkvrg"])[:, None, None, :])
+        put(b + "time_mix_w1.weight", sd[at + "time_maa_w1"].T)
+        put(b + "time_mix_w2.weight",
+            sd[at + "time_maa_w2"].transpose(0, 2, 1))
+        put(b + "time_mix_first.weight", sd[at + "time_faaaa"])
+        put(b + "time_mix_decay.weight", sd[at + "time_decay"].squeeze())
+        put(b + "time_mix_decay_w1.weight", sd[at + "time_decay_w1"].T)
+        put(b + "time_mix_decay_w2.weight", sd[at + "time_decay_w2"].T)
+        for nm in ("key", "value", "receptance", "gate"):
+            put(b + f"time_mix_{nm}.weight", sd[at + nm + ".weight"], q=True)
+        put(b + "time_mix_output.weight",
+            sd[at + "output.weight"] / scale, q=True)
+        put(b + "time_mix_ln.weight", sd[at + "ln_x.weight"])
+        put(b + "time_mix_ln.bias", sd[at + "ln_x.bias"])
+        ffp = h + "feed_forward."
+        put(b + "channel_mix_lerp_k.weight", sd[ffp + "time_maa_k"].squeeze())
+        put(b + "channel_mix_lerp_r.weight", sd[ffp + "time_maa_r"].squeeze())
+        put(b + "channel_mix_key.weight", sd[ffp + "key.weight"], q=True)
+        put(b + "channel_mix_receptance.weight",
+            sd[ffp + "receptance.weight"], q=True)
+        put(b + "channel_mix_value.weight",
+            sd[ffp + "value.weight"] / scale, q=True)
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_rwkv6qwen2(model, path, out_type=GGMLType.F32, vocab=None):
+    """RWKV6Qwen2ForCausalLM -> rwkv6qwen2: q/k/v/o_proj with biases onto
+    the time-mix slots, rkvwg->wkvrg w1/w2 chunk permute, qwen2 gated FFN
+    (reference RWKV6Qwen2Model)."""
+    c = model.config
+    sd = _sd(model)
+    a = "rwkv6qwen2"
+    E = int(c.hidden_size)
+    H = int(c.num_attention_heads)
+    L = int(c.num_hidden_layers)
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=1 << 20, E=E, L=L, FF=int(c.intermediate_size),
+             H=0, KV=int(c.num_key_value_heads),
+             eps=getattr(c, "rms_norm_eps", 1e-6), V=int(c.vocab_size))
+    w.add_kv(f"{a}.wkv.head_size", E // H)
+    w.add_kv(f"{a}.token_shift_count", 1)
+    put = _rwkv_put(w, out_type)
+
+    def permute_rkvwg(x, w2=False):
+        # checkpoint chunks ordered r,k,v,w,g -> graph order w,k,v,r,g
+        v = x.reshape(5, -1, x.shape[-1])
+        v = np.stack([v[3], v[1], v[2], v[0], v[4]])
+        return v if w2 else v.reshape(-1, x.shape[-1])
+
+    put("token_embd.weight", sd["model.embed_tokens.weight"], q=True)
+    put("output_norm.weight", sd["model.norm.weight"])
+    put("output.weight",
+        sd.get("lm_head.weight", sd["model.embed_tokens.weight"]), q=True)
+    for il in range(L):
+        h = f"model.layers.{il}."
+        b = f"blk.{il}."
+        at = h + "self_attn."
+        put(b + "attn_norm.weight", sd[h + "input_layernorm.weight"])
+        put(b + "ffn_norm.weight",
+            sd[h + "post_attention_layernorm.weight"])
+        put(b + "time_mix_lerp_x.weight", sd[at + "time_maa_x"].squeeze())
+        put(b + "time_mix_lerp_fused.weight",
+            np.stack([sd[at + f"time_maa_{i}"].squeeze()
+                      for i in "wkvrg"])[:, None, :])
+        put(b + "time_mix_w1.weight", permute_rkvwg(sd[at + "time_maa_w1"].T))
+        put(b + "time_mix_w2.weight",
+            permute_rkvwg(sd[at + "time_maa_w2"].transpose(0, 2, 1), w2=True))
+        put(b + "time_mix_decay.weight", sd[at + "time_decay"].squeeze())
+        put(b + "time_mix_decay_w1.weight", sd[at + "time_decay_w1"].T)
+        put(b + "time_mix_decay_w2.weight", sd[at + "time_decay_w2"].T)
+        for hf, gg in (("q_proj", "receptance"), ("k_proj", "key"),
+                       ("v_proj", "value"), ("o_proj", "output"),
+                       ("gate", "gate")):
+            put(b + f"time_mix_{gg}.weight", sd[at + hf + ".weight"], q=True)
+            if at + hf + ".bias" in sd:
+                put(b + f"time_mix_{gg}.bias", sd[at + hf + ".bias"])
+        for nm in ("gate", "up", "down"):
+            put(b + f"ffn_{nm}.weight", sd[h + f"mlp.{nm}_proj.weight"],
+                q=True)
+    _finish(w, vocab)
+    return path
+
+
+def _rwkv7_lora_ranks(c, E):
+    def calc(exp, mult):
+        return max(1, round(E ** exp * mult / 32)) * 32
+
+    return (int(getattr(c, "lora_rank_decay", None)
+                or getattr(c, "decay_low_rank_dim", None)
+                or calc(0.5, 1.8)),
+            int(getattr(c, "lora_rank_iclr", None)
+                or getattr(c, "a_low_rank_dim", None) or calc(0.5, 1.8)),
+            int(getattr(c, "lora_rank_value_residual_mix", None)
+                or getattr(c, "v_low_rank_dim", None) or calc(0.5, 1.3)),
+            int(getattr(c, "lora_rank_gate", None)
+                or getattr(c, "gate_low_rank_dim", None) or calc(0.8, 0.6)))
+
+
+def convert_hf_rwkv7(model, path, out_type=GGMLType.F32, vocab=None,
+                     arch="rwkv7"):
+    """Rwkv7ForCausalLM / RwkvHybridForCausalLM -> rwkv7 / arwkv7:
+    [r,w,k,v,a,g] x_x lerp stack, transposed LoRA pairs, flattened r_k,
+    layer-0 a->v dummy copy (reference Rwkv7Model / ARwkv7Model)."""
+    c = model.config
+    sd = _sd(model)
+    hybrid = arch == "arwkv7"
+    # unify fla/rwkv naming the way the reference does
+    uni = {}
+    for k, v in sd.items():
+        if k.startswith("decoder."):
+            continue
+        k = k.replace("blocks", "layers").replace("ffn.", "feed_forward.")
+        k = k.replace("self_attn.", "attention.").replace(
+            "attn.", "attention.")
+        k = k.replace("time_mixer.", "")
+        k = k.replace("_lora.lora.0.weight", "1.weight_pretransposed")
+        k = k.replace("_lora.lora.2.weight", "2.weight_pretransposed")
+        k = k.replace("_lora.lora.2.bias", "0.weight")
+        k = k.replace("feed_forward_norm", "ln2").replace("g_norm", "ln_x")
+        uni[k] = v
+    sd = uni
+    a = arch
+    E = int(c.hidden_size)
+    L = int(c.num_hidden_layers)
+    D = int(getattr(c, "head_size", 0) or getattr(c, "head_dim", 64))
+    eps = float(getattr(c, "layer_norm_epsilon", 0)
+                or getattr(c, "norm_eps", 0)
+                or getattr(c, "rms_norm_eps", 1e-5))
+    FF = int(getattr(c, "intermediate_size", None) or E * 4)
+    rd, ri, rv, rg = ((64, 64, 32, 128) if hybrid
+                      else _rwkv7_lora_ranks(c, E))
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=1 << 20, E=E, L=L, FF=FF, H=0, KV=0, eps=eps,
+             V=int(c.vocab_size))
+    w.add_kv(f"{a}.wkv.head_size", D)
+    w.add_kv(f"{a}.attention.decay_lora_rank", rd)
+    w.add_kv(f"{a}.attention.iclr_lora_rank", ri)
+    w.add_kv(f"{a}.attention.value_residual_mix_lora_rank", rv)
+    w.add_kv(f"{a}.attention.gate_lora_rank", rg)
+    if hybrid:
+        w.add_kv(f"{a}.token_shift_count", 1)
+    put = _rwkv_put(w, out_type)
+
+    gate = any("attention.g1" in k or "attention.x_g" in k for k in sd)
+    lerp = ["r", "w", "k", "v", "a"] + (["g"] if gate else [])
+
+    if hybrid:
+        put("token_embd.weight", sd["model.embed_tokens.weight"], q=True)
+        put("output_norm.weight", sd["model.norm.weight"])
+        put("output.weight",
+            sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+            q=True)
+    else:
+        put("token_embd.weight", sd["model.embeddings.weight"], q=True)
+        for nm in ("model.layers.0.pre_ln", "model.pre_ln",
+                   "model.layers.0.pre_norm"):
+            if nm + ".weight" in sd:
+                put("token_embd_norm.weight", sd[nm + ".weight"])
+                put("token_embd_norm.bias", sd[nm + ".bias"])
+                break
+        put("output_norm.weight", sd["model.ln_out.weight"])
+        put("output_norm.bias", sd["model.ln_out.bias"])
+        put("output.weight", sd["head.weight"], q=True)
+
+    def tr(key):
+        # fla lora layers come pre-transposed; plain params need .T
+        if key + "_pretransposed" in sd:
+            return sd[key + "_pretransposed"]
+        return sd[key].T
+
+    for il in range(L):
+        h = f"model.layers.{il}."
+        b = f"blk.{il}."
+        at = h + "attention."
+        if hybrid:
+            put(b + "attn_norm.weight", sd[h + "input_layernorm.weight"])
+            put(b + "ffn_norm.weight",
+                sd[h + "post_attention_layernorm.weight"])
+        else:
+            put(b + "attn_norm.weight", sd[h + "ln1.weight"])
+            put(b + "attn_norm.bias", sd[h + "ln1.bias"])
+            put(b + "attn_norm_2.weight", sd[h + "ln2.weight"])
+            put(b + "attn_norm_2.bias", sd[h + "ln2.bias"])
+        if at + "x_x" in sd:  # already concatenated
+            put(b + "time_mix_lerp_fused.weight",
+                sd[at + "x_x"].reshape(len(lerp), 1, 1, E))
+        else:
+            put(b + "time_mix_lerp_fused.weight",
+                np.stack([sd[at + f"x_{i}"].squeeze() for i in lerp])
+                [:, None, None, :])
+        put(b + "time_mix_w0.weight", sd[at + "w0"].squeeze())
+        put(b + "time_mix_w1.weight", tr(at + "w1"))
+        put(b + "time_mix_w2.weight", tr(at + "w2"))
+        put(b + "time_mix_a0.weight", sd[at + "a0"].squeeze())
+        put(b + "time_mix_a1.weight", tr(at + "a1"))
+        put(b + "time_mix_a2.weight", tr(at + "a2"))
+        if il == 0:
+            # dummy v0/v1/v2 on the first layer: the reference copies the
+            # a-lora (unused at runtime; v_first short-circuits)
+            put(b + "time_mix_v0.weight", sd[at + "a0"].squeeze())
+            put(b + "time_mix_v1.weight", tr(at + "a1"))
+            put(b + "time_mix_v2.weight", tr(at + "a2"))
+        else:
+            put(b + "time_mix_v0.weight", sd[at + "v0"].squeeze())
+            put(b + "time_mix_v1.weight", tr(at + "v1"))
+            put(b + "time_mix_v2.weight", tr(at + "v2"))
+        if gate:
+            put(b + "time_mix_g1.weight", tr(at + "g1"))
+            put(b + "time_mix_g2.weight", tr(at + "g2"))
+        put(b + "time_mix_k_k.weight", sd[at + "k_k"].squeeze())
+        put(b + "time_mix_k_a.weight", sd[at + "k_a"].squeeze())
+        put(b + "time_mix_r_k.weight", sd[at + "r_k"].reshape(-1))
+        for hf, gg in (("key", "key"), ("k_proj", "key"),
+                       ("value", "value"), ("v_proj", "value"),
+                       ("receptance", "receptance"),
+                       ("r_proj", "receptance"), ("q_proj", "receptance"),
+                       ("output", "output"), ("o_proj", "output")):
+            if at + hf + ".weight" in sd:
+                put(b + f"time_mix_{gg}.weight", sd[at + hf + ".weight"],
+                    q=True)
+        put(b + "time_mix_ln.weight", sd[at + "ln_x.weight"])
+        if at + "ln_x.bias" in sd:
+            put(b + "time_mix_ln.bias", sd[at + "ln_x.bias"])
+        ffp = h + "feed_forward."
+        if hybrid:  # qwen2-style gated FFN
+            for nm in ("gate", "up", "down"):
+                put(b + f"ffn_{nm}.weight", sd[h + f"mlp.{nm}_proj.weight"],
+                    q=True)
+        else:
+            put(b + "channel_mix_lerp_k.weight", sd[ffp + "x_k"].squeeze())
+            put(b + "channel_mix_key.weight", sd[ffp + "key.weight"], q=True)
+            put(b + "channel_mix_value.weight", sd[ffp + "value.weight"],
+                q=True)
+    _finish(w, vocab)
+    return path

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.norms import layer_norm
+from ..ops.norms import layer_norm, rms_norm
 from ..ops.qmatmul import qembed, qmm
 from .config import ModelConfig
 
@@ -79,8 +79,14 @@ def time_mix(x, att_shift, layer, cfg: ModelConfig):
     w2 = layer["time_mix_w2"].astype(jnp.float32)  # dense [5, E, r]
     deltas = jnp.einsum("ntfr,fer->ntfe", r5, w2)  # [ns, nt, 5, E]
 
+    # reference-converted GGUFs stack the 5 lerp biases in
+    # time_mix_lerp_fused, rows ordered [w,k,v,r,g]
+    # (convert_hf_to_gguf.py Rwkv6Model.modify_tensors)
+    fused = layer.get("time_mix_lerp_fused")
+
     def mixed(i, lerp_key):
-        return _lerp(x, sx, deltas[:, :, i] + layer[lerp_key])
+        bias = fused[i] if fused is not None else layer[lerp_key]
+        return _lerp(x, sx, deltas[:, :, i] + bias)
 
     xw = mixed(0, "time_mix_lerp_w")
     xk = mixed(1, "time_mix_lerp_k")
@@ -289,8 +295,10 @@ def forward_rwkv7(
     H = E // D
     eps = cfg.rms_eps
 
+    hybrid = cfg.arch == "arwkv7"  # RwkvHybrid: RMS norms + qwen2 FFN
     x = qembed(params["tok_embd"], tokens.reshape(-1), dtype=jnp.float32)
-    x = layer_norm(x, params.get("tok_norm"), params.get("tok_norm_b"), eps)
+    if params.get("tok_norm") is not None:
+        x = layer_norm(x, params.get("tok_norm"), params.get("tok_norm_b"), eps)
     x = x.reshape(ns, nt, E).astype(jnp.float32)
 
     v_first = None
@@ -299,7 +307,9 @@ def forward_rwkv7(
         tsh = jnp.take(shift_states[il], slot_idx, axis=0)
         wkv0 = jnp.take(wkv_states[il], slot_idx, axis=0).astype(jnp.float32)
 
-        att_norm = layer_norm(x, layer["attn_norm"], layer.get("attn_norm_b"), eps)
+        att_norm = (rms_norm(x, layer["attn_norm"], eps) if hybrid else
+                    layer_norm(x, layer["attn_norm"],
+                               layer.get("attn_norm_b"), eps))
         r, w, k, v, a, kk, g, att_last, v_first = time_mix7(
             att_norm, tsh[:, 0], v_first, layer, cfg)
         y, wkv1 = wkv7(r, w, k, v, -kk, kk * a, wkv0)
@@ -322,18 +332,29 @@ def forward_rwkv7(
                       layer["time_mix_output"]).astype(jnp.float32)
         x = x + att_out
 
-        ffn_norm = layer_norm(x, layer["attn_norm_2"],
-                              layer.get("attn_norm_2_b"), eps)
-        # rwkv7 channel mix: single k lerp, relu^2, no receptance gate
-        # (build_rwkv7_channel_mix, llama-model.cpp:13062)
-        sx = _shifted(ffn_norm, tsh[:, 1]) - ffn_norm
-        xk2 = ffn_norm + sx * layer["channel_mix_lerp_k"]
-        kk2 = jnp.square(jax.nn.relu(
-            _mm(xk2, layer["channel_mix_key"]).astype(jnp.float32)))
-        cm = _mm(kk2.astype(jnp.bfloat16),
-                 layer["channel_mix_value"]).astype(jnp.float32)
-        x = x + cm
-        ffn_last = ffn_norm[:, -1, :]
+        if hybrid:
+            # arwkv7: qwen2 gated-silu FFN, no ffn token shift
+            # (llm_build_arwkv7, token_shift_count == 1)
+            h2 = rms_norm(x, layer["ffn_norm"], eps)
+            gate = jax.nn.silu(_mm(h2, layer["ffn_gate"]).astype(jnp.float32))
+            up = _mm(h2, layer["ffn_up"]).astype(jnp.float32)
+            cm = _mm((gate * up).astype(jnp.bfloat16),
+                     layer["ffn_down"]).astype(jnp.float32)
+            x = x + cm
+            ffn_last = att_last
+        else:
+            ffn_norm = layer_norm(x, layer["attn_norm_2"],
+                                  layer.get("attn_norm_2_b"), eps)
+            # rwkv7 channel mix: single k lerp, relu^2, no receptance gate
+            # (build_rwkv7_channel_mix, llama-model.cpp:13062)
+            sx = _shifted(ffn_norm, tsh[:, 1]) - ffn_norm
+            xk2 = ffn_norm + sx * layer["channel_mix_lerp_k"]
+            kk2 = jnp.square(jax.nn.relu(
+                _mm(xk2, layer["channel_mix_key"]).astype(jnp.float32)))
+            cm = _mm(kk2.astype(jnp.bfloat16),
+                     layer["channel_mix_value"]).astype(jnp.float32)
+            x = x + cm
+            ffn_last = ffn_norm[:, -1, :]
 
         new_tsh = jnp.stack([att_last, ffn_last], axis=1)
         new_shift.append(shift_states[il].at[slot_idx].set(
@@ -341,8 +362,10 @@ def forward_rwkv7(
         new_wkv.append(wkv_states[il].at[slot_idx].set(
             wkv1.astype(wkv_states[il].dtype)))
 
-    x = layer_norm(x.reshape(ns * nt, E), params.get("output_norm"),
-                   params.get("output_norm_b"), eps)
+    x = (rms_norm(x.reshape(ns * nt, E), params.get("output_norm"), eps)
+         if hybrid else
+         layer_norm(x.reshape(ns * nt, E), params.get("output_norm"),
+                    params.get("output_norm_b"), eps))
     hs = jnp.take(x, out_idx, axis=0)
     out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
     logits = qmm(hs.astype(jnp.bfloat16), out_w)

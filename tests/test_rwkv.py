@@ -418,3 +418,253 @@ def test_rwkv_generate_loop_matches_serial(rwkv_path):
     assert out == toks[1:7]
     out2 = ctx.generate_loop(out[-1], 3, seq_id=0)
     assert out2 == toks[7:10]
+
+
+# ------------------------------------------------- HF converter round-trips
+
+class _Stub:
+    def __init__(self, cfg: dict, sd: dict):
+        from types import SimpleNamespace
+
+        import torch
+
+        self.config = SimpleNamespace(**cfg)
+        self._sd = {k: torch.from_numpy(np.asarray(v, np.float32))
+                    for k, v in sd.items()}
+
+    def state_dict(self):
+        return self._sd
+
+
+def test_convert_hf_rwkv6(tmp_path):
+    """HF Rwkv6 naming -> rwkv6 GGUF: fused [w,k,v,r,g] lerp stack,
+    w1/w2 transposes, rescale folds (reference Rwkv6Model)."""
+    from llm_tpu.convert.hf_llama import convert_hf_auto
+
+    rng = np.random.default_rng(30)
+    E, L, D, V, r, dd = 32, 2, 8, 61, 4, 8
+    H = E // D
+    sd = {
+        "rwkv.embeddings.weight": rng.normal(size=(V, E)) * 0.2,
+        "rwkv.blocks.0.pre_ln.weight": 1 + rng.normal(size=E) * 0.05,
+        "rwkv.blocks.0.pre_ln.bias": rng.normal(size=E) * 0.02,
+        "rwkv.ln_out.weight": 1 + rng.normal(size=E) * 0.05,
+        "rwkv.ln_out.bias": rng.normal(size=E) * 0.02,
+        "head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        h = f"rwkv.blocks.{i}."
+        for nm in ("ln1", "ln2"):
+            sd[h + nm + ".weight"] = 1 + rng.normal(size=E) * 0.05
+            sd[h + nm + ".bias"] = rng.normal(size=E) * 0.02
+        at = h + "attention."
+        sd[at + "time_maa_x"] = 0.5 + rng.normal(size=(1, 1, E)) * 0.1
+        for nm in "wkvrg":
+            sd[at + f"time_maa_{nm}"] = 0.5 + rng.normal(size=(1, 1, E)) * 0.1
+        sd[at + "time_maa_w1"] = rng.normal(size=(E, 5 * r)) * 0.2
+        sd[at + "time_maa_w2"] = rng.normal(size=(5, r, E)) * 0.2
+        sd[at + "time_faaaa"] = rng.normal(size=(H, D)) * 0.2
+        sd[at + "time_decay"] = -2 + rng.normal(size=(1, 1, E)) * 0.1
+        sd[at + "time_decay_w1"] = rng.normal(size=(E, dd)) * 0.2
+        sd[at + "time_decay_w2"] = rng.normal(size=(dd, E)) * 0.2
+        for nm in ("key", "value", "receptance", "gate", "output"):
+            sd[at + nm + ".weight"] = rng.normal(size=(E, E)) * 0.2
+        sd[at + "ln_x.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[at + "ln_x.bias"] = rng.normal(size=E) * 0.02
+        ff = h + "feed_forward."
+        sd[ff + "time_maa_k"] = 0.5 + rng.normal(size=(1, 1, E)) * 0.1
+        sd[ff + "time_maa_r"] = 0.5 + rng.normal(size=(1, 1, E)) * 0.1
+        sd[ff + "key.weight"] = rng.normal(size=(E * 2, E)) * 0.2
+        sd[ff + "receptance.weight"] = rng.normal(size=(E, E)) * 0.2
+        sd[ff + "value.weight"] = rng.normal(size=(E, E * 2)) * 0.2
+    cfg = dict(model_type="rwkv6", hidden_size=E, num_hidden_layers=L,
+               head_size=D, rescale_every=2, intermediate_size=E * 2,
+               layer_norm_epsilon=1e-5, vocab_size=V, name_or_path="stub")
+    p = str(tmp_path / "rwkv6_hf.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p, vocab=_test_vocab(V))
+    r_ = GGUFReader(p)
+    assert r_.akey("{arch}.rescale_every_n_layers") == 2
+    names = set(r_.tensors)
+    assert "blk.0.time_mix_lerp_fused.weight" in names
+
+    toks = [3, 1, 4, 1, 5, 9, 2]
+    full = Context(r_, n_cells=8, dtype=jnp.float32)
+    assert full.decode(Batch.text(toks, seq_id=0)) == 0
+    ref = np.asarray(full.get_logits())
+    assert np.isfinite(ref).all()
+    # state carry must be exact through chunk boundaries
+    ctx = Context(GGUFReader(p), n_cells=8, dtype=jnp.float32)
+    for i, t in enumerate(toks):
+        assert ctx.decode(Batch.one(t, pos=i, seq_id=0)) == 0
+    np.testing.assert_allclose(np.asarray(ctx.get_logits()), ref,
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_convert_hf_rwkv7(tmp_path):
+    """HF rwkv7 naming -> rwkv7 GGUF: x_x fused stack, transposed LoRA
+    pairs, flattened r_k, layer-0 a->v dummies (reference Rwkv7Model)."""
+    from llm_tpu.convert.hf_llama import convert_hf_auto
+
+    rng = np.random.default_rng(31)
+    E, L, D, V, r = 32, 2, 8, 61, 4
+    H = E // D
+    sd = {
+        "model.embeddings.weight": rng.normal(size=(V, E)) * 0.2,
+        "model.layers.0.pre_norm.weight": 1 + rng.normal(size=E) * 0.05,
+        "model.layers.0.pre_norm.bias": rng.normal(size=E) * 0.02,
+        "model.ln_out.weight": 1 + rng.normal(size=E) * 0.05,
+        "model.ln_out.bias": rng.normal(size=E) * 0.02,
+        "head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        h = f"model.layers.{i}."
+        for nm in ("ln1", "ln2"):
+            sd[h + nm + ".weight"] = 1 + rng.normal(size=E) * 0.05
+            sd[h + nm + ".bias"] = rng.normal(size=E) * 0.02
+        at = h + "attention."
+        sd[at + "x_x"] = 0.5 + rng.normal(size=(6, E)) * 0.1
+        sd[at + "w0"] = -0.5 + rng.normal(size=(1, 1, E)) * 0.1
+        sd[at + "w1"] = rng.normal(size=(E, r)) * 0.2
+        sd[at + "w2"] = rng.normal(size=(r, E)) * 0.2
+        sd[at + "a0"] = rng.normal(size=(1, 1, E)) * 0.1
+        sd[at + "a1"] = rng.normal(size=(E, r)) * 0.2
+        sd[at + "a2"] = rng.normal(size=(r, E)) * 0.2
+        if i > 0:
+            sd[at + "v0"] = rng.normal(size=(1, 1, E)) * 0.1
+            sd[at + "v1"] = rng.normal(size=(E, r)) * 0.2
+            sd[at + "v2"] = rng.normal(size=(r, E)) * 0.2
+        sd[at + "g1"] = rng.normal(size=(E, r)) * 0.2
+        sd[at + "g2"] = rng.normal(size=(r, E)) * 0.2
+        sd[at + "k_k"] = 0.8 + rng.normal(size=(1, 1, E)) * 0.05
+        sd[at + "k_a"] = 0.5 + rng.normal(size=(1, 1, E)) * 0.05
+        sd[at + "r_k"] = rng.normal(size=(H, D)) * 0.1
+        for nm in ("key", "value", "receptance", "output"):
+            sd[at + nm + ".weight"] = rng.normal(size=(E, E)) * 0.2
+        sd[at + "ln_x.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[at + "ln_x.bias"] = rng.normal(size=E) * 0.02
+        ff = h + "feed_forward."
+        sd[ff + "x_k"] = 0.5 + rng.normal(size=(1, 1, E)) * 0.1
+        sd[ff + "key.weight"] = rng.normal(size=(E * 2, E)) * 0.2
+        sd[ff + "value.weight"] = rng.normal(size=(E, E * 2)) * 0.2
+    cfg = dict(model_type="rwkv7", hidden_size=E, num_hidden_layers=L,
+               head_size=D, intermediate_size=E * 2,
+               layer_norm_epsilon=1e-5, vocab_size=V,
+               lora_rank_decay=r, lora_rank_iclr=r,
+               lora_rank_value_residual_mix=r, lora_rank_gate=r,
+               name_or_path="stub")
+    p = str(tmp_path / "rwkv7_hf.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p, vocab=_test_vocab(V))
+    r_ = GGUFReader(p)
+    names = set(r_.tensors)
+    assert "blk.0.time_mix_v1.weight" in names  # layer-0 dummy from a1
+    assert r_.akey("{arch}.attention.decay_lora_rank") == r
+
+    toks = [3, 1, 4, 1, 5, 9, 2]
+    full = Context(r_, n_cells=8, dtype=jnp.float32)
+    assert full.decode(Batch.text(toks, seq_id=0)) == 0
+    ref = np.asarray(full.get_logits())
+    assert np.isfinite(ref).all()
+    ctx = Context(GGUFReader(p), n_cells=8, dtype=jnp.float32)
+    for i, t in enumerate(toks):
+        assert ctx.decode(Batch.one(t, pos=i, seq_id=0)) == 0
+    np.testing.assert_allclose(np.asarray(ctx.get_logits()), ref,
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_convert_hf_rwkv6qwen2_and_arwkv7(tmp_path):
+    """qrwkv (rkvwg->wkvrg chunk permute, proj biases) and rwkv_hybrid
+    (qwen2 FFN + x_x, fixed lora ranks) converter dispatch."""
+    from llm_tpu.convert.hf_llama import convert_hf_auto
+
+    rng = np.random.default_rng(32)
+    E, L, D, V, r, dd, ff = 32, 2, 8, 61, 4, 8, 48
+    H = E // D
+    sd = {
+        "model.embed_tokens.weight": rng.normal(size=(V, E)) * 0.2,
+        "model.norm.weight": 1 + rng.normal(size=E) * 0.05,
+        "lm_head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        h = f"model.layers.{i}."
+        at = h + "self_attn."
+        sd[h + "input_layernorm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd[h + "post_attention_layernorm.weight"] = \
+            1 + rng.normal(size=E) * 0.05
+        sd[at + "time_maa_x"] = 0.5 + rng.normal(size=(1, 1, E)) * 0.1
+        for nm in "wkvrg":
+            sd[at + f"time_maa_{nm}"] = 0.5 + rng.normal(size=(1, 1, E)) * 0.1
+        sd[at + "time_maa_w1"] = rng.normal(size=(E, 5 * r)) * 0.2
+        sd[at + "time_maa_w2"] = rng.normal(size=(5, r, E)) * 0.2
+        sd[at + "time_decay"] = -2 + rng.normal(size=(1, 1, E)) * 0.1
+        sd[at + "time_decay_w1"] = rng.normal(size=(E, dd)) * 0.2
+        sd[at + "time_decay_w2"] = rng.normal(size=(dd, E)) * 0.2
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj", "gate"):
+            n = E if nm in ("q_proj", "o_proj", "gate") else 2 * D
+            sd[at + nm + ".weight"] = rng.normal(size=(n, E) if nm != "o_proj"
+                                                 else (E, E)) * 0.2
+            if nm != "gate":
+                sd[at + nm + ".bias"] = rng.normal(size=n if nm != "o_proj"
+                                                   else E) * 0.05
+        for nm in ("gate", "up", "down"):
+            shp = (ff, E) if nm != "down" else (E, ff)
+            sd[h + f"mlp.{nm}_proj.weight"] = rng.normal(size=shp) * 0.2
+    cfg = dict(model_type="rwkv6qwen2", hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, num_key_value_heads=2,
+               intermediate_size=ff, rms_norm_eps=1e-5, vocab_size=V,
+               name_or_path="stub")
+    p = str(tmp_path / "qrwkv.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p, vocab=_test_vocab(V))
+    r_ = GGUFReader(p)
+    assert r_.architecture == "rwkv6qwen2"
+    assert "blk.0.time_mix_receptance.bias" in set(r_.tensors)
+    ctx = Context(r_, n_cells=8, dtype=jnp.float32)
+    assert ctx.decode(Batch.text([3, 1, 4, 1, 5], seq_id=0)) == 0
+    assert np.isfinite(ctx.get_logits()).all()
+
+    # arwkv7: rwkv7 time mix under qwen2 layer norms/FFN
+    sd2 = {
+        "model.embed_tokens.weight": rng.normal(size=(V, E)) * 0.2,
+        "model.norm.weight": 1 + rng.normal(size=E) * 0.05,
+        "lm_head.weight": rng.normal(size=(V, E)) * 0.15,
+    }
+    for i in range(L):
+        h = f"model.layers.{i}."
+        at = h + "self_attn.time_mixer."
+        sd2[h + "input_layernorm.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd2[h + "post_attention_layernorm.weight"] = \
+            1 + rng.normal(size=E) * 0.05
+        sd2[at + "x_x"] = 0.5 + rng.normal(size=(6, E)) * 0.1
+        sd2[at + "w0"] = -0.5 + rng.normal(size=(1, 1, E)) * 0.1
+        sd2[at + "w1"] = rng.normal(size=(E, r)) * 0.2
+        sd2[at + "w2"] = rng.normal(size=(r, E)) * 0.2
+        sd2[at + "a0"] = rng.normal(size=(1, 1, E)) * 0.1
+        sd2[at + "a1"] = rng.normal(size=(E, r)) * 0.2
+        sd2[at + "a2"] = rng.normal(size=(r, E)) * 0.2
+        if i > 0:
+            sd2[at + "v0"] = rng.normal(size=(1, 1, E)) * 0.1
+            sd2[at + "v1"] = rng.normal(size=(E, r)) * 0.2
+            sd2[at + "v2"] = rng.normal(size=(r, E)) * 0.2
+        sd2[at + "g1"] = rng.normal(size=(E, r)) * 0.2
+        sd2[at + "g2"] = rng.normal(size=(r, E)) * 0.2
+        sd2[at + "k_k"] = 0.8 + rng.normal(size=(1, 1, E)) * 0.05
+        sd2[at + "k_a"] = 0.5 + rng.normal(size=(1, 1, E)) * 0.05
+        sd2[at + "r_k"] = rng.normal(size=(H, D)) * 0.1
+        for nm in ("key", "value", "receptance", "output"):
+            sd2[at + nm + ".weight"] = rng.normal(size=(E, E)) * 0.2
+        sd2[at + "ln_x.weight"] = 1 + rng.normal(size=E) * 0.05
+        sd2[at + "ln_x.bias"] = rng.normal(size=E) * 0.02
+        for nm in ("gate", "up", "down"):
+            shp = (ff, E) if nm != "down" else (E, ff)
+            sd2[h + f"mlp.{nm}_proj.weight"] = rng.normal(size=shp) * 0.2
+    cfg2 = dict(model_type="rwkv_hybrid", hidden_size=E,
+                num_hidden_layers=L, head_size=D, intermediate_size=ff,
+                rms_norm_eps=1e-5, vocab_size=V, wkv_has_gate=True,
+                wkv_version=7, name_or_path="stub")
+    p2 = str(tmp_path / "arwkv7.gguf")
+    convert_hf_auto(_Stub(cfg2, sd2), p2, vocab=_test_vocab(V))
+    r2 = GGUFReader(p2)
+    assert r2.architecture == "arwkv7"
+    assert r2.akey("{arch}.token_shift_count") == 1
+    ctx2 = Context(r2, n_cells=8, dtype=jnp.float32)
+    assert ctx2.decode(Batch.text([3, 1, 4, 1, 5], seq_id=0)) == 0
+    assert np.isfinite(ctx2.get_logits()).all()
