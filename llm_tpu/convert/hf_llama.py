@@ -371,13 +371,17 @@ def convert_hf_llama(
 
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
     if arch == "qwen2vl" or composite:
-        # strip the text-tower prefix; drop vision/audio/projector towers
+        # strip the text-tower prefix (both the nested "model.language_model."
+        # and the top-level "language_model.model." layouts); drop
+        # vision/audio/projector towers
+        _tower = ("visual.", "vision_tower.", "vision_model.",
+                  "multi_modal_projector.", "connector.", "audio_tower.")
         sd = {k.replace("model.language_model.", "model.")
+               .replace("language_model.model.", "model.")
+               .replace("language_model.lm_head.", "lm_head.")
                .replace("model.text_model.", "model."): v
               for k, v in sd.items()
-              if ".visual." not in k and ".vision_tower." not in k
-              and ".vision_model." not in k and ".multi_modal_projector." not in k
-              and ".connector." not in k and ".audio_tower." not in k}
+              if not any(("." + t) in k or k.startswith(t) for t in _tower)}
     if arch == "dbrx":
         # rename dbrx's transformer.blocks.* scheme onto the llama-ish one
         # (fused Wqkv -> attn_qkv via the phi3-style map entry)
@@ -1707,6 +1711,8 @@ _MODEL_TYPE_ARCH = {
     "stablelm_epoch": "stablelm",
     "granitemoeshared": "granitemoe",
     "mistral3": "llama",
+    "qwen2_audio": "qwen2",
+    "ultravox": "llama",
     "idefics3": "llama",
     "smolvlm": "llama",
     "llava": "llama",
@@ -1723,7 +1729,7 @@ _DEDICATED = ("mamba", "mamba2", "falcon_mamba", "t5", "mt5", "umt5",
               "openelm", "plamo", "grok-1", "bailing_moe",
               "bert", "roberta", "xlm-roberta", "camembert", "distilbert",
               "nomic_bert", "jina_bert_v2", "neobert",
-              "rwkv6", "rwkv6qwen2", "rwkv7", "rwkv_hybrid")
+              "rwkv6", "rwkv6qwen2", "rwkv7", "rwkv_hybrid", "llama4", "llama4_text", "wavtokenizer-dec")
 
 
 def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
@@ -1779,6 +1785,9 @@ def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
                 "grok-1": "convert_hf_grok",
                 "bailing_moe": "convert_hf_bailingmoe",
                 "rwkv6": "convert_hf_rwkv6",
+                "llama4": "convert_hf_llama4",
+                "wavtokenizer-dec": "convert_hf_wavtokenizer",
+                "llama4_text": "convert_hf_llama4",
                 "rwkv6qwen2": "convert_hf_rwkv6qwen2",
                 "nomic_bert": "convert_hf_nomic_bert",
                 "jina_bert_v2": "convert_hf_jina_bert_v2",

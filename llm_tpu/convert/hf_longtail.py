@@ -1082,3 +1082,175 @@ def convert_hf_rwkv7(model, path, out_type=GGMLType.F32, vocab=None,
                 q=True)
     _finish(w, vocab)
     return path
+
+
+def convert_hf_llama4(model, path, out_type=GGMLType.F32, vocab=None):
+    """Llama4ForCausalLM / ForConditionalGeneration text tower -> llama4:
+    intermediate_size_mlp as the dense ff, fused experts.gate_up_proj
+    split with the [NE, E, 2F] transpose, shared expert, interleaved MoE
+    step, NO qk permute (reference Llama4Model: undo_permute = False)."""
+    c = model.config
+    if hasattr(c, "text_config"):
+        c = c.text_config
+    sd = _sd(model)
+    if any(k.startswith("language_model.") for k in sd):
+        sd = {k[len("language_model."):]: v for k, v in sd.items()
+              if k.startswith("language_model.")}
+    a = "llama4"
+    E = int(c.hidden_size)
+    H = int(c.num_attention_heads)
+    kv = int(c.num_key_value_heads)
+    hd = int(getattr(c, "head_dim", 0) or E // H)
+    L = int(c.num_hidden_layers)
+    NE = int(c.num_local_experts)
+    step = int(getattr(c, "interleave_moe_layer_step", 1) or 1)
+    ff_moe = int(c.intermediate_size)
+    ff_dense = int(getattr(c, "intermediate_size_mlp", ff_moe))
+    w = GGUFWriter(path, arch=a)
+    _base_kv(w, a, ctx=getattr(c, "max_position_embeddings", 8192), E=E,
+             L=L, FF=ff_dense, H=H, KV=kv,
+             eps=getattr(c, "rms_norm_eps", 1e-5), V=int(c.vocab_size),
+             rot=hd, freq=getattr(c, "rope_theta", 500000.0))
+    w.add_kv(Keys.Attention.KEY_LENGTH.format(arch=a), hd)
+    w.add_kv(Keys.Attention.VALUE_LENGTH.format(arch=a), hd)
+    w.add_kv(f"{a}.interleave_moe_layer_step", step)
+    w.add_kv(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH.format(arch=a), ff_moe)
+    w.add_kv(Keys.LLM.EXPERT_COUNT.format(arch=a), NE)
+    w.add_kv(Keys.LLM.EXPERT_USED_COUNT.format(arch=a),
+             int(getattr(c, "num_experts_per_tok", 1)))
+    w.add_kv(Keys.Attention.SLIDING_WINDOW.format(arch=a),
+             int(getattr(c, "attention_chunk_size", 8192)))
+    w.add_kv(f"{a}.attn_temperature_floor_scale",
+             int(getattr(c, "floor_scale", 8192)))
+
+    def put(n, arr, q=True):
+        arr = np.ascontiguousarray(np.asarray(arr, np.float32))
+        w.add_tensor(n, arr,
+                     ggml_type=out_type if (q and arr.ndim == 2)
+                     else GGMLType.F32)
+
+    put("token_embd.weight", sd["model.embed_tokens.weight"])
+    put("output_norm.weight", sd["model.norm.weight"], q=False)
+    if "lm_head.weight" in sd:
+        put("output.weight", sd["lm_head.weight"])
+    for il in range(L):
+        h = f"model.layers.{il}."
+        b = f"blk.{il}."
+        put(b + "attn_norm.weight", sd[h + "input_layernorm.weight"], q=False)
+        put(b + "ffn_norm.weight",
+            sd[h + "post_attention_layernorm.weight"], q=False)
+        for nm in ("q", "k", "v", "o"):
+            gg = "attn_output" if nm == "o" else f"attn_{nm}"
+            put(b + gg + ".weight", sd[h + f"self_attn.{nm}_proj.weight"])
+        fp = h + "feed_forward."
+        if fp + "router.weight" in sd:  # MoE layer
+            put(b + "ffn_gate_inp.weight", sd[fp + "router.weight"])
+            gu = np.asarray(sd[fp + "experts.gate_up_proj"], np.float32)
+            gu = gu.swapaxes(-1, -2)  # [NE, 2F, E]
+            F = gu.shape[1] // 2
+            w.add_tensor(b + "ffn_gate_exps.weight",
+                         np.ascontiguousarray(gu[:, :F]),
+                         ggml_type=GGMLType.F32)
+            w.add_tensor(b + "ffn_up_exps.weight",
+                         np.ascontiguousarray(gu[:, F:]),
+                         ggml_type=GGMLType.F32)
+            dn = np.asarray(sd[fp + "experts.down_proj"], np.float32)
+            w.add_tensor(b + "ffn_down_exps.weight",
+                         np.ascontiguousarray(dn.swapaxes(-1, -2)),
+                         ggml_type=GGMLType.F32)
+            for nm in ("gate", "up", "down"):
+                put(b + f"ffn_{nm}_shexp.weight",
+                    sd[fp + f"shared_expert.{nm}_proj.weight"])
+        else:  # dense layer
+            for nm in ("gate", "up", "down"):
+                key = fp + f"{nm}_proj.weight"
+                if key not in sd:
+                    key = fp + f"mlp.{nm}_proj.weight"
+                put(b + f"ffn_{nm}.weight", sd[key])
+    _finish(w, vocab)
+    return path
+
+
+def convert_hf_wavtokenizer(model, path, out_type=GGMLType.F32, vocab=None):
+    """WavTokenizerDec -> wavtokenizer-dec GGUF: codebook embed (vq
+    bookkeeping skipped), backbone.embed conv1d, posnet resnet/attn/norm
+    blocks by tensor presence, convnext stack, head.out ISTFT head
+    (reference WavTokenizerDecModel + tensor_mapping wavtokenizer rows)."""
+    c = model.config
+    sd = _sd(model)
+    a = "wavtokenizer-dec"
+    codebook = None
+    for k in sd:
+        if k.endswith("_codebook.embed") or k.endswith("codebook.embed"):
+            codebook = sd[k]
+            break
+    if codebook is None:
+        raise ValueError("no codebook.embed tensor in the state dict")
+    V, feat = codebook.shape
+    cn_embd = int(getattr(c, "hidden_size", 0)
+                  or sd["backbone.final_layer_norm.weight"].shape[0])
+    pos_embd = int(sd["backbone.embed.weight"].shape[0])
+    n_posnet = 1 + max(int(k.split(".")[2]) for k in sd
+                       if k.startswith("backbone.posnet."))
+    n_convnext = 1 + max(int(k.split(".")[2]) for k in sd
+                         if k.startswith("backbone.convnext."))
+    w = GGUFWriter(path, arch=a)
+    w.add_kv(f"{a}.context_length", 8192)
+    w.add_kv(f"{a}.embedding_length", cn_embd)
+    w.add_kv(f"{a}.block_count", 0)
+    w.add_kv(f"{a}.feed_forward_length", int(getattr(c, "n_ff", 0) or 0))
+    w.add_kv(f"{a}.attention.head_count", 1)
+    w.add_kv(f"{a}.features_length", feat)
+    w.add_kv(f"{a}.posnet.embedding_length", pos_embd)
+    w.add_kv(f"{a}.posnet.block_count", n_posnet)
+    w.add_kv(f"{a}.convnext.embedding_length", cn_embd)
+    w.add_kv(f"{a}.convnext.block_count", n_convnext)
+    w.add_kv(f"{a}.attention.layer_norm_epsilon",
+             float(getattr(c, "layer_norm_epsilon", 1e-6)))
+    w.add_kv(f"{a}.attention.group_norm_epsilon",
+             float(getattr(c, "group_norm_epsilon", 1e-6)))
+    w.add_kv(f"{a}.attention.group_norm_groups",
+             int(getattr(c, "group_norm_groups", 32)))
+    w.add_kv(f"{a}.vocab_size", V)
+
+    def put(n, arr):
+        w.add_tensor(n, np.ascontiguousarray(np.asarray(arr, np.float32)),
+                     ggml_type=GGMLType.F32)
+
+    put("token_embd.weight", codebook)
+    put("conv1d.weight", sd["backbone.embed.weight"])
+    put("conv1d.bias", sd["backbone.embed.bias"])
+    put("token_embd_norm.weight", sd["backbone.norm.weight"])
+    put("token_embd_norm.bias", sd["backbone.norm.bias"])
+    put("output_norm.weight", sd["backbone.final_layer_norm.weight"])
+    put("output_norm.bias", sd["backbone.final_layer_norm.bias"])
+    put("output.weight", sd["head.out.weight"])
+    if "head.out.bias" in sd:
+        put("output.bias", sd["head.out.bias"])
+    for il in range(n_posnet):
+        h = f"backbone.posnet.{il}."
+        b = f"posnet.{il}."
+        if h + "q.weight" in sd:  # attention block
+            put(b + "attn_norm.weight", sd[h + "norm.weight"])
+            put(b + "attn_norm.bias", sd[h + "norm.bias"])
+            for hf, gg in (("q", "attn_q"), ("k", "attn_k"),
+                           ("v", "attn_v"), ("proj_out", "attn_output")):
+                put(b + gg + ".weight", sd[h + hf + ".weight"])
+                put(b + gg + ".bias", sd[h + hf + ".bias"])
+        elif h + "conv1.weight" in sd:  # resnet block
+            for nm in ("norm1", "norm2", "conv1", "conv2"):
+                put(b + nm + ".weight", sd[h + nm + ".weight"])
+                put(b + nm + ".bias", sd[h + nm + ".bias"])
+        else:  # final group norm
+            put(b + "norm.weight", sd[h + "norm.weight"])
+            put(b + "norm.bias", sd[h + "norm.bias"])
+    for il in range(n_convnext):
+        h = f"backbone.convnext.{il}."
+        b = f"convnext.{il}."
+        for hf, gg in (("dwconv", "dw"), ("norm", "norm"),
+                       ("pwconv1", "pw1"), ("pwconv2", "pw2")):
+            put(b + gg + ".weight", sd[h + hf + ".weight"])
+            put(b + gg + ".bias", sd[h + hf + ".bias"])
+        put(b + "gamma.weight", sd[h + "gamma"])
+    _finish(w, vocab)
+    return path

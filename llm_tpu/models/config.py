@@ -116,6 +116,13 @@ class ModelConfig:
     swa_pattern: int = 0  # every Nth layer is full-attention (0 = no SWA)
     rope_swa: RopeParams | None = None  # separate rope for SWA layers (gemma3)
     nope_global_layers: bool = False  # cohere2: global layers skip rope
+    swa_chunked: bool = False  # llama4 LLAMA_SWA_TYPE_CHUNKED: attend within
+    # the current position chunk of swa_window instead of a sliding delta
+    attn_temp_scale: float = 0.0  # llama4 temperature tuning on nope layers
+    attn_temp_floor: int = 8192  # llama4 n_attn_temp_floor_scale
+    qk_l2_norm: bool = False  # llama4 weightless L2 qk norm on rope layers
+    expert_weight_before: bool = False  # llama4: router weight scales the
+    # expert input instead of the expert output (weight_before_ffn)
     embedding_scale: float = 1.0
     logit_scale: float = 1.0
     attn_bias: bool = False  # qkv biases present (qwen2)
@@ -287,6 +294,24 @@ def config_from_gguf(reader) -> ModelConfig:
         cfg = replace(cfg, expert_weights_norm=True)
     if arch in ("qwen3", "qwen3moe"):
         cfg = replace(cfg, qk_norm=True)
+    if arch == "llama4":
+        # chunked ISWA (3 chunked + 1 full), nope + temperature tuning on
+        # the full layers, weightless qk L2 norm except 128E, sigmoid
+        # routing with shared experts (llama-model.cpp LLM_ARCH_LLAMA4
+        # case + llm_build_llama_iswa; the reference hardcodes n_swa 8192 —
+        # we honor the sliding-window KV when the converter recorded the
+        # checkpoint's attention_chunk_size)
+        cfg = replace(
+            cfg,
+            swa_window=int(_ak(reader, Keys.Attention.SLIDING_WINDOW, 8192)
+                           or 8192),
+            swa_pattern=4, swa_chunked=True,
+            nope_global_layers=True, attn_temp_scale=0.1,
+            attn_temp_floor=int(_ak(
+                reader, "{arch}.attn_temperature_floor_scale", 8192) or 8192),
+            qk_l2_norm=cfg.n_expert != 128,
+            expert_gating_func="sigmoid", expert_weights_norm=False,
+            expert_weight_before=True)
     if arch == "olmoe":
         cfg = replace(cfg, qk_norm_full=True, expert_weights_norm=True)
     if arch in ("gemma", "gemma2", "gemma3"):

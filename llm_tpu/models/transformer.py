@@ -173,6 +173,33 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
     # gather expert weights per (token, k): dense einsum over gathered planes
     act = ACTIVATIONS[cfg.act]
 
+    if cfg.expert_weight_before:
+        # llama4: sigmoid-ed router weight scales the expert INPUT
+        # (build_moe_ffn weight_before_ffn). With the usual k=1 this is a
+        # per-token input scale and every dispatch path applies unchanged.
+        if cfg.n_expert_used == 1:
+            h = (h.astype(jnp.float32) * topw[:, :1]).astype(h.dtype)
+            topw = jnp.ones_like(topw)
+        else:
+            cdtype = jnp.float32 if h.dtype == jnp.float32 else jnp.bfloat16
+            hk = (h.astype(jnp.float32)[:, None, :]
+                  * topw[..., None]).astype(cdtype)  # [T, k, K]
+            upw = jnp.swapaxes(_gather_experts(layer["ffn_up_exps"], topi,
+                                               cdtype), -1, -2)
+            up = jnp.einsum("tki,tkin->tkn", hk, upw)
+            if "ffn_gate_exps" in layer:
+                gw = jnp.swapaxes(_gather_experts(layer["ffn_gate_exps"],
+                                                  topi, cdtype), -1, -2)
+                g = act(jnp.einsum("tki,tkin->tkn", hk, gw)
+                        .astype(jnp.float32))
+                cur = (g * up.astype(jnp.float32)).astype(cdtype)
+            else:
+                cur = act(up.astype(jnp.float32)).astype(cdtype)
+            dw = jnp.swapaxes(_gather_experts(layer["ffn_down_exps"], topi,
+                                              cdtype), -1, -2)
+            out = jnp.einsum("tkf,tkfe->tke", cur, dw)
+            return jnp.sum(out.astype(jnp.float32), axis=1).astype(h.dtype)
+
     from ..parallel.moe import ep_mesh, moe_ffn_ep, moe_ffn_grouped
 
     mesh, axis = ep_mesh()
@@ -285,7 +312,8 @@ def forward(
     bias_swa = None
     if cfg.swa_window > 0:
         bias_swa = build_attn_bias(
-            tok_pos, tok_seq, c_pos_swa, c_bits_swa, swa_window=cfg.swa_window
+            tok_pos, tok_seq, c_pos_swa, c_bits_swa,
+            swa_window=cfg.swa_window, swa_chunked=cfg.swa_chunked,
         )
 
     scale = cfg.attn_scale if cfg.attn_scale is not None else cfg.head_dim ** -0.5
@@ -328,6 +356,11 @@ def forward(
              or (os.environ.get("LLM_TPU_FLASH_ANYDIM") == "1"
                  and Dk in (32, 64)))
         and cfg_rope.mode in (0, 2)
+        # llama4: chunked mask / per-token q temp / weightless L2 norm are
+        # not in the fused kernels yet — unfused XLA path
+        and not cfg.swa_chunked
+        and cfg.attn_temp_scale == 0.0
+        and not cfg.qk_l2_norm
         and (
             not kv_is_q8
             or kv_sample[1].shape[-1] == 1  # q8 cache with per-head scales
@@ -436,6 +469,17 @@ def forward(
             q = apply_rope(q, cos_t2 if swa_rope else cos_t,
                            sin_t2 if swa_rope else sin_t,
                            cfg_rope.mode, cfg_rope.n_dims)
+            if cfg.qk_l2_norm:
+                # Llama4TextL2Norm: weightless RMS on roped q/k
+                q = rms_norm(q, None, cfg.rms_eps)
+                k = rms_norm(k, None, cfg.rms_eps)
+        elif cfg.attn_temp_scale > 0.0:
+            # llama4 temperature tuning (llm_graph_input_attn_temp):
+            # q *= log(floor((pos+1)/floor_scale) + 1) * scale + 1
+            tscale = (jnp.log(jnp.floor(
+                (tok_pos.astype(jnp.float32) + 1.0) / cfg.attn_temp_floor)
+                + 1.0) * cfg.attn_temp_scale + 1.0)
+            q = (q.astype(jnp.float32) * tscale[:, None, None]).astype(q.dtype)
         # K enters the cache UNROPED; rotated on read with cell positions.
         widx_l = swa_write_idx if (dual and is_swa) else write_idx
         k_cache = _kv_write(kv_k_l, widx_l, k)

@@ -30,6 +30,7 @@ def build_attn_bias(
     cell_seq_bits: jnp.ndarray,  # [S] uint32 (seqs<32) or [S, W] uint32 planes
     swa_window: int = 0,
     causal: bool = True,
+    swa_chunked: bool = False,
 ) -> jnp.ndarray:
     """Additive f32 bias [T, S]: 0 where attention is allowed, -inf elsewhere.
 
@@ -47,7 +48,13 @@ def build_attn_bias(
     allowed = seq_ok
     if causal:
         allowed = allowed & (cell_pos[None, :] <= tok_pos[:, None])
-    if swa_window > 0:
+    if swa_window > 0 and swa_chunked:
+        # LLAMA_SWA_TYPE_CHUNKED (llama4): attend only within the token's
+        # own window-aligned chunk (is_masked_swa: pos_k >=
+        # (pos_q / n_swa) * n_swa)
+        chunk_start = (tok_pos[:, None] // swa_window) * swa_window
+        allowed = allowed & (cell_pos[None, :] >= chunk_start)
+    elif swa_window > 0:
         # SWA per the reference's is_masked_swa: pos delta must be < window
         allowed = allowed & ((tok_pos[:, None] - cell_pos[None, :]) < swa_window)
     return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)

@@ -841,3 +841,77 @@ def test_bailingmoe_conversion(tmp_path):
     assert {"blk.0.ffn_gate.weight", "blk.1.ffn_gate_exps.weight",
             "blk.1.ffn_up_shexp.weight"} <= names
     _decode_ok(p, "bailingmoe")
+
+
+def test_llama4_from_hf(tmp_path):
+    """Llama4ForCausalLM -> llama4: chunked ISWA (tiny chunk), nope every
+    4th layer + temperature tuning, weightless qk L2 norm, interleaved
+    sigmoid MoE with input-scaled experts + shared expert (reference
+    Llama4Model + llm_build_llama_iswa)."""
+    cfg = transformers.Llama4TextConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=48,
+        intermediate_size_mlp=96, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=2, max_position_embeddings=128,
+        attention_chunk_size=4, floor_scale=4.0, attn_scale=0.1,
+        attn_temperature_tuning=True, use_qk_norm=True,
+        rope_theta=10000.0, tie_word_embeddings=False, pad_token_id=0,
+        rope_scaling=None,
+    )
+    torch.manual_seed(0)
+    m = transformers.Llama4ForCausalLM(cfg).eval()
+    p = str(tmp_path / "llama4.gguf")
+    convert_hf_auto(m, p)
+    r = GGUFReader(p)
+    assert r.architecture == "llama4"
+    assert r.akey("{arch}.interleave_moe_layer_step") == 2
+    names = set(r.tensors)
+    assert "blk.1.ffn_gate_exps.weight" in names  # MoE layers 1,3
+    assert "blk.0.ffn_gate.weight" in names  # dense layers 0,2
+    assert "blk.1.ffn_up_shexp.weight" in names
+    mcfg = config_from_gguf(r)
+    assert mcfg.swa_chunked and mcfg.swa_window == 4
+    assert mcfg.attn_temp_floor == 4 and mcfg.attn_temp_scale == 0.1
+    # 13 tokens: spans several position chunks of 4 -> the chunked mask
+    # and the floor-scaled attention temperature both take effect
+    _logit_check(m, p, T=13, atol=5e-3)
+
+
+def test_qwen2_audio_text_tower_and_mmproj(tmp_path):
+    """Qwen2AudioForConditionalGeneration: language_model.model.* text
+    tower -> qwen2 (logit parity), audio_tower -> whisper-style audio
+    mmproj (reference Qwen2Model + WhisperEncoderModel registrations)."""
+    from llm_tpu.convert.hf_llama import convert_hf_whisper_mmproj
+
+    cfg = transformers.Qwen2AudioConfig(
+        text_config=dict(
+            model_type="qwen2", vocab_size=97, hidden_size=64,
+            intermediate_size=112, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, tie_word_embeddings=False),
+        audio_config=dict(
+            model_type="qwen2_audio_encoder", d_model=32,
+            encoder_layers=1, encoder_attention_heads=2,
+            encoder_ffn_dim=48, num_mel_bins=80,
+            max_source_positions=1500),
+    )
+    torch.manual_seed(0)
+    m = transformers.Qwen2AudioForConditionalGeneration(cfg).eval()
+    p = str(tmp_path / "q2a.gguf")
+    convert_hf_auto(m, p)
+    assert GGUFReader(p).architecture == "qwen2"
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 96, size=7).tolist()
+    ours = _run_ours(p, toks)
+    with torch.no_grad():
+        ref = m(input_ids=torch.tensor([toks])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+    pa = str(tmp_path / "q2a_mmproj.gguf")
+    convert_hf_whisper_mmproj(
+        m.audio_tower, pa,
+        fc_w=m.multi_modal_projector.linear.weight.detach().numpy(),
+        fc_b=m.multi_modal_projector.linear.bias.detach().numpy())
+    ra = GGUFReader(pa)
+    assert ra.get("clip.has_audio_encoder")

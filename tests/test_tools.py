@@ -350,3 +350,89 @@ def test_override_kv(tiny_f32):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         apply_kv_overrides(r2, ["nonsense"])
+
+
+def test_convert_hf_wavtokenizer(tmp_path):
+    """HF WavTokenizerDec naming -> wavtokenizer-dec GGUF; decode produces
+    a finite waveform (reference WavTokenizerDecModel mapping)."""
+    from types import SimpleNamespace
+
+    import torch
+
+    from llm_tpu.convert.hf_llama import convert_hf_auto
+    from llm_tpu.gguf.reader import GGUFReader
+    from llm_tpu.models.wavtokenizer import (embd_to_audio,
+                                             load_wavtokenizer,
+                                             wavtok_decode)
+
+    rng = np.random.default_rng(9)
+    V, feat, pos_embd, cn = 64, 16, 24, 24
+
+    class _Stub:
+        def __init__(self, cfg, sd):
+            self.config = SimpleNamespace(**cfg)
+            self._sd = {k: torch.from_numpy(np.asarray(v, np.float32))
+                        for k, v in sd.items()}
+
+        def state_dict(self):
+            return self._sd
+
+    def m(*shape, s=0.2):
+        return rng.normal(size=shape) * s
+
+    sd = {
+        "feature_extractor.encodec.quantizer.vq.layers.0._codebook.embed":
+            m(V, feat),
+        "feature_extractor.encodec.quantizer.vq.layers.0._codebook.inited":
+            np.ones(1),  # skipped bookkeeping
+        "backbone.embed.weight": m(pos_embd, feat, 7),
+        "backbone.embed.bias": m(pos_embd, s=0.05),
+        "backbone.norm.weight": 1 + m(cn, s=0.05),
+        "backbone.norm.bias": m(cn, s=0.02),
+        "backbone.final_layer_norm.weight": 1 + m(cn, s=0.05),
+        "backbone.final_layer_norm.bias": m(cn, s=0.02),
+        "head.out.weight": m(66, cn),
+        "head.out.bias": m(66, s=0.05),
+    }
+    for il in range(6):
+        b = f"backbone.posnet.{il}."
+        if il == 2:
+            sd[b + "norm.weight"] = 1 + m(pos_embd, s=0.05)
+            sd[b + "norm.bias"] = m(pos_embd, s=0.02)
+            for nm in ("q", "k", "v", "proj_out"):
+                sd[b + nm + ".weight"] = m(pos_embd, pos_embd, 1)
+                sd[b + nm + ".bias"] = m(pos_embd, s=0.05)
+        elif il == 5:
+            sd[b + "norm.weight"] = 1 + m(pos_embd, s=0.05)
+            sd[b + "norm.bias"] = m(pos_embd, s=0.02)
+        else:
+            for nm in ("norm1", "norm2"):
+                sd[b + nm + ".weight"] = 1 + m(pos_embd, s=0.05)
+                sd[b + nm + ".bias"] = m(pos_embd, s=0.02)
+            for nm in ("conv1", "conv2"):
+                sd[b + nm + ".weight"] = m(pos_embd, pos_embd, 3)
+                sd[b + nm + ".bias"] = m(pos_embd, s=0.05)
+    for il in range(2):
+        b = f"backbone.convnext.{il}."
+        sd[b + "dwconv.weight"] = m(cn, 1, 7)
+        sd[b + "dwconv.bias"] = m(cn, s=0.05)
+        sd[b + "norm.weight"] = 1 + m(cn, s=0.05)
+        sd[b + "norm.bias"] = m(cn, s=0.02)
+        sd[b + "pwconv1.weight"] = m(cn * 3, cn)
+        sd[b + "pwconv1.bias"] = m(cn * 3, s=0.05)
+        sd[b + "pwconv2.weight"] = m(cn, cn * 3)
+        sd[b + "pwconv2.bias"] = m(cn, s=0.05)
+        sd[b + "gamma"] = m(cn, s=0.1)
+    cfg = dict(model_type="wavtokenizer-dec", hidden_size=cn,
+               group_norm_groups=4, group_norm_epsilon=1e-6,
+               layer_norm_epsilon=1e-6, name_or_path="stub")
+    p = str(tmp_path / "wavtok_hf.gguf")
+    convert_hf_auto(_Stub(cfg, sd), p)
+    r = GGUFReader(p)
+    assert r.architecture == "wavtokenizer-dec"
+    assert r.akey("{arch}.posnet.block_count") == 6
+    p_ = load_wavtokenizer(r)
+    codes = rng.integers(0, V, size=12)
+    embd = wavtok_decode(p_, jnp.asarray(codes, jnp.int32))
+    audio = embd_to_audio(np.asarray(embd), n_fft=64, n_hop=16)
+    assert np.isfinite(audio).all() and audio.size > 0
