@@ -1668,7 +1668,6 @@ _MODEL_TYPE_ARCH = {
     "gemma2": "gemma2",
     "gemma3_text": "gemma3",
     "gemma3": "gemma3",
-    "phi": "phi2",
     "phi3": "phi3",
     "phimoe": "phimoe",
     "olmo": "olmo",
@@ -1687,13 +1686,6 @@ _MODEL_TYPE_ARCH = {
     "ernie4_5": "ernie4_5",
     "dots1": "dots1",
     "bitnet": "bitnet",
-    "gpt2": "gpt2",
-    "gptj": "gptj",
-    "gpt_neox": "gptneox",
-    "gpt_bigcode": "starcoder",
-    "mpt": "mpt",
-    "falcon": "falcon",
-    "bloom": "bloom",
     "exaone": "exaone",
     "internlm2": "internlm2",
     "baichuan": "baichuan",
@@ -1723,7 +1715,9 @@ _MODEL_TYPE_ARCH = {
 }
 
 # model_types handled by dedicated converter functions in convert_hf_auto
-_DEDICATED = ("mamba", "mamba2", "falcon_mamba", "t5", "mt5", "umt5",
+_DEDICATED = ("gpt2", "mpt", "phi", "falcon", "bloom", "gpt_neox",
+              "gptj", "gpt_bigcode",
+              "mamba", "mamba2", "falcon_mamba", "t5", "mt5", "umt5",
               "t5encoder", "deepseek_v2", "deepseek_v3", "minicpm3", "plm",
               "qwen", "chatglm", "codeshell", "gpt_refact", "jais",
               "openelm", "plamo", "grok-1", "bailing_moe",
@@ -1766,6 +1760,12 @@ def convert_hf_auto(model, path: str, out_type: GGMLType = GGMLType.F32,
     if mt == "plm":
         return convert_hf_deepseek2(model, path, out_type=out_type,
                                     vocab=vocab, arch="plm")
+    _classic = {"gpt2": convert_hf_gpt2, "mpt": convert_hf_mpt,
+                "phi": convert_hf_phi2, "falcon": convert_hf_falcon,
+                "bloom": convert_hf_bloom, "gpt_neox": convert_hf_gptneox,
+                "gptj": convert_hf_gptj, "gpt_bigcode": convert_hf_starcoder}
+    if mt in _classic:
+        return _classic[mt](model, path, vocab=vocab)
     if mt in ("rwkv7", "rwkv_hybrid"):
         from .hf_longtail import convert_hf_rwkv7
 

@@ -343,19 +343,26 @@ def forward(
     # (q8, scales) pair (lax.scan path)
     kv_sample = kv_k[0] if isinstance(kv_k, list) else kv_k
     kv_is_q8 = isinstance(kv_sample, tuple)
+    def _dim_ok(d):
+        # lane-width multiples are hardware-proven; other 8-multiples
+        # (64/80/96/192 MLA...) are interpret-validated but gated until
+        # measured on hardware — LLM_TPU_FLASH_ANYDIM=1 to enable
+        return d % 128 == 0 or (
+            os.environ.get("LLM_TPU_FLASH_ANYDIM") == "1" and d % 8 == 0)
+
+    # LLM_TPU_FLASH_FORCE=interpret runs the fused kernels in Pallas
+    # interpret mode on any backend — the CPU e2e harness for kernel wiring
+    _flash_force = os.environ.get("LLM_TPU_FLASH_FORCE") == "interpret"
     use_flash = (
         _flash_env != "0"
         and not (_flash_env == "decode" and T > 8)
-        and jax.default_backend() == "tpu"
-        and cfg.alibi_max_bias == 0.0
-        and cfg_rope.n_dims == Dk == Dv
-        # lane-width heads are always eligible; smaller powers of two are
-        # interpret-validated (full-dim blocks are Mosaic-legal) but gated
-        # until measured on hardware — LLM_TPU_FLASH_ANYDIM=1 to enable
-        and (Dk % 128 == 0
-             or (os.environ.get("LLM_TPU_FLASH_ANYDIM") == "1"
-                 and Dk in (32, 64)))
-        and cfg_rope.mode in (0, 2)
+        and (jax.default_backend() == "tpu" or _flash_force)
+        # ALiBi (in-kernel slopes), partial rotary / MLA Dk!=Dv (identity
+        # cos/sin fill), M-RoPE (per-cell angle tables) and rope-NONE all
+        # ride the same rope-folded kernel now; see
+        # tests/test_pallas_attn.py hard-arch coverage
+        and _dim_ok(Dk) and _dim_ok(Dv)
+        and cfg_rope.mode in (-1, 0, 2)
         # llama4: chunked mask / per-token q temp / weightless L2 norm are
         # not in the fused kernels yet — unfused XLA path
         and not cfg.swa_chunked
@@ -372,13 +379,20 @@ def forward(
 
         fattn = flash_decode if T <= 8 else flash_prefill
 
-        cos_cf, sin_cf = expand_tables(cos_c, sin_c, cfg_rope.mode, Dk)
+        nd = cfg_rope.n_dims
+        cos_cf, sin_cf = expand_tables(cos_c, sin_c, cfg_rope.mode, Dk,
+                                       n_dims=nd)
         cos_cf = cos_cf.astype(dtype)
         sin_cf = sin_cf.astype(dtype)
         if cfg.rope_swa is not None or dual:
-            cos_cf2, sin_cf2 = expand_tables(cos_c2, sin_c2, cfg_rope.mode, Dk)
+            cos_cf2, sin_cf2 = expand_tables(cos_c2, sin_c2, cfg_rope.mode,
+                                             Dk, n_dims=nd)
             cos_cf2 = cos_cf2.astype(dtype)
             sin_cf2 = sin_cf2.astype(dtype)
+        flash_dist = None
+        if alibi is not None:
+            flash_dist = (tok_pos[:, None] - cell_pos[None, :]).astype(
+                jnp.float32)
 
     def _layer_body(x, layer, kv_k_l, kv_v_l, is_swa, layer_acts,
                     H=H, Hkv=Hkv):
@@ -487,18 +501,22 @@ def forward(
 
         layer_bias = bias_swa if (bias_swa is not None and is_swa) else bias
         if use_flash:
-            if nope:
+            if nope or cfg_rope.mode == -1:
                 c_id = jnp.ones_like(cos_cf)
                 s_id = jnp.zeros_like(sin_cf)
                 att = fattn(q, jnp.zeros_like(q), k_cache, v_cache,
                             c_id, s_id, layer_bias, scale,
-                            softcap=cfg.attn_softcap)
+                            softcap=cfg.attn_softcap, interpret=_flash_force,
+                            alibi_slopes=alibi, dist=flash_dist)
             else:
                 att = fattn(
-                    q, rope_companion(q, cfg_rope.mode), k_cache, v_cache,
+                    q, rope_companion(q, cfg_rope.mode, n_dims=nd),
+                    k_cache, v_cache,
                     cos_cf2 if swa_tab else cos_cf,
                     sin_cf2 if swa_tab else sin_cf,
                     layer_bias, scale, softcap=cfg.attn_softcap,
+                    interpret=_flash_force,
+                    alibi_slopes=alibi, dist=flash_dist,
                 )
         else:
             k_raw = _kv_read(k_cache, dtype)

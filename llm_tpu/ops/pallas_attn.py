@@ -37,8 +37,8 @@ NEG = -1e30
 
 
 def _kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
-               cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref, *,
-               scale, softcap, s_real, sblk):
+               cos_ref, sin_ref, *refs, scale, softcap, s_real, sblk,
+               has_alibi=False):
     """Quantized-KV variant: K/V are int8 with ONE bf16 scale per head row
     (the fattn-vec quantized-cache analogue, fattn-common.cuh:481-496);
     dequant is an in-register lane-broadcast multiply."""
@@ -51,13 +51,16 @@ def _kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
         return (v_ref[:, h, :].astype(jnp.float32)
                 * vs_ref[:, h, :].astype(jnp.float32))
 
+    dist_ref, slopes_ref = (refs[0], refs[1]) if has_alibi else (None, None)
+    o_ref, acc_ref, m_ref, l_ref = refs[2 if has_alibi else 0:]
     _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, v_ref.shape[-1],
                 cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref,
-                scale=scale, softcap=softcap, s_real=s_real, sblk=sblk)
+                scale=scale, softcap=softcap, s_real=s_real, sblk=sblk,
+                dist_ref=dist_ref, slopes_ref=slopes_ref)
 
 
 def _kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
-            o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, s_real, sblk):
+            *refs, scale, softcap, s_real, sblk, has_alibi=False):
 
     def kh_fn(h):
         return k_ref[:, h, :].astype(jnp.float32)
@@ -65,13 +68,17 @@ def _kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
     def vh_fn(h):
         return v_ref[:, h, :].astype(jnp.float32)
 
+    dist_ref, slopes_ref = (refs[0], refs[1]) if has_alibi else (None, None)
+    o_ref, acc_ref, m_ref, l_ref = refs[2 if has_alibi else 0:]
     _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, v_ref.shape[-1],
                 cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref,
-                scale=scale, softcap=softcap, s_real=s_real, sblk=sblk)
+                scale=scale, softcap=softcap, s_real=s_real, sblk=sblk,
+                dist_ref=dist_ref, slopes_ref=slopes_ref)
 
 
 def _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, dv, cos_ref, sin_ref,
-                o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, s_real, sblk):
+                o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, s_real,
+                sblk, dist_ref=None, slopes_ref=None):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -114,6 +121,13 @@ def _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, dv, cos_ref, sin_ref,
         scores = (s1 + s2) * scale  # (TG, Sblk)
         if softcap > 0.0:
             scores = jnp.tanh(scores / softcap) * softcap
+        if slopes_ref is not None:
+            # ALiBi in-kernel (ggml soft_max_ext max_bias):
+            # score -= slope_h * (pos_q - pos_k)
+            dist = dist_ref[...].astype(jnp.float32)  # (T, Sblk)
+            slope = slopes_ref[h]  # (G,)
+            scores = scores - (slope[None, :, None]
+                               * dist[:, None, :]).reshape(tg, -1)
         scores = scores + jnp.broadcast_to(
             bias[:, None, :], (t, g, scores.shape[-1])).reshape(tg, -1)
         scores = jnp.where(
@@ -157,9 +171,12 @@ def flash_decode(
     softcap: float = 0.0,
     sblk: int = 512,
     interpret: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,  # [H] f32
+    dist: jnp.ndarray | None = None,  # [T, S] f32 (pos_q - pos_k)
 ) -> jnp.ndarray:
     """Returns [T, H, Dv] f32. k/v may be (int8, per-head-scale) tuples —
-    the quantized-cache path (scales [S, Hkv, 1])."""
+    the quantized-cache path (scales [S, Hkv, 1]). alibi_slopes + dist
+    engage the in-kernel ALiBi term (fattn-common.cuh slope path)."""
     quantized = isinstance(k, tuple)
     kq, ks = k if quantized else (k, None)
     vq, vs = v if quantized else (v, None)
@@ -169,10 +186,12 @@ def flash_decode(
     TG = T * G
     sblk = min(sblk, S)
     grid = (pl.cdiv(S, sblk),)
+    has_alibi = alibi_slopes is not None
 
     kfn = _kernel_q8 if quantized else _kernel
     kernel = functools.partial(
-        kfn, scale=scale, softcap=softcap, s_real=S, sblk=sblk)
+        kfn, scale=scale, softcap=softcap, s_real=S, sblk=sblk,
+        has_alibi=has_alibi)
     qspec = pl.BlockSpec((T, H, D), lambda j: (0, 0, 0), memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((sblk, Hkv, D), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((sblk, Hkv, Dv), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)
@@ -185,6 +204,12 @@ def flash_decode(
     else:
         in_specs = [qspec, qspec, bspec, kspec, vspec, tspec, tspec]
         args = (q, q_rot, bias, kq, vq, cos, sin)
+    if has_alibi:
+        in_specs += [bspec,
+                     pl.BlockSpec((Hkv, G), lambda j: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += (dist.astype(jnp.float32),
+                 alibi_slopes.astype(jnp.float32).reshape(Hkv, G))
 
     out = pl.pallas_call(
         kernel,
@@ -216,7 +241,7 @@ def flash_decode(
 
 def _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
                   o_ref, acc_ref, m_ref, l_ref, *, g, scale, softcap,
-                  s_real, sblk):
+                  s_real, sblk, dist_ref=None, slopes_ref=None):
     """One (kv-head, T-block, S-block) grid step of prefill flash attention.
 
     All head-carrying operands arrive head-major ([Hkv, ...]) with a
@@ -251,6 +276,12 @@ def _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
     scores = (s1 + s2) * scale  # (TG, Sblk)
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
+    if slopes_ref is not None:
+        # ALiBi in-kernel: score -= slope_h * (pos_q - pos_k)
+        dist = dist_ref[...].astype(jnp.float32)  # (Tblk, Sblk)
+        slope = slopes_ref[0]  # (G,) — this grid step's kv head
+        scores = scores - (slope[None, :, None]
+                           * dist[:, None, :]).reshape(tg, -1)
     scores = scores + jnp.broadcast_to(
         bias[:, None, :], (tblk, g, scores.shape[-1])).reshape(tg, -1)
     scores = jnp.where(
@@ -277,29 +308,35 @@ def _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
 
 
 def _prefill_kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
-                    o_ref, acc_ref, m_ref, l_ref, *, g, scale, softcap,
-                    s_real, sblk):
+                    *refs, g, scale, softcap, s_real, sblk,
+                    has_alibi=False):
     kh = k_ref[0].astype(jnp.float32)  # (Sblk, D)
     vh = v_ref[0].astype(jnp.float32)
+    dist_ref, slopes_ref = (refs[0], refs[1]) if has_alibi else (None, None)
+    o_ref, acc_ref, m_ref, l_ref = refs[2 if has_alibi else 0:]
     _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
                   o_ref, acc_ref, m_ref, l_ref, g=g, scale=scale,
-                  softcap=softcap, s_real=s_real, sblk=sblk)
+                  softcap=softcap, s_real=s_real, sblk=sblk,
+                  dist_ref=dist_ref, slopes_ref=slopes_ref)
 
 
 def _prefill_kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
-                       cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                       g, scale, softcap, s_real, sblk):
+                       cos_ref, sin_ref, *refs, g, scale, softcap,
+                       s_real, sblk, has_alibi=False):
     kh = k_ref[0].astype(jnp.float32) * ks_ref[0].astype(jnp.float32)
     vh = v_ref[0].astype(jnp.float32) * vs_ref[0].astype(jnp.float32)
+    dist_ref, slopes_ref = (refs[0], refs[1]) if has_alibi else (None, None)
+    o_ref, acc_ref, m_ref, l_ref = refs[2 if has_alibi else 0:]
     _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
                   o_ref, acc_ref, m_ref, l_ref, g=g, scale=scale,
-                  softcap=softcap, s_real=s_real, sblk=sblk)
+                  softcap=softcap, s_real=s_real, sblk=sblk,
+                  dist_ref=dist_ref, slopes_ref=slopes_ref)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "softcap", "tblk", "sblk", "interpret"),
-)
+)  # alibi args are traced; their presence re-specializes via has_alibi
 def flash_prefill(
     q: jnp.ndarray,  # [T, H, D] roped queries
     q_rot: jnp.ndarray,  # [T, H, D] rope companion of q
@@ -313,6 +350,8 @@ def flash_prefill(
     tblk: int = 256,
     sblk: int = 512,
     interpret: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,  # [H] f32
+    dist: jnp.ndarray | None = None,  # [T, S] f32 (pos_q - pos_k)
 ) -> jnp.ndarray:
     """Tiled online-softmax flash attention for prefill (T > 8): grid over
     (kv-head, T-block, S-block), so prefill memory is O(Tblk*Sblk) instead
@@ -340,9 +379,11 @@ def flash_prefill(
     kx = jnp.swapaxes(kq, 0, 1)
     vx = jnp.swapaxes(vq, 0, 1)
 
+    has_alibi = alibi_slopes is not None
     kfn = _prefill_kernel_q8 if quantized else _prefill_kernel
     kernel = functools.partial(
-        kfn, g=G, scale=scale, softcap=softcap, s_real=S, sblk=sblk)
+        kfn, g=G, scale=scale, softcap=softcap, s_real=S, sblk=sblk,
+        has_alibi=has_alibi)
     qspec = pl.BlockSpec((1, tblk * G, D), lambda h, i, j: (h, i, 0),
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, sblk, D), lambda h, i, j: (h, j, 0),
@@ -363,6 +404,12 @@ def flash_prefill(
     else:
         in_specs = [qspec, qspec, bspec, kspec, vspec, tspec, tspec]
         args = (qx, qrx, bias, kx, vx, cos, sin)
+    if has_alibi:
+        in_specs += [bspec,
+                     pl.BlockSpec((1, G), lambda h, i, j: (h, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += (dist.astype(jnp.float32),
+                 alibi_slopes.astype(jnp.float32).reshape(Hkv, G))
 
     out = pl.pallas_call(
         kernel,
@@ -392,32 +439,59 @@ def flash_prefill(
     return out.reshape(Hkv, T, G, Dv).transpose(1, 0, 2, 3).reshape(T, H, Dv)
 
 
-def rope_companion(q: jnp.ndarray, mode: int) -> jnp.ndarray:
+def rope_companion(q: jnp.ndarray, mode: int,
+                   n_dims: int | None = None) -> jnp.ndarray:
     """q_rot such that R(p)k . q == (k*cos_p).q + (k*sin_p).q_rot.
 
     NEOX halves: q_rot = [q_hi, -q_lo]; NORM pairs: q_rot = [q1, -q0]
-    interleaved (derived from the rotation acting on k instead of q)."""
-    from .rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM
+    interleaved (derived from the rotation acting on k instead of q).
+    Partial rotary (n_dims < D, stablelm/phi2/MLA layouts rotate the
+    LEADING n_dims): the unrotated tail gets q_rot = 0, so its sin term
+    vanishes and the cos=1 term carries the plain dot. Mode NONE
+    (ALiBi/learned-position archs) is all-zeros."""
+    from .rope import ROPE_TYPE_NEOX, ROPE_TYPE_NONE, ROPE_TYPE_NORM
 
+    d = q.shape[-1]
+    if mode == ROPE_TYPE_NONE:
+        return jnp.zeros_like(q)
+    nd = d if n_dims is None else n_dims
     if mode == ROPE_TYPE_NEOX:
-        half = q.shape[-1] // 2
-        return jnp.concatenate([q[..., half:], -q[..., :half]], axis=-1)
-    if mode == ROPE_TYPE_NORM:
-        q0 = q[..., 0::2]
-        q1 = q[..., 1::2]
-        return jnp.stack([q1, -q0], axis=-1).reshape(q.shape)
-    raise ValueError(f"unsupported rope mode {mode}")
+        half = nd // 2
+        rot = jnp.concatenate([q[..., half:nd], -q[..., :half]], axis=-1)
+    elif mode == ROPE_TYPE_NORM:
+        q0 = q[..., 0:nd:2]
+        q1 = q[..., 1:nd:2]
+        rot = jnp.stack([q1, -q0], axis=-1).reshape(*q.shape[:-1], nd)
+    else:
+        raise ValueError(f"unsupported rope mode {mode}")
+    if nd == d:
+        return rot
+    return jnp.concatenate([rot, jnp.zeros_like(q[..., nd:])], axis=-1)
 
 
-def expand_tables(cos_h: jnp.ndarray, sin_h: jnp.ndarray, mode: int, d: int):
-    """Half-width [S, D/2] rope tables -> full-width [S, D] per layout."""
-    from .rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM
+def expand_tables(cos_h: jnp.ndarray, sin_h: jnp.ndarray, mode: int, d: int,
+                  n_dims: int | None = None):
+    """Half-width [S, n_dims/2] rope tables -> full-width [S, D] per
+    layout. Unrotated trailing dims get cos=1 / sin=0 (identity rotation);
+    mode NONE yields all-ones / all-zeros tables."""
+    from .rope import ROPE_TYPE_NEOX, ROPE_TYPE_NONE, ROPE_TYPE_NORM
 
+    S = cos_h.shape[0]
+    if mode == ROPE_TYPE_NONE:
+        return (jnp.ones((S, d), cos_h.dtype), jnp.zeros((S, d), sin_h.dtype))
+    nd = d if n_dims is None else n_dims
+    ch = cos_h[..., : nd // 2]
+    sh = sin_h[..., : nd // 2]
     if mode == ROPE_TYPE_NEOX:
-        return (jnp.concatenate([cos_h, cos_h], -1),
-                jnp.concatenate([sin_h, sin_h], -1))
-    if mode == ROPE_TYPE_NORM:
-        c = jnp.stack([cos_h, cos_h], -1).reshape(*cos_h.shape[:-1], d)
-        s = jnp.stack([sin_h, sin_h], -1).reshape(*sin_h.shape[:-1], d)
+        c = jnp.concatenate([ch, ch], -1)
+        s = jnp.concatenate([sh, sh], -1)
+    elif mode == ROPE_TYPE_NORM:
+        c = jnp.stack([ch, ch], -1).reshape(*ch.shape[:-1], nd)
+        s = jnp.stack([sh, sh], -1).reshape(*sh.shape[:-1], nd)
+    else:
+        raise ValueError(f"unsupported rope mode {mode}")
+    if nd == d:
         return c, s
-    raise ValueError(f"unsupported rope mode {mode}")
+    pad = ((0, 0),) * (c.ndim - 1) + ((0, d - nd),)
+    return (jnp.pad(c, pad, constant_values=1.0),
+            jnp.pad(s, pad, constant_values=0.0))

@@ -187,3 +187,158 @@ def test_flash_prefill_q8_softcap():
         cf.astype(jnp.bfloat16), sf.astype(jnp.bfloat16), bias, D ** -0.5,
         softcap=30.0, tblk=16, sblk=128, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+# ----------------------- hard-arch coverage: ALiBi / MLA / M-RoPE / dims
+
+def _alibi_slopes(H, max_bias=8.0):
+    import math
+
+    n2 = 2 ** math.floor(math.log2(H))
+    m0 = 2.0 ** (-max_bias / n2)
+    m1 = 2.0 ** (-max_bias / 2.0 / n2)
+    return jnp.asarray(
+        [m0 ** (h + 1) if h < n2 else m1 ** (2 * (h - n2) + 1)
+         for h in range(H)], jnp.float32)
+
+
+@pytest.mark.parametrize("prefill", [False, True], ids=["decode", "prefill"])
+def test_flash_alibi_matches_xla(prefill):
+    """In-kernel ALiBi (mpt/bloom/jais/refact class): rope NONE tables +
+    slope*(pos_q-pos_k) == the unfused path's alibi term
+    (fattn-common.cuh slope handling)."""
+    from llm_tpu.ops.pallas_attn import flash_prefill
+    from llm_tpu.ops.rope import ROPE_TYPE_NONE
+
+    T, H, Hkv, S, D = (16, 4, 2, 256, 128) if prefill else (2, 4, 2, 256, 128)
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    tok_pos = jnp.asarray(np.arange(T) + 40, jnp.int32)
+    tok_seq = jnp.zeros(T, jnp.int32)
+    cell_pos = jnp.asarray(np.arange(S) % 56, jnp.int32)
+    cbits = jnp.asarray((np.arange(S) < 200).astype(np.uint32))
+    bias = build_attn_bias(tok_pos, tok_seq, cell_pos, cbits)
+    slopes = _alibi_slopes(H)
+    scale = D ** -0.5
+
+    want = np.asarray(attention(q, k, v, bias, scale, alibi_slopes=slopes,
+                                cell_pos=cell_pos, tok_pos=tok_pos))
+
+    cf, sf = expand_tables(jnp.zeros((S, D // 2)), jnp.zeros((S, D // 2)),
+                           ROPE_TYPE_NONE, D)
+    dist = (tok_pos[:, None] - cell_pos[None, :]).astype(jnp.float32)
+    fn = flash_prefill if prefill else flash_decode
+    kw = dict(tblk=8, sblk=128) if prefill else dict(sblk=128)
+    got = np.asarray(fn(
+        q, rope_companion(q, ROPE_TYPE_NONE), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        sf.astype(jnp.bfloat16), bias, scale, interpret=True,
+        alibi_slopes=slopes, dist=dist, **kw))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+@pytest.mark.parametrize("dims", [
+    (192, 128, 64),   # deepseek2 MLA: Dk 192 (64 rope + 128 nope), Dv 128
+    (128, 128, 32),   # partial rotary (stablelm/phi2 class)
+], ids=["mla", "partial"])
+def test_flash_partial_rotary_and_mla(dims):
+    """Dk != Dv with leading-n_dims partial rope: identity cos/sin fill on
+    the unrotated tail reproduces the unfused path (fattn-mma-f16.cuh
+    template-dims analogue)."""
+    D, Dv, nd = dims
+    T, H, Hkv, S = 2, 4, 2, 256
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, Dv)), jnp.float32)
+    tok_pos = jnp.asarray(np.arange(T) + 11, jnp.int32)
+    tok_seq = jnp.zeros(T, jnp.int32)
+    cell_pos = jnp.asarray(np.arange(S) % 13, jnp.int32)
+    cbits = jnp.asarray((np.arange(S) < 220).astype(np.uint32))
+    rp = RopeParams(n_dims=nd, mode=ROPE_TYPE_NEOX)
+    cos_t, sin_t = rope_angles(tok_pos, rp)
+    cos_c, sin_c = rope_angles(cell_pos, rp)
+    bias = build_attn_bias(tok_pos, tok_seq, cell_pos, cbits)
+    scale = D ** -0.5
+
+    qro = apply_rope(q, cos_t, sin_t, ROPE_TYPE_NEOX, nd)
+    kro = apply_rope(k, cos_c, sin_c, ROPE_TYPE_NEOX, nd)
+    want = np.asarray(attention(qro, kro, v, bias, scale))
+
+    cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D, n_dims=nd)
+    got = np.asarray(flash_decode(
+        qro, rope_companion(qro, ROPE_TYPE_NEOX, n_dims=nd),
+        k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        cf.astype(jnp.bfloat16), sf.astype(jnp.bfloat16), bias, scale,
+        sblk=128, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_flash_mrope_tables():
+    """M-RoPE (qwen2vl): per-cell multi-section angle tables ride the same
+    rope-folded kernel — the fold identity holds for ANY per-(cell, dim)
+    angles (ggml_mrope_cache_init semantics)."""
+    from llm_tpu.ops.rope import mrope_angles
+
+    T, H, Hkv, S, D = 2, 4, 2, 128, 128
+    sections = (16, 24, 24, 0)  # pairs; sums to D/2
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    # (t, h, w, e) position streams, one 4-vector per token/cell
+    tok_mpos = jnp.asarray(rng.integers(0, 40, size=(T, 4)), jnp.int32)
+    cell_mpos = jnp.asarray(rng.integers(0, 40, size=(S, 4)), jnp.int32)
+    tok_pos = tok_mpos[:, 0]
+    tok_seq = jnp.zeros(T, jnp.int32)
+    cell_pos = cell_mpos[:, 0]
+    cbits = jnp.ones(S, jnp.uint32)
+    rp = RopeParams(n_dims=D, mode=ROPE_TYPE_NEOX)
+    cos_t, sin_t = mrope_angles(tok_mpos, sections, rp, None)
+    cos_c, sin_c = mrope_angles(cell_mpos, sections, rp, None)
+    bias = build_attn_bias(tok_pos, tok_seq, cell_pos, cbits)
+    scale = D ** -0.5
+
+    qro = apply_rope(q, cos_t, sin_t, ROPE_TYPE_NEOX, D)
+    kro = apply_rope(k, cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    want = np.asarray(attention(qro, kro, v, bias, scale))
+
+    cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    got = np.asarray(flash_decode(
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        sf.astype(jnp.bfloat16), bias, scale, sblk=128, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+@pytest.mark.parametrize("D", [80, 96], ids=["d80", "d96"])
+def test_flash_head_dim_80_96(D):
+    """head_dim 80/96 (gpt2-large/phi2/gemma-class geometries) through the
+    interpret path."""
+    T, H, Hkv, S = 2, 4, 2, 128
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.normal(size=(T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    tok_pos = jnp.asarray(np.arange(T) + 3, jnp.int32)
+    tok_seq = jnp.zeros(T, jnp.int32)
+    cell_pos = jnp.asarray(np.arange(S) % 7, jnp.int32)
+    cbits = jnp.ones(S, jnp.uint32)
+    rp = RopeParams(n_dims=D, mode=ROPE_TYPE_NEOX)
+    cos_t, sin_t = rope_angles(tok_pos, rp)
+    cos_c, sin_c = rope_angles(cell_pos, rp)
+    bias = build_attn_bias(tok_pos, tok_seq, cell_pos, cbits)
+    scale = D ** -0.5
+
+    qro = apply_rope(q, cos_t, sin_t, ROPE_TYPE_NEOX, D)
+    kro = apply_rope(k, cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    want = np.asarray(attention(qro, kro, v, bias, scale))
+
+    cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
+    got = np.asarray(flash_decode(
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        sf.astype(jnp.bfloat16), bias, scale, sblk=128, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
