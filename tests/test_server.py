@@ -466,3 +466,35 @@ def test_fast_path_matches_scalar_loop(engine):
     fast_toks, _ = _drain(fast)
     assert fast_toks == slow_toks
     assert engine.metrics.get("fast_chunks_total", 0) > 0
+
+
+def test_server_bench_grid(tmp_path):
+    """server_bench drives the real HTTP server with concurrent streaming
+    clients and reports the (pp, tg, pl) grid (tools/batched-bench
+    analogue at the server layer)."""
+    import io
+    import subprocess
+    import sys
+
+    from llm_tpu.tools.server_bench import _wait_health, run_grid
+
+    from test_model_vs_hf import _tiny_hf_llama
+
+    path = str(tmp_path / "sb.gguf")
+    convert_hf_llama(_tiny_hf_llama(hidden=64, layers=2, vocab=97), path)
+    port = 8079  # NEVER 8082-8117 (TPU tunnel relay range)
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "llm_tpu.server.app", "-m", path,
+         "--port", str(port), "-np", "2", "-c", "128", "--device", "cpu"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        _wait_health(port)
+        buf = io.StringIO()
+        rows = run_grid(port, 97, [8], [4], [1, 2], out=buf)
+        assert len(rows) == 2
+        # every client generated tg tokens and the table rendered
+        assert all(r[4] > 0 for r in rows)
+        assert "S_TG" in buf.getvalue()
+    finally:
+        srv.terminate()
+        srv.wait(timeout=30)
