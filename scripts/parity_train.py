@@ -88,18 +88,23 @@ def main():
     rng = np.random.default_rng(0)
     t0 = time.time()
     val_tok = val[: args.ctx]
+    f32 = os.path.join(WORK, "trained_f32.gguf")
     for step in range(args.steps):
         i = int(rng.integers(0, len(stream) - span))
         loss = tr.train_step(stream[i : i + span].reshape(args.batch, args.ctx))
-        if step % 200 == 0:
+        if step % 100 == 0:
             vl = tr.eval_loss(val_tok)
             print(f"step {step}: train {loss:.4f} val {vl:.4f} "
                   f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
+        if step and step % 500 == 0:
+            # periodic checkpoint: a wall-clock-limited run still yields
+            # the latest converged-so-far model
+            tr.save(reader, f32)
+            print(f"checkpoint @ {step}: {f32}", file=sys.stderr, flush=True)
     vl = tr.eval_loss(val_tok)
     print(f"final: train {loss:.4f} val {vl:.4f} ({time.time()-t0:.0f}s)",
           file=sys.stderr)
 
-    f32 = os.path.join(WORK, "trained_f32.gguf")
     tr.save(reader, f32)
     print(f"wrote {f32}", file=sys.stderr)
 
