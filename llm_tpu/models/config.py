@@ -350,15 +350,26 @@ def config_from_gguf(reader) -> ModelConfig:
             attn_scale=float(_ak(reader, Keys.Attention.SCALE, 0.0) or 0.0) or None,
         )
     if arch == "minicpm":
-        # minicpm: embeddings scaled by scale_emb, residuals by
-        # scale_depth/sqrt(n_layer), logits by 1/(n_embd/dim_model_base)
+        # minicpm rides llm_build_granite: embeddings scaled by scale_emb,
+        # residuals by scale_depth/sqrt(n_layer), logits DIVIDED by
+        # f_logit_scale = n_embd/dim_model_base (ggml_scale(cur,
+        # 1.0f/hparams.f_logit_scale), llama-model.cpp:13589)
         cfg = replace(
             cfg,
             embedding_scale=float(_ak(reader, "{arch}.embedding_scale", 12.0) or 12.0),
             residual_scale=float(_ak(reader, "{arch}.residual_scale", 0.0) or 0.0)
             or 1.4 / (n_layers ** 0.5),
-            logit_scale=float(_ak(reader, "{arch}.logit_scale", 0.0) or 0.0) or 1.0,
+            logit_scale=1.0
+            / (float(_ak(reader, "{arch}.logit_scale", 0.0) or 0.0) or 1.0),
         )
+    if arch == "baichuan" and n_layers == 40:
+        # baichuan-13B: no rope, ALiBi slopes with max_bias hardcoded 8.0
+        # (llama-model.cpp:686-689; llm_build_baichuan LLM_TYPE_13B skips
+        # ggml_rope_ext)
+        from ..ops.rope import ROPE_TYPE_NONE
+
+        cfg = replace(cfg, rope=replace(rope, mode=ROPE_TYPE_NONE, n_dims=0),
+                      alibi_max_bias=8.0)
     if arch == "olmo2":
         # post-norm block: no input norms, RMS over the full q/k vectors
         cfg = replace(cfg, qk_norm_full=True)

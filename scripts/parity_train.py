@@ -26,7 +26,7 @@ LADDER = ["Q8_0", "Q6_K", "Q5_K_M", "Q5_0", "Q4_K_M", "Q4_K_S", "IQ4_XS",
           "Q4_0", "Q3_K_M", "Q2_K"]
 
 
-def build_base(path):
+def build_base(path, hidden=512, ffn=1536, layers=6, heads=8, kv_heads=4):
     import torch
     import transformers
 
@@ -34,15 +34,17 @@ def build_base(path):
     from test_tools import _test_vocab
 
     cfg = transformers.LlamaConfig(
-        vocab_size=97, hidden_size=512, intermediate_size=1536,
-        num_hidden_layers=6, num_attention_heads=8, num_key_value_heads=4,
+        vocab_size=97, hidden_size=hidden, intermediate_size=ffn,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
         max_position_embeddings=512, rms_norm_eps=1e-5, rope_theta=10000.0,
         tie_word_embeddings=False, attention_bias=False,
     )
     torch.manual_seed(0)
     m = transformers.LlamaForCausalLM(cfg).eval()
     convert_hf_llama(m, path, vocab=_test_vocab(97))
-    print(f"base model written: {path}", file=sys.stderr)
+    n = sum(p.numel() for p in m.parameters())
+    print(f"base model written: {path} ({n/1e6:.1f}M params)", file=sys.stderr)
 
 
 def main():
@@ -52,6 +54,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--platform", default=None)
+    # model geometry: default sized so single-core CPU training converges
+    # in hours; quant damage registers more sharply on a converged small
+    # model than a half-trained big one
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--ffn", type=int, default=768)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--kv-heads", type=int, default=4)
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -69,20 +79,31 @@ def main():
 
     base = os.path.join(WORK, "base_untrained.gguf")
     if not os.path.exists(base):
-        build_base(base)
+        build_base(base, hidden=args.hidden, ffn=args.ffn,
+                   layers=args.layers, heads=args.heads,
+                   kv_heads=args.kv_heads)
 
     reader = GGUFReader(base)
-    tok = tokenizer_from_gguf(reader)
-    train_text = open(os.path.join(WORK, "train.txt")).read()
-    val_text = open(os.path.join(WORK, "val.txt")).read()
-    stream = np.asarray(tok.encode(train_text, add_special=False), np.int32)
-    val = np.asarray(tok.encode(val_text, add_special=False), np.int32)
-    print(f"train {len(stream)} tokens, val {len(val)}", file=sys.stderr)
+    cache = os.path.join(WORK, "stream_cache.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        stream, val = z["stream"], z["val"]
+    else:
+        tok = tokenizer_from_gguf(reader)
+        train_text = open(os.path.join(WORK, "train.txt")).read()
+        val_text = open(os.path.join(WORK, "val.txt")).read()
+        stream = np.asarray(tok.encode(train_text, add_special=False), np.int32)
+        val = np.asarray(tok.encode(val_text, add_special=False), np.int32)
+        np.savez(cache, stream=stream, val=val)
+    print(f"train {len(stream)} tokens, val {len(val)}", file=sys.stderr,
+          flush=True)
 
     params, cfg = load_params(reader, dense_dtype=jnp.float32,
                               use_planes=False)
+    print("params loaded", file=sys.stderr, flush=True)
     tr = FullTrainer(params, cfg, lr=args.lr, optimizer="adamw",
                      weight_decay=0.01)
+    print("trainer ready", file=sys.stderr, flush=True)
 
     span = args.ctx * args.batch
     rng = np.random.default_rng(0)
