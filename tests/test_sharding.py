@@ -448,3 +448,32 @@ def test_scan_layers_under_mesh_matches_loop():
         assert ctx.decode(Batch.one(7, pos=len(toks), seq_id=0)) == 0
     np.testing.assert_allclose(tp_ctx.get_logits(), ref_ctx.get_logits(),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_tp8_flagship_geometry_exact_match():
+    """TP exact-match at FLAGSHIP width (Llama-3-8B layer geometry:
+    n_embd 4096, 32 q / 8 kv heads, n_ff 14336, GQA 4:1, fused Q4_K
+    planes). One layer keeps the run tractable on CPU while every sharded
+    tensor has the real serving shape — this is the geometry the engine
+    ships at, not a toy multiple of the mesh size."""
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    params, cfg = make_synthetic_model(
+        n_embd=4096, n_layers=1, n_heads=32, n_kv_heads=8, n_ff=14336,
+        vocab=8192, qtype=GGMLType.Q4_K, dtype=jnp.float32, fuse=True,
+    )
+    ref_ctx = Context(None, n_cells=15, params_cfg=(params, cfg),
+                      dtype=jnp.float32)
+    mesh = make_mesh(n_tp=8)
+    tp_ctx = Context(None, n_cells=15, params_cfg=(params, cfg),
+                     dtype=jnp.float32, mesh=mesh)
+    assert tp_ctx.cfg.fused_tp == 8
+    toks = [3, 1, 4, 1]
+    for ctx in (ref_ctx, tp_ctx):
+        assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
+    ref = ref_ctx.get_logits()
+    np.testing.assert_allclose(tp_ctx.get_logits(), ref, atol=5e-4,
+                               rtol=5e-4)
+    # per-shard KV: 8 kv heads over tp=8 -> one head per device
+    assert "tp" in jax.tree.leaves(tuple(tp_ctx.kv.k[0].sharding.spec))
