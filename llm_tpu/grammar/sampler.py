@@ -51,7 +51,9 @@ class GrammarSampler(Sampler):
             return self.grammar.can_end
         piece = self._piece(tid)
         if not piece:
-            return True
+            # reference rejects empty-piece (control) tokens under an
+            # active grammar (llama_grammar_apply_impl:1147)
+            return False
         return self.grammar.can_accept(piece)
 
     def apply(self, cur: Candidates) -> None:

@@ -31,9 +31,32 @@ DEFAULT_CHAT_TEMPLATE = (
 )
 
 
+def _grammar_from_request(d: dict) -> str:
+    """server.cpp request fields: `grammar` (GBNF or '%regex ...'),
+    `json_schema`, and the OpenAI `response_format` envelope
+    (json_object / json_schema) — all reduced to GBNF text."""
+    grammar = str(d.get("grammar") or "")
+    if grammar:
+        return grammar
+    js = d.get("json_schema")
+    rf = d.get("response_format")
+    if js is None and isinstance(rf, dict):
+        t = rf.get("type")
+        if t == "json_object":
+            js = {}
+        elif t == "json_schema":
+            js = (rf.get("json_schema") or {}).get("schema", {})
+    if js is None:
+        return ""
+    from ..grammar.json_schema import json_schema_to_gbnf
+
+    return json_schema_to_gbnf(js)
+
+
 def _sampling_from_request(d: dict) -> SamplingParams:
     seed = d.get("seed", -1)
     return SamplingParams(
+        grammar=_grammar_from_request(d),
         temp=float(d.get("temperature", d.get("temp", 0.8))),
         top_k=int(d.get("top_k", 40)),
         top_p=float(d.get("top_p", 0.95)),

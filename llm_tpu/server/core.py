@@ -162,9 +162,19 @@ class InferenceServer:
             slot.n_prompt_done = prefix
             slot.n_decoded = 0
             slot.text_tail = ""
-            slot.chain = build_chain(task.params, self.ctx.cfg.vocab_size)
-            for t in task.prompt_tokens[:prefix]:
-                slot.chain.accept(t)
+            chain = build_chain(task.params, self.ctx.cfg.vocab_size)
+            # the sampler sees the FULL prompt (common_sampler_accept over
+            # every prompt token — penalties/DRY context), grammar does not
+            for t in task.prompt_tokens:
+                chain.accept(t)
+            if task.params.grammar:
+                # constrain generated text only (the grammar never sees the
+                # prompt) — wrap after prompt acceptance
+                from ..grammar import constrained_chain
+
+                chain = constrained_chain(chain, self.tok,
+                                          grammar=task.params.grammar)
+            slot.chain = chain
             slot.t_start_prompt = time.time()
             if self.draft_ctx is not None:
                 keep = min(prefix, slot.n_draft_past)

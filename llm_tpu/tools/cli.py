@@ -45,6 +45,11 @@ def generate(
         raise RuntimeError(f"prompt decode failed: rc={rc}")
     for t in prompt_tokens:
         chain.accept(t)
+    if sampling.grammar:
+        # constrain GENERATED text only: wrap after the prompt is accepted
+        from ..grammar import constrained_chain
+
+        chain = constrained_chain(chain, tok, grammar=sampling.grammar)
 
     out_tokens: list[int] = []
     text_parts: list[str] = []
@@ -172,6 +177,12 @@ def main(argv=None):
     ap.add_argument("--top-k", type=int, default=ed("top-k", 40))
     ap.add_argument("--top-p", type=float, default=ed("top-p", 0.95))
     ap.add_argument("--min-p", type=float, default=0.05)
+    ap.add_argument("--grammar", default=ed("grammar", ""),
+                    help="GBNF grammar text, or '%%regex <pattern>'")
+    ap.add_argument("--grammar-file", default=None,
+                    help="read --grammar from a file (.gbnf)")
+    ap.add_argument("--json-schema", default=None,
+                    help="constrain output to a JSON schema (string or @file)")
     ap.add_argument("--repeat-penalty", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=-1)
     ap.add_argument("--f32", action="store_true")
@@ -287,10 +298,23 @@ def main(argv=None):
                 print(f"prompt cache load failed: {e}", file=sys.stderr)
                 ctx.clear()
 
+    grammar = args.grammar or ""
+    if args.grammar_file:
+        grammar = open(args.grammar_file).read()
+    if args.json_schema and not grammar:
+        import json as _json
+
+        from ..grammar.json_schema import json_schema_to_gbnf
+
+        js = args.json_schema
+        if js.startswith("@"):
+            js = open(js[1:]).read()
+        grammar = json_schema_to_gbnf(_json.loads(js))
     sampling = SamplingParams(
         temp=args.temp, top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
         penalty_repeat=args.repeat_penalty,
         seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
+        grammar=grammar,
     )
 
     sys.stdout.write(prompt)

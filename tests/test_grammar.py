@@ -208,3 +208,81 @@ def test_grammar_sampler_masks_and_resamples():
     logits3 = np.array([5.0, 4.0, 3.0, 0.0], np.float32)
     t3 = chain.sample(logits3)
     assert t3 == 3
+
+
+# ------------------------------------------------ regex constraints
+
+def test_regex_to_gbnf_matrix():
+    """Full-match semantics of the %regex translation (the llguidance-
+    analogue subset, common/llguidance.cpp) through the real PDA engine."""
+    from llm_tpu.grammar.gbnf import Grammar
+    from llm_tpu.grammar.regex import regex_to_gbnf
+
+    cases = {
+        r"[a-z]+@[a-z]+\.(com|org)": [
+            ("ab@cd.com", True), ("ab@cd.net", False), ("a@b.org", True)],
+        r"\d{3}-\d{4}": [("555-1234", True), ("55-1234", False),
+                         ("555-12345", False)],
+        r"yes|no|maybe": [("yes", True), ("maybe", True), ("nope", False),
+                          ("no", True)],
+        r"(?:ab)+c?": [("ababc", True), ("abab", True), ("aab", False)],
+        r"[^0-9]{2,}": [("xy", True), ("x1", False), ("xyz", True)],
+        r"-?\d+(\.\d+)?": [("-3.14", True), ("42", True), ("4.", False)],
+        r".*": [("anything at all", True), ("", True)],
+        r"a\x41+": [("aAA", True), ("a", False)],
+        r"^start$": [("start", True), ("startx", False)],
+        r"\w+\s\w+": [("two words", True), ("oneword", False)],
+    }
+    for pat, checks in cases.items():
+        g = regex_to_gbnf(pat)
+        for s, want in checks:
+            gr = Grammar.from_string(g)
+            got = gr.accept_string(s) and gr.can_end
+            assert got == want, (pat, s, got, want, g)
+
+
+def test_regex_rejects_unsupported():
+    from llm_tpu.grammar.regex import RegexError, regex_to_gbnf
+
+    for pat in [r"(?=look)", r"a^b", r"*oops", r"a{", r"(unclosed",
+                r"[unclosed", r"a\q"]:
+        with pytest.raises(RegexError):
+            regex_to_gbnf(pat)
+
+
+def test_constrained_chain_wiring():
+    """constrained_chain: passthrough without a spec; %regex and
+    json_schema specs produce a GrammarChain that filters sampling."""
+    import numpy as np
+
+    from llm_tpu.grammar import constrained_chain
+    from llm_tpu.samplers import Chain
+    from llm_tpu.samplers.chain import Greedy
+
+    class FakeVocab:
+        def is_eog(self, tid):
+            return tid == 0
+
+    class FakeTok:
+        vocab = FakeVocab()
+
+        def piece(self, tid):
+            return {0: "", 1: "yes", 2: "no", 3: "zz"}[tid]
+
+    base = Chain([Greedy()])
+    assert constrained_chain(base, FakeTok()) is base
+
+    chain = constrained_chain(Chain([Greedy()]), FakeTok(),
+                              grammar="%regex yes|no")
+    # "zz" (id 3) has the best logit but violates the regex
+    logits = np.array([0.0, 1.0, 2.0, 9.0], np.float32)
+    tid = chain.sample(logits)
+    assert tid == 2  # "no": best surviving candidate
+    chain.accept(tid)
+    # after "no" the grammar can end: EOG valid, continuation invalid
+    assert chain.gs.valid(0)
+    assert not chain.gs.valid(1)
+
+    schema_chain = constrained_chain(
+        Chain([Greedy()]), FakeTok(), json_schema={"type": "integer"})
+    assert hasattr(schema_chain, "gs")

@@ -498,3 +498,47 @@ def test_server_bench_grid(tmp_path):
     finally:
         srv.terminate()
         srv.wait(timeout=30)
+
+
+def test_core_grammar_constrained_task(engine):
+    """grammar field (server.cpp `grammar`): a %regex constraint forces
+    the generated text into the language regardless of what greedy
+    sampling would have produced."""
+    toks = engine.tok.encode("hello", add_special=True)
+    task = engine.submit(GenTask(
+        prompt_tokens=toks,
+        params=SamplingParams(temp=0.0, grammar="%regex yes|no|maybe"),
+        n_predict=8))
+    pieces, meta = _drain(task)
+    text = "".join(p["text"] for p in pieces)
+    assert text in ("yes", "no", "maybe", "ye", "n", "mayb", "y", "m",
+                    "ma", "may", "e", ""), text
+    # a finished generation must be a full match
+    if meta["stop_reason"] == "eos":
+        assert text in ("yes", "no", "maybe")
+
+
+def test_http_grammar_and_response_format(client):
+    async def run(c):
+        # native /completion with a GBNF grammar
+        r = await c.post("/completion", json={
+            "prompt": "hello", "n_predict": 6, "temperature": 0,
+            "grammar": 'root ::= "a"+',
+        })
+        d = await r.json()
+        assert set(d["content"]) <= {"a"}, d["content"]
+
+        # OpenAI response_format json_object -> JSON grammar: every
+        # emitted char is a valid JSON prefix (forced by the grammar)
+        r = await c.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "temperature": 0,
+            "response_format": {"type": "json_object"},
+        })
+        d = await r.json()
+        out = d["choices"][0]["message"]["content"]
+        if out:
+            assert out[0] in '{["-0123456789tfn', out
+        return True
+
+    assert asyncio.run(_with_client(client, run))
