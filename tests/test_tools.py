@@ -1,5 +1,6 @@
 """End-to-end tool tests: quantize recipe, perplexity, CLI generation."""
 
+import os
 import subprocess
 import sys
 
@@ -436,3 +437,22 @@ def test_convert_hf_wavtokenizer(tmp_path):
     embd = wavtok_decode(p_, jnp.asarray(codes, jnp.int32))
     audio = embd_to_audio(np.asarray(embd), n_fft=64, n_hop=16)
     assert np.isfinite(audio).all() and audio.size > 0
+
+
+def test_load_bench_tool(tmp_path):
+    """tools/load_bench: synthesize -> quantize -> timed mmap+unpack+planes
+    (the reference's 'load time' line, measured as a tool)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "llm_tpu.tools.load_bench",
+         "--synth", "128,2,256,500", "--ftype", "Q4_K_M", "--device", "cpu"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "TMPDIR": str(tmp_path)},
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    assert d["load_s"] > 0 and d["arch"] == "llama"
+    assert d["n_layers"] == 2
