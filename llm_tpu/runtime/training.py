@@ -158,26 +158,29 @@ class LoraTrainer:
 
 
 def batched_lm_loss(params, cfg, tokens, dtype=jnp.float32):
-    """Mean next-token CE over a [B, T] batch. Sequences ride the engine's
-    own multi-sequence machinery: B seq ids over B*T cells, the causal mask
-    built from cell metadata — no vmap, one forward."""
+    """Mean next-token CE over a [B, T] batch, vmapped per sequence.
+
+    Sequences are independent, so each gets its own T-cell KV and T x T
+    causal mask. (Flattening the batch into one B*T-cell sequence with
+    seq-id masking computes the identical loss but materializes
+    (B*T)^2-scale attention scores — 64x the attention traffic at B=8.)"""
     B, T = tokens.shape
-    flat = tokens.reshape(-1)
-    n = B * T
-    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), B)
-    seq = jnp.repeat(jnp.arange(B, dtype=jnp.int32), T)
-    widx = jnp.arange(n, dtype=jnp.int32)
-    cbits = (jnp.ones((B, 1), jnp.uint32) << jnp.arange(B, dtype=jnp.uint32)[:, None])
-    cbits = jnp.repeat(cbits.reshape(-1), T)
-    kv_k = [jnp.zeros((n, cfg.n_kv_heads, cfg.head_dim), dtype)
-            for _ in range(cfg.n_layers)]
-    kv_v = [jnp.zeros((n, cfg.n_kv_heads, cfg.head_dim_v), dtype)
-            for _ in range(cfg.n_layers)]
-    logits, _, _, _ = forward(
-        params, cfg, kv_k, kv_v, flat, pos, seq, widx, pos,
-        cbits, widx, dtype=dtype,
-    )
-    logits = logits.reshape(B, T, -1)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    widx = pos
+    cbits = jnp.ones(T, jnp.uint32)
+
+    def one(seq_toks):
+        kv_k = [jnp.zeros((T, cfg.n_kv_heads, cfg.head_dim), dtype)
+                for _ in range(cfg.n_layers)]
+        kv_v = [jnp.zeros((T, cfg.n_kv_heads, cfg.head_dim_v), dtype)
+                for _ in range(cfg.n_layers)]
+        logits, _, _, _ = forward(
+            params, cfg, kv_k, kv_v, seq_toks, pos,
+            jnp.zeros(T, jnp.int32), widx, pos, cbits, widx, dtype=dtype,
+        )
+        return logits
+
+    logits = jax.vmap(one)(tokens)  # [B, T, V]
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     tgt = tokens[:, 1:]
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1).mean()
