@@ -63,6 +63,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
     ap.add_argument("--n-ctx", type=int, default=256)
+    ap.add_argument("--max-tokens", type=int, default=120_000,
+                    help="cap held-out tokens (full val is ~1.2M chars)")
     ap.add_argument("--out", default="docs/PARITY.md")
     args = ap.parse_args()
     if args.platform:
@@ -73,6 +75,7 @@ def main():
     import jax.numpy as jnp
 
     from llm_tpu.gguf.reader import GGUFReader
+    from llm_tpu.models.config import config_from_gguf
     from llm_tpu.runtime.engine import Context
     from llm_tpu.tokenizers import tokenizer_from_gguf
     from llm_tpu.tools.perplexity import kl_divergence, perplexity
@@ -81,7 +84,7 @@ def main():
     f32_path = os.path.join(WORK, "trained_f32.gguf")
     reader = GGUFReader(f32_path)
     tok = tokenizer_from_gguf(reader)
-    tokens = tok.encode(val_text, add_special=False)
+    tokens = tok.encode(val_text, add_special=False)[: args.max_tokens]
     n_ctx = args.n_ctx
 
     def eval_model(path, base_logits=None):
@@ -123,12 +126,17 @@ reference's exact north-star (Llama-3-8B Q4_K_M, wikitext-2 PPL 6.4071,
 published checkpoint. This report instead measures the SAME quantity — the
 quant-induced quality ladder through the real engine path (GGUF load ->
 planes -> fused kernels -> Context.decode -> PPL/KLD tool) — on a model
-with real learned structure: a 6-layer / 512-embd llama-architecture char
-LM trained to convergence (scripts/parity_train.py) on a reference-docs
-corpus with a held-out split. The *mechanism* under test (block formats,
+with real learned structure: a llama-architecture char LM
+trained (scripts/parity_train.py) on a 63M-token reference-docs corpus
+with a held-out split — small enough to train to real convergence on this
+container, which is what makes quantization damage REGISTER in PPL
+(an undertrained checkpoint's PPL is insensitive to weight noise; its
+round-2 ladder showed Q2_K improving PPL, which is why the model was
+retrained at this scale). The *mechanism* under test (block formats,
 RMSE-searched scales, fused dequant matmuls, f32 attention softmax) is
 identical to what a Llama-3-8B run would exercise; only the checkpoint
-differs.
+differs. (Geometry/corpus are set by scripts/parity_train.py flags; the
+current report header states the exact configuration.)
 
 **Cross-validation.** For every quantized file, our dequantization is
 compared bit-for-bit against the reference's own independent Python
@@ -137,6 +145,10 @@ implementation (/root/reference/gguf-py/gguf/quants.py) — column
 HF transformers (tests/test_archs.py, 30+ architectures).
 
 """)
+        cfg = config_from_gguf(reader)
+        f.write(f"Checkpoint: {cfg.n_layers} layers / {cfg.n_embd} embd / "
+                f"{cfg.n_ff} ffn / vocab {cfg.vocab_size} "
+                f"(~{sum(int(t.n_elements) for t in reader.tensors.values())/1e6:.1f}M params).\n\n")
         f.write(f"f32 baseline: **PPL {base['ppl']:.4f} ± {base['err']:.4f}**"
                 f" on {len(tokens)} held-out tokens (n_ctx={n_ctx}).\n\n")
         f.write("| ftype | file MB | PPL | ΔPPL | ΔPPL/PPL | ref ΔPPL/PPL (L3-8B) | KLD | ref KLD | same-top | vs gguf-py |\n")
@@ -157,7 +169,8 @@ HF transformers (tests/test_archs.py, 30+ architectures).
 checkpoint-size-independent measures; the `ref` columns are the reference's
 published Llama-3-8B numbers for the same ftype. The ladder ordering and
 magnitudes should track the reference's (Q8_0 ≈ lossless -> Q2_K heavily
-degraded); exact values differ because the model differs. `vs gguf-py`
+degraded); exact values differ because the model differs. (Geometry/corpus are set by scripts/parity_train.py flags; the
+current report header states the exact configuration.) `vs gguf-py`
 confirms the storage format is decoded bit-identically to the reference's
 own decoder, so format-level parity is exact, not approximate.
 """)
