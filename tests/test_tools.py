@@ -456,3 +456,31 @@ def test_load_bench_tool(tmp_path):
     d = json.loads(out.stdout.strip().splitlines()[-1])
     assert d["load_s"] > 0 and d["arch"] == "llama"
     assert d["n_layers"] == 2
+
+
+def test_gguf_dump_and_hash(tiny_f32):
+    """tools/gguf_dump + gguf_hash (reference examples/gguf, gguf-hash)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "llm_tpu.tools.gguf_dump", tiny_f32, "--json"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    d = json.loads(out.stdout)
+    assert d["kv"]["general.architecture"] == "llama"
+    assert any(t["name"] == "token_embd.weight" for t in d["tensors"])
+
+    out = subprocess.run(
+        [sys.executable, "-m", "llm_tpu.tools.gguf_hash", tiny_f32,
+         "--quiet", "--uuid"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = out.stdout.strip().splitlines()
+    assert lines[0].startswith("sha256") and lines[1].startswith("uuid")
+    # deterministic: same file, same hash
+    out2 = subprocess.run(
+        [sys.executable, "-m", "llm_tpu.tools.gguf_hash", tiny_f32,
+         "--quiet"], capture_output=True, text=True, timeout=300)
+    assert out2.stdout.splitlines()[0] == lines[0]
