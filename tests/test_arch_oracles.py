@@ -257,3 +257,146 @@ def test_minicpm_oracle(tmp_path):
     ])
     _compare(p, "minicpm", ten, H=4, KV=2, emb_scale=12.0,
              res_scale=float(res), logit_scale=0.5)
+
+
+# ----------------------------------------- fused-qkv + bias archs
+
+def _write_fused(path, arch, *, E=64, L=2, H=4, KV=None, FF=96, V=97,
+                 ln=False, ffn_bias=False, extra_kv=(), seed=13):
+    """Hand-build a GGUF with the fused attn_qkv(+bias) tensor layout the
+    reference converters emit for qwen1/jais/gpt2-family archs."""
+    KV = H if KV is None else KV
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path, arch=arch)
+    a = arch
+    w.add_kv(Keys.LLM.CONTEXT_LENGTH.format(arch=a), 2048)
+    w.add_kv(Keys.LLM.EMBEDDING_LENGTH.format(arch=a), E)
+    w.add_kv(Keys.LLM.BLOCK_COUNT.format(arch=a), L)
+    w.add_kv(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=a), FF)
+    w.add_kv(Keys.Attention.HEAD_COUNT.format(arch=a), H)
+    w.add_kv(Keys.Attention.HEAD_COUNT_KV.format(arch=a), KV)
+    w.add_kv(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=a), 1e-5)
+    w.add_kv(Keys.Attention.LAYERNORM_EPS.format(arch=a), 1e-5)
+    w.add_kv(Keys.LLM.VOCAB_SIZE.format(arch=a), V)
+    for k, v in extra_kv:
+        w.add_kv(k, v)
+
+    hd = E // H
+    ten = {}
+
+    def t(name, shape, scale=0.12, off=None):
+        arr = (rng.normal(size=shape) * scale).astype(np.float32)
+        if off is not None:
+            arr = arr + np.float32(off)
+        ten[name] = arr
+        w.add_tensor(name, arr)
+
+    t("token_embd.weight", (V, E), 0.2)
+    t("output_norm.weight", (E,), 0.04, off=1.0)
+    if ln:
+        t("output_norm.bias", (E,), 0.04)
+    t("output.weight", (V, E))
+    for il in range(L):
+        p = f"blk.{il}."
+        t(p + "attn_norm.weight", (E,), 0.04, off=1.0)
+        if ln:
+            t(p + "attn_norm.bias", (E,), 0.04)
+        t(p + "attn_qkv.weight", (E + 2 * KV * hd, E))
+        t(p + "attn_qkv.bias", (E + 2 * KV * hd,), 0.05)
+        t(p + "attn_output.weight", (E, E))
+        if ln:
+            t(p + "attn_output.bias", (E,), 0.05)
+        t(p + "ffn_norm.weight", (E,), 0.04, off=1.0)
+        if ln:
+            t(p + "ffn_norm.bias", (E,), 0.04)
+        t(p + "ffn_gate.weight", (FF, E))
+        t(p + "ffn_up.weight", (FF, E))
+        t(p + "ffn_down.weight", (E, FF))
+        if ffn_bias:
+            t(p + "ffn_gate.bias", (FF,), 0.05)
+            t(p + "ffn_up.bias", (FF,), 0.05)
+            t(p + "ffn_down.bias", (E,), 0.05)
+    w.write()
+    return ten
+
+
+def _oracle_fused(ten, tokens, *, H, KV, ln=False, neox=False, rope=True,
+                  base=10000.0, alibi_max=0.0, attn_scale=None,
+                  ffn_bias=False, o_bias=False):
+    """Fused-qkv variant of the oracle: cur = x@Wqkv^T + b, split rows
+    [q | k | v] (llm_build_qwen / llm_build_jais views)."""
+    E = ten["token_embd.weight"].shape[1]
+    hd = E // H
+    T = len(tokens)
+    pos = np.arange(T)
+    L = max(int(k.split(".")[1]) for k in ten if k.startswith("blk.")) + 1
+    f8 = np.float64
+    x = ten["token_embd.weight"][tokens].astype(f8)
+    mask = np.triu(np.full((T, T), -np.inf), 1)
+    slopes = _alibi_slopes(H, alibi_max) if alibi_max else None
+    scale = attn_scale if attn_scale is not None else hd ** -0.5
+    for il in range(L):
+        p = f"blk.{il}."
+        g = lambda n: ten[p + n].astype(f8)  # noqa: E731
+        h = _norm(x, g("attn_norm.weight"),
+                  g("attn_norm.bias") if ln else None)
+        qkv = h @ g("attn_qkv.weight").T + g("attn_qkv.bias")
+        q = qkv[:, :E].reshape(T, H, hd)
+        k = qkv[:, E:E + KV * hd].reshape(T, KV, hd)
+        v = qkv[:, E + KV * hd:].reshape(T, KV, hd)
+        if rope:
+            q = _rope(q, pos, hd, base, neox)
+            k = _rope(k, pos, hd, base, neox)
+        k = np.repeat(k, H // KV, axis=1)
+        v = np.repeat(v, H // KV, axis=1)
+        att = np.einsum("qhd,khd->hqk", q, k) * scale
+        if slopes is not None:
+            att = att + slopes[:, None, None] * (
+                -np.abs(pos[:, None] - pos[None, :]))[None]
+        att = att + mask[None]
+        att = np.exp(att - att.max(-1, keepdims=True))
+        att = att / att.sum(-1, keepdims=True)
+        o = np.einsum("hqk,khd->qhd", att, v).reshape(T, E)
+        o = o @ g("attn_output.weight").T
+        if o_bias:
+            o = o + g("attn_output.bias")
+        x = x + o
+        h = _norm(x, g("ffn_norm.weight"), g("ffn_norm.bias") if ln else None)
+        gate = h @ g("ffn_gate.weight").T
+        up = h @ g("ffn_up.weight").T
+        if ffn_bias:
+            gate = gate + g("ffn_gate.bias")
+            up = up + g("ffn_up.bias")
+        silu = gate / (1.0 + np.exp(-gate)) * up
+        dn = silu @ g("ffn_down.weight").T
+        if ffn_bias:
+            dn = dn + g("ffn_down.bias")
+        x = x + dn
+    x = _norm(x, ten["output_norm.weight"].astype(f8),
+              ten["output_norm.bias"].astype(f8) if ln else None)
+    return x @ ten["output.weight"].astype(f8).T
+
+
+def test_qwen1_oracle(tmp_path):
+    """qwen (v1): fused wqkv + bias, NEOX rope, RMS norms, silu FFN
+    (llm_build_qwen, llama-model.cpp:6125)."""
+    p = str(tmp_path / "m.gguf")
+    ten = _write_fused(p, "qwen")
+    ours = _engine_logits(p, "qwen")
+    ref = _oracle_fused(ten, TOKENS, H=4, KV=4, neox=True)
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_jais_oracle(tmp_path):
+    """jais: fused qkv + biases, LayerNorm(+bias), NO rope + ALiBi,
+    gated-silu FFN WITH biases, and kq scale 1/n_embd_head (not 1/sqrt)
+    (llm_build_jais, llama-model.cpp:12528-area; hparams :1396-1397)."""
+    p = str(tmp_path / "m.gguf")
+    E, H = 64, 4
+    ten = _write_fused(p, "jais", ln=True, ffn_bias=True, extra_kv=[
+        ("jais.attention.max_alibi_bias", 8.0)])
+    ours = _engine_logits(p, "jais")
+    ref = _oracle_fused(ten, TOKENS, H=H, KV=H, ln=True, rope=False,
+                        alibi_max=8.0, attn_scale=1.0 / (E // H),
+                        ffn_bias=True, o_bias=True)
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=3e-4)
