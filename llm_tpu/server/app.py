@@ -53,6 +53,14 @@ def _grammar_from_request(d: dict) -> str:
     return json_schema_to_gbnf(js)
 
 
+def _logit_bias_from_request(d: dict) -> dict:
+    """OpenAI dict {"123": -5.0} or llama.cpp list [[123, -5.0], ...]."""
+    lb = d.get("logit_bias") or {}
+    if isinstance(lb, dict):
+        return {int(k): float(v) for k, v in lb.items()}
+    return {int(k): float(v) for k, v in lb}
+
+
 def _sampling_from_request(d: dict) -> SamplingParams:
     seed = d.get("seed", -1)
     return SamplingParams(
@@ -61,7 +69,17 @@ def _sampling_from_request(d: dict) -> SamplingParams:
         top_k=int(d.get("top_k", 40)),
         top_p=float(d.get("top_p", 0.95)),
         min_p=float(d.get("min_p", 0.05)),
-        typical_p=float(d.get("typical_p", 1.0)),
+        typical_p=float(d.get("typical_p", d.get("typ_p", 1.0))),
+        min_keep=int(d.get("min_keep", 0)),
+        xtc_probability=float(d.get("xtc_probability", 0.0)),
+        xtc_threshold=float(d.get("xtc_threshold", 0.1)),
+        top_n_sigma=float(d.get("top_n_sigma", -1.0)),
+        dry_multiplier=float(d.get("dry_multiplier", 0.0)),
+        dry_base=float(d.get("dry_base", 1.75)),
+        dry_allowed_length=int(d.get("dry_allowed_length", 2)),
+        dry_penalty_last_n=int(d.get("dry_penalty_last_n", -1)),
+        dry_sequence_breakers=tuple(d.get("dry_sequence_breakers") or ()),
+        logit_bias=_logit_bias_from_request(d),
         penalty_repeat=float(d.get("repeat_penalty", 1.0)),
         penalty_freq=float(d.get("frequency_penalty", 0.0)),
         penalty_present=float(d.get("presence_penalty", 0.0)),
@@ -97,18 +115,28 @@ class ServerApp:
         if isinstance(stop, str):
             stop = [stop]
         n_predict = int(d.get("n_predict", d.get("max_tokens", 128)) or 128)
+        # n_probs (native) / logprobs+top_logprobs (OpenAI)
+        n_probs = int(d.get("n_probs", 0) or 0)
+        lp = d.get("logprobs")
+        if not n_probs:
+            if lp is True:
+                n_probs = int(d.get("top_logprobs", 0) or 0) or 1
+            elif isinstance(lp, int) and not isinstance(lp, bool):
+                n_probs = lp
         return GenTask(
             prompt_tokens=toks,
             params=_sampling_from_request(d),
             n_predict=n_predict,
             stop=list(stop),
             stream=bool(d.get("stream", False)),
+            n_probs=n_probs,
         )
 
     async def _collect(self, task: GenTask):
         """Drain events (in a thread-friendly way) until done."""
         loop = asyncio.get_event_loop()
         pieces = []
+        events = []
         meta = {}
         while True:
             ev = await loop.run_in_executor(None, task.events.get)
@@ -116,6 +144,8 @@ class ServerApp:
                 meta = ev
                 break
             pieces.append(ev["text"])
+            events.append(ev)
+        meta["events"] = events
         return "".join(pieces), meta
 
     # -- endpoints ----------------------------------------------------------------
@@ -402,7 +432,7 @@ class ServerApp:
             return resp
 
         text, meta = await self._collect(task)
-        return web.json_response({
+        out = {
             "id": rid, "object": "text_completion",
             "created": int(time.time()), "model": self.model_name,
             "choices": [{"index": 0, "text": text,
@@ -410,7 +440,27 @@ class ServerApp:
             "usage": _usage(meta),
             "content": text,  # llama-server native field
             "stop_reason": meta.get("stop_reason"),
-        })
+        }
+        if task.n_probs:
+            evs = meta.get("events", [])
+            # native field (server.cpp send_final_response n_probs)
+            out["completion_probabilities"] = [
+                {"id": ev["token"], "token": ev["text"],
+                 "prob": ev.get("prob"), "top_probs": ev.get("top_probs", [])}
+                for ev in evs]
+            # OpenAI completions logprobs envelope
+            import math
+
+            def _lp(p):
+                return math.log(max(p, 1e-30)) if p is not None else None
+            out["choices"][0]["logprobs"] = {
+                "tokens": [ev["text"] for ev in evs],
+                "token_logprobs": [_lp(ev.get("prob")) for ev in evs],
+                "top_logprobs": [
+                    {tp["token"]: _lp(tp["prob"])
+                     for tp in ev.get("top_probs", [])} for ev in evs],
+            }
+        return web.json_response(out)
 
     def _oai_completion_chunk(self, rid, text, done_meta):
         return {
@@ -481,14 +531,22 @@ class ServerApp:
                 message = {"role": "assistant",
                            "content": content or None, "tool_calls": calls}
                 finish = "tool_calls"
+        choice = {"index": 0, "message": message, "finish_reason": finish}
+        if task.n_probs:
+            import math
+
+            def _lp(p):
+                return math.log(max(p, 1e-30)) if p is not None else None
+            choice["logprobs"] = {"content": [
+                {"token": ev["text"], "logprob": _lp(ev.get("prob")),
+                 "top_logprobs": [
+                     {"token": tp["token"], "logprob": _lp(tp["prob"])}
+                     for tp in ev.get("top_probs", [])]}
+                for ev in meta.get("events", [])]}
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": self.model_name,
-            "choices": [{
-                "index": 0,
-                "message": message,
-                "finish_reason": finish,
-            }],
+            "choices": [choice],
             "usage": _usage(meta),
         })
 

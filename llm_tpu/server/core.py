@@ -38,6 +38,7 @@ class GenTask:
     n_predict: int = 128
     stop: list[str] = field(default_factory=list)
     stream: bool = False
+    n_probs: int = 0  # top-N token probabilities per generated token
     # events: dicts {"token": id, "text": piece, "done": bool, ...}
     events: queue.Queue = field(default_factory=queue.Queue)
     id: int = 0
@@ -198,6 +199,17 @@ class InferenceServer:
         slot.task = None
         slot.state = SlotState.IDLE
 
+    def _top_probs(self, logits: np.ndarray, tid: int, n: int):
+        """softmax over the raw logits -> top-n + the sampled token's
+        probability (server.cpp n_probs, pre-sampling distribution)."""
+        z = logits.astype(np.float64)
+        z = np.exp(z - z.max())
+        p = z / z.sum()
+        top = np.argsort(-p)[:n]
+        entries = [{"id": int(i), "token": self.tok.piece(int(i)),
+                    "prob": float(p[i])} for i in top]
+        return entries, float(p[tid])
+
     def _sample_token(self, slot: Slot, logits: np.ndarray):
         task = slot.task
         tid = slot.chain.sample(logits)
@@ -213,7 +225,11 @@ class InferenceServer:
             return
         piece = self.tok.piece(tid)
         slot.text_tail = (slot.text_tail + piece)[-64:]
-        task.events.put({"done": False, "token": int(tid), "text": piece})
+        ev = {"done": False, "token": int(tid), "text": piece}
+        if task.n_probs:
+            ev["top_probs"], ev["prob"] = self._top_probs(
+                logits, tid, task.n_probs)
+        task.events.put(ev)
         for s in task.stop:
             if s and s in slot.text_tail:
                 self._finish(slot, "stop_string")
@@ -315,6 +331,7 @@ class InferenceServer:
         if (len(gen) == 1 and self.draft_ctx is None and not self.lookup_ngram
                 and self.tasks.empty() and gen[0].task is not None
                 and not gen[0].task.stop
+                and not gen[0].task.n_probs
                 and self._greedy_simple(gen[0].task.params)
                 and getattr(self.ctx, "rslots", None) is None
                 and getattr(self.ctx, "cells_swa", None) is None

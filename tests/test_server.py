@@ -542,3 +542,47 @@ def test_http_grammar_and_response_format(client):
         return True
 
     assert asyncio.run(_with_client(client, run))
+
+
+def test_http_n_probs_and_logprobs(client):
+    async def run(c):
+        # native n_probs (server.cpp send_final_response)
+        r = await c.post("/completion", json={
+            "prompt": "hello", "n_predict": 3, "temperature": 0,
+            "n_probs": 4,
+        })
+        d = await r.json()
+        cp = d["completion_probabilities"]
+        assert len(cp) == len(d["content"]) or len(cp) >= 1
+        assert len(cp[0]["top_probs"]) == 4
+        probs = [tp["prob"] for tp in cp[0]["top_probs"]]
+        assert probs == sorted(probs, reverse=True)
+        assert 0.0 < cp[0]["prob"] <= 1.0
+        # the sampled (greedy) token must be the top-1 candidate
+        assert cp[0]["id"] == cp[0]["top_probs"][0]["id"]
+        # OpenAI completions envelope rides along
+        lp = d["choices"][0]["logprobs"]
+        assert len(lp["tokens"]) == len(cp)
+        assert lp["token_logprobs"][0] <= 0.0
+
+        # OpenAI chat logprobs
+        r = await c.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 3, "temperature": 0,
+            "logprobs": True, "top_logprobs": 2,
+        })
+        d = await r.json()
+        content = d["choices"][0]["logprobs"]["content"]
+        assert content and len(content[0]["top_logprobs"]) == 2
+
+        # extended sampling fields are accepted (no 500s)
+        r = await c.post("/completion", json={
+            "prompt": "hello", "n_predict": 2, "temperature": 0.7,
+            "xtc_probability": 0.3, "top_n_sigma": 2.0, "min_keep": 2,
+            "dry_multiplier": 0.5, "logit_bias": {"5": -100.0},
+            "seed": 7,
+        })
+        assert r.status == 200
+        return True
+
+    assert asyncio.run(_with_client(client, run))
