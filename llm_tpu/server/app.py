@@ -424,7 +424,8 @@ class ServerApp:
                         await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
                         await resp.write(b"data: [DONE]\n\n")
                         break
-                    payload = self._oai_completion_chunk(rid, ev["text"], None)
+                    payload = self._oai_completion_chunk(rid, ev["text"], None,
+                                                         ev=ev)
                     await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
             finally:
                 task.cancel()
@@ -462,8 +463,8 @@ class ServerApp:
             }
         return web.json_response(out)
 
-    def _oai_completion_chunk(self, rid, text, done_meta):
-        return {
+    def _oai_completion_chunk(self, rid, text, done_meta, ev=None):
+        out = {
             "id": rid, "object": "text_completion", "model": self.model_name,
             "created": int(time.time()),
             "choices": [{
@@ -471,6 +472,12 @@ class ServerApp:
                 "finish_reason": _finish_reason(done_meta) if done_meta else None,
             }],
         }
+        if ev is not None and ev.get("top_probs") is not None:
+            # native per-chunk probs (server.cpp send_partial_response)
+            out["completion_probabilities"] = [{
+                "id": ev["token"], "token": ev["text"],
+                "prob": ev.get("prob"), "top_probs": ev["top_probs"]}]
+        return out
 
     async def chat_completions(self, request):
         d = await request.json()
@@ -505,11 +512,23 @@ class ServerApp:
                         finish = _finish_reason(ev)
                     else:
                         delta["content"] = ev["text"]
+                    choice = {"index": 0, "delta": delta,
+                              "finish_reason": finish}
+                    if task.n_probs and ev.get("top_probs") is not None:
+                        import math
+
+                        choice["logprobs"] = {"content": [{
+                            "token": ev["text"],
+                            "logprob": math.log(max(ev.get("prob", 0.0), 1e-30)),
+                            "top_logprobs": [
+                                {"token": tp["token"],
+                                 "logprob": math.log(max(tp["prob"], 1e-30))}
+                                for tp in ev["top_probs"]],
+                        }]}
                     payload = {
                         "id": rid, "object": "chat.completion.chunk",
                         "created": int(time.time()), "model": self.model_name,
-                        "choices": [{"index": 0, "delta": delta,
-                                     "finish_reason": finish}],
+                        "choices": [choice],
                     }
                     await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
                     if ev.get("done"):
