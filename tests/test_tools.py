@@ -484,3 +484,31 @@ def test_gguf_dump_and_hash(tiny_f32):
         [sys.executable, "-m", "llm_tpu.tools.gguf_hash", tiny_f32,
          "--quiet"], capture_output=True, text=True, timeout=300)
     assert out2.stdout.splitlines()[0] == lines[0]
+
+
+def test_arg_env_fallbacks(monkeypatch):
+    """LLM_TPU_ARG_* env fallbacks (test-arg-parser / common/arg.cpp
+    .set_env parity): env supplies defaults, typed casts apply, explicit
+    flags win, required args are satisfied by env."""
+    from llm_tpu.tools.args import env_default, required_unless_env
+
+    monkeypatch.setenv("LLM_TPU_ARG_CTX_SIZE", "8192")
+    monkeypatch.setenv("LLM_TPU_ARG_MODEL", "weights.gguf")
+    monkeypatch.setenv("LLM_TPU_ARG_TEMP", "0.5")
+    monkeypatch.setenv("LLM_TPU_ARG_VERBOSE", "true")
+    assert env_default("ctx-size", 4096) == 8192
+    assert env_default("temp", 0.8) == 0.5
+    assert env_default("verbose", False) is True
+    assert env_default("model", None) == "weights.gguf"
+    assert required_unless_env("model") is False
+    assert required_unless_env("prompt") is True
+    assert env_default("n-predict", 128) == 128  # unset -> default
+
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--ctx-size", type=int,
+                    default=env_default("ctx-size", 4096))
+    # explicit flag beats env
+    assert ap.parse_args(["-c", "64"]).ctx_size == 64
+    assert ap.parse_args([]).ctx_size == 8192
