@@ -373,6 +373,27 @@ def forward(
             or kv_sample[1].shape[-1] == 1  # q8 cache with per-head scales
         )
     )
+    # chained-matmul fast path (ops/pallas_qmm_chain.py): whole layer tail
+    # (o_proj -> residual -> ffn_norm -> gate+up -> swiglu -> down ->
+    # residual) and the norm->QKV / final-norm->lm_head heads each run as
+    # ONE Pallas launch — decode is launch-bound at small batch
+    # (docs/PERF.md). LLM_TPU_CHAIN=0 disables; LLM_TPU_CHAIN_FORCE=interpret
+    # is the CPU e2e harness.
+    _chain_force = os.environ.get("LLM_TPU_CHAIN_FORCE") == "interpret"
+    use_chain = (
+        os.environ.get("LLM_TPU_CHAIN", "1") != "0"
+        and (jax.default_backend() == "tpu" or _chain_force)
+        and T <= 8
+        and not collect_acts and not collect_hidden
+        and cfg.norm_kind == "rms" and not cfg.parallel_residual
+        and cfg.residual_scale == 1.0 and not cfg.nonparam_norm
+        and cfg.act in ("silu", "gelu")
+        and cfg.fused_tp <= 1
+    )
+    if use_chain:
+        from ..ops.pallas_qmm_chain import (head_eligible, layer_tail,
+                                            norm_mm, tail_eligible)
+
     if use_flash:
         from ..ops.pallas_attn import (expand_tables, flash_decode,
                                        flash_prefill, rope_companion)
@@ -409,7 +430,17 @@ def forward(
             if ("attn_norm" in layer or cfg.nonparam_norm) else x
         _collect(layer_acts, "attn_qkv", h)
 
-        if "attn_qkv_fused" in layer and "attn_qkv_fused_b" in layer:
+        qkv_chain = None
+        if use_chain and head_eligible(layer):
+            qkv_chain = norm_mm(
+                x, layer["attn_norm"], layer["attn_qkv_fused"],
+                eps=cfg.rms_eps, compute_dtype=dtype, out_dtype=dtype,
+                interpret=_chain_force)
+
+        if qkv_chain is not None:
+            q, k, v = _split_fused(qkv_chain, (H * Dk, Hkv * Dk, Hkv * Dv),
+                                   cfg.fused_tp)
+        elif "attn_qkv_fused" in layer and "attn_qkv_fused_b" in layer:
             # gpt2/bloom-style fused qkv with a fused bias
             qkv = qmm(h, layer["attn_qkv_fused"], out_dtype=dtype)
             qkv = qkv + layer["attn_qkv_fused_b"].astype(qkv.dtype)
@@ -533,6 +564,16 @@ def forward(
                 tok_pos=tok_pos,
             )
         att = att.reshape(T, H * Dv)
+        if use_chain and tail_eligible(layer):
+            out = layer_tail(
+                att, x, layer["ffn_norm"], layer["attn_output"],
+                layer["ffn_gateup_fused"], layer["ffn_down"],
+                eps=cfg.rms_eps, act=cfg.act, compute_dtype=dtype,
+                interpret=_chain_force)
+            if out is not None:
+                if "cvec" in layer:
+                    out = out + layer["cvec"].astype(out.dtype)
+                return out, k_cache, v_cache
         if "attn_sub_norm" in layer:  # bitnet: RMS sub-norm before o_proj
             att = rms_norm(att, layer["attn_sub_norm"], cfg.rms_eps)
         _collect(layer_acts, "attn_output", att)
@@ -637,10 +678,25 @@ def forward(
             if collect_hidden:
                 hiddens.append(jnp.take(x, out_idx, axis=0).astype(jnp.float32))
 
-    x = _norm(x, params.get("output_norm"), cfg, params.get("output_norm_b"))
-    hs = jnp.take(x, out_idx, axis=0)
     out_w = params.get("output") if params.get("output") is not None else params["tok_embd"]
-    logits = qmm(hs, out_w)  # f32
+    logits = None
+    if (use_chain and params.get("output_norm") is not None
+            and "output_norm_b" not in params):
+        from ..ops.pallas_qmm_chain import _is_kmajor_qt
+
+        if _is_kmajor_qt(out_w):
+            # fused final-norm + lm_head: norm only the output rows
+            hs_pre = jnp.take(x, out_idx, axis=0)
+            logits = norm_mm(
+                hs_pre, params["output_norm"], out_w, eps=cfg.rms_eps,
+                compute_dtype=dtype, out_dtype=jnp.float32,
+                interpret=_chain_force)
+            if logits is not None:
+                hs = rms_norm(hs_pre, params["output_norm"], cfg.rms_eps)
+    if logits is None:
+        x = _norm(x, params.get("output_norm"), cfg, params.get("output_norm_b"))
+        hs = jnp.take(x, out_idx, axis=0)
+        logits = qmm(hs, out_w)  # f32
     if "output_b" in params:
         logits = logits + params["output_b"]
     if "output.lora" in params:
