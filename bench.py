@@ -78,6 +78,233 @@ def _require_device(timeout_s: int = 600):
     print(f"devices: {got[0]}", file=sys.stderr)
 
 
+_T_START = time.time()
+_BUDGET_S = int(os.environ.get("LLM_TPU_BENCH_BUDGET_S", "840"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T_START)
+
+
+def bench_chain_ab(extra: dict, small: bool) -> bool:
+    """Layer-tail chain kernel vs the 3-launch unfused composition, timed as
+    in-device fori chains (docs/PERF.md measurement methodology). Runs FIRST
+    and doubles as the chain compile canary: returns False (and the caller
+    disables LLM_TPU_CHAIN) if Mosaic rejects the chain kernel."""
+    from llm_tpu.gguf.constants import GGMLType
+    from llm_tpu.models.synthetic import device_synthetic_qtensor
+    from llm_tpu.ops.pallas_qmm_chain import layer_tail
+    from llm_tpu.ops.qmatmul import qmm
+    from llm_tpu.ops.norms import rms_norm
+
+    E, F = (1024, 2048) if small else (4096, 14336)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    wo = device_synthetic_qtensor(ks[0], E, E, GGMLType.Q4_K, jnp.bfloat16)
+    wgu = device_synthetic_qtensor(ks[1], 2 * F, E, GGMLType.Q4_K, jnp.bfloat16)
+    wd = device_synthetic_qtensor(ks[2], E, F, GGMLType.Q4_K, jnp.bfloat16)
+    att0 = jax.random.normal(ks[3], (8, E), jnp.bfloat16) * 0.01
+    xres = jnp.zeros((8, E), jnp.bfloat16)
+    gamma = jnp.ones((E,), jnp.float32)
+    reps = 30 if small else 100
+
+    def chained(att, n):
+        def body(_, a):
+            out = layer_tail(a, xres, gamma, wo, wgu, wd, eps=1e-5)
+            return (out * 1e-3).astype(jnp.bfloat16)  # keep magnitudes sane
+        return jax.lax.fori_loop(0, n, body, att)
+
+    def unfused(att, n):
+        def body(_, a):
+            y1 = qmm(a, wo, out_dtype=jnp.bfloat16)
+            h = xres + y1
+            hn = rms_norm(h, gamma, 1e-5)
+            gu = qmm(hn, wgu)
+            g, u = gu[:, :F], gu[:, F:]
+            cur = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+            out = h + qmm(cur, wd, out_dtype=jnp.bfloat16)
+            return (out * 1e-3).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, n, body, att)
+
+    try:
+        cj = jax.jit(chained, static_argnums=(1,))
+        jax.block_until_ready(cj(att0, 2))  # compile canary
+    except Exception as e:  # noqa: BLE001
+        print(f"chain kernel compile FAILED: {e}", file=sys.stderr)
+        extra["chain_compile"] = f"failed: {type(e).__name__}"
+        return False
+
+    def _time(fn):
+        jax.block_until_ready(fn(att0, reps))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(att0, reps))
+        return (time.perf_counter() - t0) / reps * 1e6  # us per layer-tail
+
+    us_chain = _time(cj)
+    us_unfused = _time(jax.jit(unfused, static_argnums=(1,)))
+    # Q4_K tail bytes: ~4.5 bit/weight + bf16 scales+mins
+    elems = E * E + E * 2 * F + F * E
+    gb = elems * (0.5 + 4.0 / 32) * 1e-9
+    extra["chain_tail_us"] = round(us_chain, 1)
+    extra["unfused_tail_us"] = round(us_unfused, 1)
+    extra["chain_tail_gbps"] = round(gb / (us_chain * 1e-6), 1)
+    extra["unfused_tail_gbps"] = round(gb / (us_unfused * 1e-6), 1)
+    extra["chain_compile"] = "ok"
+    print(f"layer-tail A/B: chain {us_chain:.0f} us ({extra['chain_tail_gbps']}"
+          f" GB/s) vs unfused {us_unfused:.0f} us "
+          f"({extra['unfused_tail_gbps']} GB/s)", file=sys.stderr)
+    return True
+
+
+def bench_hard_arch_flash(extra: dict, small: bool) -> None:
+    """Compile + decode the round-3 hard-arch flash paths on real hardware:
+    ALiBi (in-kernel slopes), head_dim 80, partial rotary — the
+    LLM_TPU_FLASH_ANYDIM backlog (VERDICT r3 missing #4)."""
+    from dataclasses import replace
+
+    from llm_tpu.gguf.constants import GGMLType
+    from llm_tpu.models.synthetic import make_synthetic_model
+    from llm_tpu.models.transformer import forward
+    from llm_tpu.ops.rope import RopeParams
+
+    os.environ["LLM_TPU_FLASH_ANYDIM"] = "1"
+    S = 256
+    cases = {
+        "alibi_hd64": dict(geo=dict(n_embd=1024, n_layers=2, n_heads=16,
+                                    n_kv_heads=16, n_ff=2048, vocab=2048,
+                                    head_dim=64),
+                           alibi=8.0, rope_mode=-1, n_dims=None),
+        "hd80": dict(geo=dict(n_embd=1280, n_layers=2, n_heads=16,
+                              n_kv_heads=16, n_ff=2560, vocab=2048,
+                              head_dim=80),
+                     alibi=0.0, rope_mode=0, n_dims=80),
+        "partial_rotary": dict(geo=dict(n_embd=1024, n_layers=2, n_heads=8,
+                                        n_kv_heads=8, n_ff=2048, vocab=2048,
+                                        head_dim=128),
+                               alibi=0.0, rope_mode=2, n_dims=64),
+    }
+    for name, case in cases.items():
+        if _remaining() < 120:
+            extra[f"flash_{name}"] = "skipped: budget"
+            continue
+        try:
+            params, cfg = make_synthetic_model(
+                qtype=GGMLType.Q4_K, on_device=True,
+                scales_dtype=jnp.bfloat16, **case["geo"])
+            cfg = replace(
+                cfg, alibi_max_bias=case["alibi"],
+                rope=RopeParams(
+                    n_dims=case["n_dims"] or cfg.head_dim,
+                    mode=case["rope_mode"]))
+            cell_idx = jnp.arange(S, dtype=jnp.int32)
+            kvk = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+                   for _ in range(cfg.n_layers)]
+            kvv = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+                   for _ in range(cfg.n_layers)]
+
+            def dec(params, kk, vv, tok0, n, cfg=cfg, cell_idx=cell_idx):
+                def body(i, carry):
+                    tok, kk, vv = carry
+                    pos = 8 + i
+                    cbits = (cell_idx <= pos).astype(jnp.uint32)
+                    logits, nk, nv, _ = forward(
+                        params, cfg, list(kk), list(vv), tok[None],
+                        pos[None].astype(jnp.int32), jnp.zeros(1, jnp.int32),
+                        pos[None].astype(jnp.int32), cell_idx, cbits,
+                        jnp.zeros(1, jnp.int32))
+                    return (jnp.argmax(logits[0]).astype(jnp.int32),
+                            tuple(nk), tuple(nv))
+                return jax.lax.fori_loop(0, n, body, (tok0, tuple(kk), tuple(vv)))
+
+            dj = jax.jit(dec, static_argnums=(4,), donate_argnums=(1, 2))
+            t0 = time.time()
+            tok, kk, vv = dj(params, kvk, kvv, jnp.zeros((), jnp.int32), 32)
+            jax.block_until_ready(tok)
+            compile_s = time.time() - t0
+            t0 = time.perf_counter()
+            tok, kk, vv = dj(params, kk, vv, tok, 32)
+            jax.block_until_ready(tok)
+            tps = 32 / (time.perf_counter() - t0)
+            extra[f"flash_{name}"] = {"compile_s": round(compile_s, 1),
+                                      "tg_tok_per_s": round(tps, 1)}
+            print(f"flash {name}: compile {compile_s:.1f}s, {tps:.1f} t/s",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            extra[f"flash_{name}"] = f"failed: {type(e).__name__}: {e}"[:200]
+            print(f"flash {name} FAILED: {e}", file=sys.stderr)
+
+
+def bench_moe_ep(extra: dict, small: bool) -> None:
+    """Single-chip MoE decode (BASELINE config 4 scaled to fit one chip)."""
+    from llm_tpu.models.synthetic import make_synthetic_model
+    from llm_tpu.models.transformer import forward
+
+    if _remaining() < 120:
+        extra["moe_tg"] = "skipped: budget"
+        return
+    try:
+        geo = dict(n_embd=1024, n_layers=4, n_heads=16, n_kv_heads=8,
+                   n_ff=1792, vocab=2048, head_dim=64,
+                   n_expert=8, n_expert_used=2)
+        params, cfg = make_synthetic_model(**geo)
+        S = 256
+        cell_idx = jnp.arange(S, dtype=jnp.int32)
+        kvk = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+               for _ in range(cfg.n_layers)]
+        kvv = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+               for _ in range(cfg.n_layers)]
+
+        def dec(params, kk, vv, tok0, n):
+            def body(i, carry):
+                tok, kk, vv = carry
+                pos = 8 + i
+                cbits = (cell_idx <= pos).astype(jnp.uint32)
+                logits, nk, nv, _ = forward(
+                    params, cfg, list(kk), list(vv), tok[None],
+                    pos[None].astype(jnp.int32), jnp.zeros(1, jnp.int32),
+                    pos[None].astype(jnp.int32), cell_idx, cbits,
+                    jnp.zeros(1, jnp.int32))
+                return (jnp.argmax(logits[0]).astype(jnp.int32),
+                        tuple(nk), tuple(nv))
+            return jax.lax.fori_loop(0, n, body, (tok0, tuple(kk), tuple(vv)))
+
+        dj = jax.jit(dec, static_argnums=(4,), donate_argnums=(1, 2))
+        tok, kk, vv = dj(params, kvk, kvv, jnp.zeros((), jnp.int32), 32)
+        jax.block_until_ready(tok)
+        t0 = time.perf_counter()
+        tok, kk, vv = dj(params, kk, vv, tok, 32)
+        jax.block_until_ready(tok)
+        tps = 32 / (time.perf_counter() - t0)
+        extra["moe_tg_tok_per_s"] = round(tps, 1)
+        print(f"moe (8e top-2, 1B-class) tg: {tps:.1f} t/s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extra["moe_tg"] = f"failed: {type(e).__name__}"[:200]
+        print(f"moe bench FAILED: {e}", file=sys.stderr)
+
+
+def bench_load(extra: dict, small: bool) -> None:
+    """Timed GGUF load (mmap -> native unpack -> K-major planes) at the
+    largest scale the remaining budget allows."""
+    if _remaining() < 180:
+        extra["load_bench"] = "skipped: budget"
+        return
+    try:
+        import subprocess
+
+        geo = "1024,8,2816,32000" if small or _remaining() < 420 \
+            else "4096,32,14336,32000"
+        out = subprocess.run(
+            [sys.executable, "-m", "llm_tpu.tools.load_bench", "--synth",
+             geo, "--ftype", "Q4_K_M", "--device", "cpu"],
+            capture_output=True, text=True, timeout=max(60, _remaining() - 60))
+        line = [ln for ln in out.stdout.splitlines() if ln.strip()][-1:]
+        extra["load_bench"] = {"geo": geo, "result": line[0] if line else
+                               f"rc={out.returncode}"}
+        print(f"load_bench: {extra['load_bench']}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extra["load_bench"] = f"failed: {type(e).__name__}"[:200]
+
+
 def main():
     from llm_tpu.models.synthetic import LLAMA3_8B
     from llm_tpu.models.transformer import forward
@@ -92,6 +319,14 @@ def main():
     N_PREFILL = 16
     N_GEN = 128
     PP = 256 if small else 512
+
+    # chain-kernel A/B first: cheap, and the compile canary gates the
+    # chain path for every later section
+    extra_sections: dict = {}
+    if jax.default_backend() == "tpu" and os.environ.get(
+            "LLM_TPU_CHAIN", "1") != "0":
+        if not bench_chain_ab(extra_sections, small):
+            os.environ["LLM_TPU_CHAIN"] = "0"
 
     t0 = time.time()
     params, cfg = build(geo)
@@ -315,6 +550,13 @@ def main():
     print(f"tg128 headline: {tps:.2f} t/s (scan {tg_scan:.2f} / loop "
           f"{tg_loop:.2f})", file=sys.stderr)
 
+    # backlog sections (VERDICT r3 #2): hard-arch flash on hardware, MoE,
+    # timed load — each behind the wall-clock budget
+    if jax.default_backend() == "tpu":
+        bench_hard_arch_flash(extra_sections, small)
+        bench_moe_ep(extra_sections, small)
+    bench_load(extra_sections, small)
+
     baseline = 120.60  # tg128 Q4_K_M 7B-class, CUDA (llama-bench README:168)
     print(json.dumps({
         "metric": "tg128_tok_per_s_llama3_8b_q4_k_single_chip" if not small
@@ -332,6 +574,7 @@ def main():
             "host_rtt_ms": round(rtt_ms, 2),
             "ttft_p50_ms": round(ttft_ms, 1),
             "build_s": round(t_build, 1),
+            **extra_sections,
         },
     }))
 

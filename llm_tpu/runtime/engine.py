@@ -787,6 +787,65 @@ class Context:
         self._steps[key] = fn
         return fn
 
+    def _get_gloop_batch(self, B: int, n: int):
+        """Compiled multi-slot generation loop: B sequences advance together
+        for up to n steps in ONE dispatch — the device-side analogue of the
+        reference server batching all generating slots into one llama_decode
+        per token (server.cpp update_slots), minus the per-token host trip.
+        Per-slot sampling parameters are traced arrays, so one program per
+        (B, n) serves every mix of slot settings."""
+        key = ("gloopb", B, n)
+        if key in self._steps:
+            return self._steps[key]
+        cfg, dtype = self.cfg, self.dtype
+        from ..samplers.device import sample_rows
+        if cfg.arch == "gemma3n":
+            from ..models.gemma3n import forward_gemma3n as fwd
+        else:
+            fwd = forward
+
+        def _loop(params, kv_k, kv_v, tok0, slots_mat, cpos, cbits, pos0,
+                  seq_ids, n_lim, eogs, temps, top_ks, top_ps, min_ps, keys):
+            toks0 = jnp.full((B, n), -1, jnp.int32)
+            words = (seq_ids >> 5).astype(jnp.int32)
+            masks = jnp.uint32(1) << (seq_ids & 31).astype(jnp.uint32)
+            oidx = jnp.arange(B, dtype=jnp.int32)
+
+            def body(carry):
+                i, tok, kk, vv, cb, toks, done, ks = carry
+                cells_i = slots_mat[:, i]
+                # each new token's pre-labeled cell becomes visible to its
+                # own sequence only (per-slot seq-bit planes)
+                cb = cb.at[cells_i, words].set(cb[cells_i, words] | masks)
+                logits, kk, vv, _ = fwd(
+                    params, cfg, kk, vv, tok,
+                    (pos0 + i).astype(jnp.int32), seq_ids, cells_i,
+                    cpos, cb, oidx, dtype=dtype,
+                )
+                ks2 = jax.vmap(jax.random.split)(ks)
+                nxt = sample_rows(logits, temps, top_ks, top_ps, min_ps,
+                                  ks2[:, 1])
+                # finished rows keep feeding their last token; their cells
+                # stay unoccupied host-side, so in-loop garbage writes to
+                # them are discarded at reconciliation
+                nxt = jnp.where(done, tok, nxt)
+                toks = toks.at[:, i].set(jnp.where(done, -1, nxt))
+                done = (done | (nxt[:, None] == eogs[None, :]).any(axis=1)
+                        | (i + 1 >= n_lim))
+                return (i + 1, nxt, kk, vv, cb, toks, done, ks2[:, 0])
+
+            def cond(c):
+                return (c[0] < n) & ~jnp.all(c[6])
+
+            i, _, kk, vv, _, toks, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tok0, kv_k, kv_v, cbits, toks0,
+                             jnp.zeros((B,), bool), keys))
+            return toks, i, kk, vv
+
+        fn = self._jit_step(_loop, host_out=(0, 1))
+        self._steps[key] = fn
+        return fn
+
     def _get_gloop_recurrent(self, n: int, temp: float, top_k: int):
         key = ("gloopr", n, temp, top_k)
         if key in self._steps:
@@ -954,6 +1013,98 @@ class Context:
         self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
         self.perf.n_decode += cnt
         return [int(t) for t in toks[:cnt]]
+
+    def generate_loop_batch(self, first_tokens, n_tokens: int, *, seq_ids,
+                            temps=None, top_ks=None, top_ps=None,
+                            min_ps=None, seeds=None, n_limits=None,
+                            eog_ids=()) -> list[list[int]]:
+        """Decode up to n_tokens for B sequences AT ONCE in one dispatch:
+        a batched single-token forward + per-slot in-jit sampling chained
+        through one lax.while_loop. This is the serving hot path — with
+        B generating slots it costs ONE host round trip per n_tokens-chunk
+        instead of one per token per slot (the reference batches slots into
+        one llama_decode per token, server.cpp:2961; on a remote-attached
+        TPU the per-token host trip dominates, so the loop stays on device).
+
+        first_tokens/seq_ids: length-B lists. temps/top_ks/top_ps/min_ps/
+        seeds/n_limits: optional per-slot arrays (defaults: greedy,
+        unlimited within n_tokens). Per-slot early stop on any eog_ids
+        token or its n_limits budget; finished slots coast (their sampled
+        garbage is never recorded and their remaining pre-allocated cells
+        are returned free). Returns B token lists (<= n_tokens each).
+
+        Not supported (callers fall back to generate_loop / decode):
+        recurrent state, the ISWA dual ring, and M-RoPE cell tables."""
+        if self.rslots is not None or self.cells_swa is not None \
+                or self.cells_mpos is not None:
+            raise ValueError("generate_loop_batch: unsupported memory kind")
+        B = len(seq_ids)
+        n = int(n_tokens)
+        if B == 0 or n <= 0:
+            return [[] for _ in seq_ids]
+        if len(first_tokens) != B:
+            raise ValueError("first_tokens/seq_ids length mismatch")
+        for s in seq_ids:
+            if not (0 <= s < MAX_SEQS):
+                raise ValueError(f"bad seq_id {s}")
+        flat = self.cells.find_slots(B * n)
+        if flat is None:
+            raise RuntimeError("generate_loop_batch: no free KV cells")
+        slots_mat = flat.reshape(B, n)
+        pos0 = np.asarray(
+            [self.cells.seq_pos_max(s) + 1 for s in seq_ids], np.int32)
+
+        t0 = time.perf_counter()
+        cpos = np.zeros(self.n_kv_rows, np.int32)
+        cpos[: self.n_cells] = self.cells.pos
+        cpos[slots_mat] = pos0[:, None] + np.arange(n, dtype=np.int32)
+        cbits = self.cells.bit_planes(self.n_kv_rows)
+        eogs = np.full(8, -1, np.int32)
+        for j, e in enumerate(list(eog_ids)[:8]):
+            eogs[j] = e
+        temps = np.zeros(B, np.float32) if temps is None \
+            else np.asarray(temps, np.float32)
+        top_ks = np.zeros(B, np.int32) if top_ks is None \
+            else np.asarray(top_ks, np.int32)
+        top_ps = np.ones(B, np.float32) if top_ps is None \
+            else np.asarray(top_ps, np.float32)
+        min_ps = np.zeros(B, np.float32) if min_ps is None \
+            else np.asarray(min_ps, np.float32)
+        n_lim = np.full(B, n, np.int32) if n_limits is None \
+            else np.minimum(np.asarray(n_limits, np.int32), n)
+        keys = np.stack([
+            np.asarray(jax.random.PRNGKey(int(s)))
+            for s in (seeds if seeds is not None else range(B))])
+
+        step = self._get_gloop_batch(B, n)
+        with self._mesh_ctx():
+            toks, _, new_k, new_v = step(
+                self.params, self.kv.k, self.kv.v,
+                self._in(first_tokens, np.int32), self._in(slots_mat),
+                self._in(cpos), self._in(cbits), self._in(pos0),
+                self._in(np.asarray(seq_ids, np.int32)), self._in(n_lim),
+                self._in(eogs), self._in(temps), self._in(top_ks),
+                self._in(top_ps), self._in(min_ps), self._in(keys),
+            )
+        toks = np.asarray(toks)
+        self.kv.k, self.kv.v = new_k, new_v
+        out: list[list[int]] = []
+        total = 0
+        for b in range(B):
+            row = toks[b]
+            stop = np.flatnonzero(row == -1)
+            cnt = int(stop[0]) if len(stop) else n
+            used = slots_mat[b, :cnt]
+            upos = pos0[b] + np.arange(cnt, dtype=np.int32)
+            self.cells.occupy(used, upos,
+                              np.full(cnt, seq_ids[b], np.int64))
+            out.append([int(t) for t in row[:cnt]])
+            total += cnt
+        self._logits.clear()
+        self._embd.clear()
+        self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
+        self.perf.n_decode += total
+        return out
 
     def encode(self, tokens: list[int], pooling: str = "mean", seq_id: int = 0):
         """Sequence embedding with pooling (llama_encode + pooling_type

@@ -273,28 +273,18 @@ class InferenceServer:
                 and p.penalty_freq == 0.0 and p.penalty_present == 0.0
                 and p.dry_multiplier == 0.0 and p.xtc_probability == 0.0)
 
-    def _fast_generate(self, slot: Slot) -> bool:
-        """Single-active-slot greedy chunk through Context.generate_loop —
-        the on-device decode chain (one dispatch per 8 tokens) the server
-        uses when continuous batching has nothing to batch. Falls back to
-        the scalar path (returns False) on KV pressure."""
+    def _batch_ctx_ok(self) -> bool:
+        """Context memory kinds generate_loop_batch supports."""
+        return (getattr(self.ctx, "rslots", None) is None
+                and getattr(self.ctx, "cells_swa", None) is None
+                and getattr(self.ctx, "cells_mpos", None) is None)
+
+    def _apply_chunk(self, slot: Slot, toks: list[int]) -> None:
+        """Fold a device-generated token chunk into slot state: accept into
+        the sampler chain, emit stream events, finish on EOG / stop string /
+        length / cancel, then drop overshoot cells past the kept stream
+        (the final sampled token is undecoded by construction)."""
         task = slot.task
-        want = task.n_predict - slot.n_decoded
-        if want <= 1:
-            return False
-        v = self.tok.vocab
-        eogs = tuple(i for i in (v.eos_id, getattr(v, "eot_id", -1))
-                     if i is not None and i >= 0)
-        with self.ctx_lock:
-            try:
-                toks = self.ctx.generate_loop(
-                    slot.cache_tokens[-1], 8, seq_id=slot.id, eog_ids=eogs)
-            except RuntimeError:
-                return False  # no free cells: scalar path handles eviction
-        if not toks:
-            return False
-        self.metrics["fast_chunks_total"] = \
-            self.metrics.get("fast_chunks_total", 0) + 1
         for tid in toks:
             if slot.task is None:
                 break
@@ -307,18 +297,89 @@ class InferenceServer:
             if self.tok.vocab.is_eog(tid):
                 self._finish(slot, "eos")
                 break
+            piece = self.tok.piece(tid)
+            slot.text_tail = (slot.text_tail + piece)[-64:]
             task.events.put({"done": False, "token": int(tid),
-                             "text": self.tok.piece(tid)})
+                             "text": piece})
+            if any(s and s in slot.text_tail for s in task.stop):
+                self._finish(slot, "stop_string")
+                break
             if slot.n_decoded >= task.n_predict:
                 self._finish(slot, "length")
                 break
             if task.cancelled:
                 self._finish(slot, "cancelled")
                 break
-        # drop cells past the kept stream (chunk overshoot after an early
-        # stop; the final sampled token is undecoded by construction)
         with self.ctx_lock:
             self.ctx.seq_rm(slot.id, len(slot.cache_tokens) - 1, -1)
+
+    FAST_CHUNK = 8  # tokens per device dispatch on the fast path
+
+    def _fast_generate_single(self, slot: Slot) -> bool:
+        """Single-slot greedy chunk via Context.generate_loop — kept for
+        memory kinds generate_loop_batch doesn't cover (M-RoPE cell
+        tables). Falls back to the scalar path (returns False) on KV
+        pressure."""
+        v = self.tok.vocab
+        eogs = tuple(i for i in (v.eos_id, getattr(v, "eot_id", -1))
+                     if i is not None and i >= 0)
+        with self.ctx_lock:
+            try:
+                toks = self.ctx.generate_loop(
+                    slot.cache_tokens[-1], self.FAST_CHUNK, seq_id=slot.id,
+                    eog_ids=eogs)
+            except RuntimeError:
+                return False  # no free cells: scalar path handles eviction
+        if not toks:
+            return False
+        self.metrics["fast_chunks_total"] = \
+            self.metrics.get("fast_chunks_total", 0) + 1
+        self._apply_chunk(slot, toks)
+        return True
+
+    def _fast_generate_batch(self, gen: list[Slot]) -> bool:
+        """Step ALL generating slots one chunk forward in ONE device
+        dispatch (Context.generate_loop_batch): the reference batches
+        every generating slot into one llama_decode per token
+        (server.cpp:2961 update_slots); here the whole chunk x batch block
+        runs device-side with per-slot sampling params in-jit, so serving
+        costs ~one host round trip per FAST_CHUNK tokens regardless of
+        slot count. Falls back to the scalar path (returns False) on KV
+        pressure."""
+        n = self.FAST_CHUNK
+        v = self.tok.vocab
+        eogs = tuple(i for i in (v.eos_id, getattr(v, "eot_id", -1))
+                     if i is not None and i >= 0)
+        temps, top_ks, top_ps, min_ps, seeds, lims = [], [], [], [], [], []
+        for s in gen:
+            p = s.task.params
+            temps.append(p.temp)
+            top_ks.append(p.top_k)
+            top_ps.append(p.top_p)
+            min_ps.append(p.min_p)
+            if p.seed != 0xFFFFFFFF:
+                base = p.seed
+            else:
+                base = s.task.id * 0x9E3779B1 + 12345
+            # vary the in-jit PRNG stream per chunk, deterministically
+            # under a fixed request seed
+            seeds.append((base * 1000003 + s.n_decoded) & 0x7FFFFFFF)
+            lims.append(max(1, s.task.n_predict - s.n_decoded))
+        with self.ctx_lock:
+            try:
+                rows = self.ctx.generate_loop_batch(
+                    [s.cache_tokens[-1] for s in gen], n,
+                    seq_ids=[s.id for s in gen], temps=temps, top_ks=top_ks,
+                    top_ps=top_ps, min_ps=min_ps, seeds=seeds,
+                    n_limits=lims, eog_ids=eogs)
+            except RuntimeError:
+                return False  # no free cells: scalar path handles eviction
+        if not any(rows):
+            return False
+        self.metrics["fast_chunks_total"] = \
+            self.metrics.get("fast_chunks_total", 0) + 1
+        for slot, toks in zip(gen, rows):
+            self._apply_chunk(slot, toks)
         return True
 
     def _update_slots(self) -> bool:
@@ -326,18 +387,29 @@ class InferenceServer:
         work was done."""
         self._assign_tasks()
 
-        # fast path: exactly one generating slot, nothing else to batch
+        # fast path: every generating slot's sampling config runs in-jit and
+        # there is no prompt/draft work to interleave -> advance ALL of them
+        # one device chunk in a single dispatch
+        from ..samplers.device import device_eligible
+
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
-        if (len(gen) == 1 and self.draft_ctx is None and not self.lookup_ngram
-                and self.tasks.empty() and gen[0].task is not None
-                and not gen[0].task.stop
-                and not gen[0].task.n_probs
-                and self._greedy_simple(gen[0].task.params)
-                and getattr(self.ctx, "rslots", None) is None
-                and getattr(self.ctx, "cells_swa", None) is None
-                and not any(s.state == SlotState.PROCESSING_PROMPT
-                            for s in self.slots)):
-            if self._fast_generate(gen[0]):
+        fastable = (
+            bool(gen) and self.draft_ctx is None and not self.lookup_ngram
+            and self.tasks.empty()
+            and all(s.task is not None and not s.task.n_probs
+                    and device_eligible(s.task.params) for s in gen)
+            and not any(s.state == SlotState.PROCESSING_PROMPT
+                        for s in self.slots))
+        if fastable and self._batch_ctx_ok():
+            if self._fast_generate_batch(gen):
+                return True
+        elif (fastable and len(gen) == 1
+              and getattr(self.ctx, "rslots", None) is None
+              and getattr(self.ctx, "cells_swa", None) is None
+              and self._greedy_simple(gen[0].task.params)):
+            # memory kind the batched loop doesn't cover (M-RoPE cell
+            # tables): single-slot greedy chunks via generate_loop
+            if self._fast_generate_single(gen[0]):
                 return True
 
         batch = Batch()

@@ -26,15 +26,67 @@ LADDER = ["Q8_0", "Q6_K", "Q5_K_M", "Q5_0", "Q4_K_M", "Q4_K_S", "IQ4_XS",
           "Q4_0", "Q3_K_M", "Q2_K"]
 
 
-def build_base(path, hidden=512, ffn=1536, layers=6, heads=8, kv_heads=4):
+def build_bpe_vocab(work: str, vocab_size: int) -> dict:
+    """Train a byte-level BPE on the corpus and return GGUF vocab KVs
+    (tokenizer.ggml.model = "gpt2", same storage the reference's converter
+    writes for BPE models: tokens + token_type + merges).
+
+    A char vocab (round 2/3) makes the task too easy for PPL to register
+    quant damage (VERDICT r3 missing #3); a real sub-word vocab at >=8k
+    puts the checkpoint in the same regime as the reference's ladder."""
+    from tokenizers import ByteLevelBPETokenizer
+
+    from llm_tpu.gguf.constants import Keys
+    from llm_tpu.tokenizers.vocab import TokenType
+
+    import json as _json
+    import numpy as np
+
+    K = Keys.Tokenizer
+    vdir = os.path.join(work, f"bpe_{vocab_size}")
+    if not os.path.exists(os.path.join(vdir, "vocab.json")):
+        os.makedirs(vdir, exist_ok=True)
+        t = ByteLevelBPETokenizer()
+        t.train([os.path.join(work, "train.txt")], vocab_size=vocab_size,
+                min_frequency=2,
+                special_tokens=["<unk>", "<s>", "</s>"])
+        t.save_model(vdir)
+    tok2id = _json.load(open(os.path.join(vdir, "vocab.json")))
+    tokens = [None] * len(tok2id)
+    for tk, i in tok2id.items():
+        tokens[i] = tk
+    merges = [ln.rstrip("\n") for ln in open(os.path.join(vdir, "merges.txt"))
+              if ln.strip() and not ln.startswith("#")]
+    types = [int(TokenType.CONTROL) if tk in ("<unk>", "<s>", "</s>")
+             else int(TokenType.NORMAL) for tk in tokens]
+    return {
+        K.MODEL: "gpt2",
+        K.PRE: "gpt-2",
+        K.LIST: tokens,
+        K.TOKEN_TYPE: np.asarray(types, np.int32),
+        K.MERGES: merges,
+        K.BOS_ID: tokens.index("<s>"),
+        K.EOS_ID: tokens.index("</s>"),
+        K.UNK_ID: tokens.index("<unk>"),
+        K.ADD_BOS: False,
+    }
+
+
+def build_base(path, hidden=512, ffn=1536, layers=6, heads=8, kv_heads=4,
+               vocab_size=97, work=WORK, tokenizer="char"):
     import torch
     import transformers
 
     from llm_tpu.convert.hf_llama import convert_hf_llama
     from test_tools import _test_vocab
 
+    if tokenizer == "bpe":
+        vocab = build_bpe_vocab(work, vocab_size)
+        vocab_size = len(vocab["tokenizer.ggml.tokens"])
+    else:
+        vocab = _test_vocab(vocab_size)
     cfg = transformers.LlamaConfig(
-        vocab_size=97, hidden_size=hidden, intermediate_size=ffn,
+        vocab_size=vocab_size, hidden_size=hidden, intermediate_size=ffn,
         num_hidden_layers=layers, num_attention_heads=heads,
         num_key_value_heads=kv_heads,
         max_position_embeddings=512, rms_norm_eps=1e-5, rope_theta=10000.0,
@@ -42,9 +94,10 @@ def build_base(path, hidden=512, ffn=1536, layers=6, heads=8, kv_heads=4):
     )
     torch.manual_seed(0)
     m = transformers.LlamaForCausalLM(cfg).eval()
-    convert_hf_llama(m, path, vocab=_test_vocab(97))
+    convert_hf_llama(m, path, vocab=vocab)
     n = sum(p.numel() for p in m.parameters())
-    print(f"base model written: {path} ({n/1e6:.1f}M params)", file=sys.stderr)
+    print(f"base model written: {path} ({n/1e6:.1f}M params, "
+          f"vocab {vocab_size})", file=sys.stderr)
 
 
 def main():
@@ -62,7 +115,12 @@ def main():
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--kv-heads", type=int, default=4)
+    ap.add_argument("--tokenizer", choices=("char", "bpe"), default="char")
+    ap.add_argument("--vocab-size", type=int, default=97)
+    ap.add_argument("--work", default=WORK,
+                    help="artifact dir (corpus train.txt/val.txt must exist)")
     args = ap.parse_args()
+    work = args.work
     if args.platform:
         import jax
 
@@ -77,21 +135,22 @@ def main():
     from llm_tpu.tokenizers import tokenizer_from_gguf
     from llm_tpu.tools.quantize import quantize_model
 
-    base = os.path.join(WORK, "base_untrained.gguf")
+    base = os.path.join(work, "base_untrained.gguf")
     if not os.path.exists(base):
         build_base(base, hidden=args.hidden, ffn=args.ffn,
                    layers=args.layers, heads=args.heads,
-                   kv_heads=args.kv_heads)
+                   kv_heads=args.kv_heads, vocab_size=args.vocab_size,
+                   work=work, tokenizer=args.tokenizer)
 
     reader = GGUFReader(base)
-    cache = os.path.join(WORK, "stream_cache.npz")
+    cache = os.path.join(work, f"stream_cache_{args.tokenizer}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         stream, val = z["stream"], z["val"]
     else:
         tok = tokenizer_from_gguf(reader)
-        train_text = open(os.path.join(WORK, "train.txt")).read()
-        val_text = open(os.path.join(WORK, "val.txt")).read()
+        train_text = open(os.path.join(work, "train.txt")).read()
+        val_text = open(os.path.join(work, "val.txt")).read()
         stream = np.asarray(tok.encode(train_text, add_special=False), np.int32)
         val = np.asarray(tok.encode(val_text, add_special=False), np.int32)
         np.savez(cache, stream=stream, val=val)
@@ -109,7 +168,7 @@ def main():
     rng = np.random.default_rng(0)
     t0 = time.time()
     val_tok = val[: args.ctx]
-    f32 = os.path.join(WORK, "trained_f32.gguf")
+    f32 = os.path.join(work, "trained_f32.gguf")
     for step in range(args.steps):
         i = int(rng.integers(0, len(stream) - span))
         loss = tr.train_step(stream[i : i + span].reshape(args.batch, args.ctx))
@@ -130,7 +189,7 @@ def main():
     print(f"wrote {f32}", file=sys.stderr)
 
     for ftype in LADDER:
-        out = os.path.join(WORK, f"trained_{ftype.lower()}.gguf")
+        out = os.path.join(work, f"trained_{ftype.lower()}.gguf")
         quantize_model(f32, out, ftype)
         print(f"quantized {ftype}: {out}", file=sys.stderr)
 

@@ -85,6 +85,44 @@ def test_core_parallel_tasks_match_serial(engine):
     assert parallel == serial
 
 
+def test_core_batch_fast_path_multislot(engine):
+    """Concurrent device-eligible SAMPLED tasks (llama.cpp-default params)
+    advance through the batched device loop — one dispatch per chunk for
+    all generating slots (server.cpp:2961 analogue without the per-token
+    host trip)."""
+    base = engine.metrics.get("fast_chunks_total", 0)
+    tasks = []
+    for i, p in enumerate(["abc def", "hello world", "x y z"]):
+        toks = engine.tok.encode(p, add_special=True)
+        tasks.append(engine.submit(GenTask(
+            prompt_tokens=toks,
+            params=SamplingParams(temp=0.8, top_k=40, top_p=0.95,
+                                  min_p=0.05, seed=100 + i),
+            n_predict=12)))
+    for t in tasks:
+        pieces, meta = _drain(t)
+        assert meta["stop_reason"] in ("length", "eos")
+        assert len(pieces) <= 12
+    assert engine.metrics.get("fast_chunks_total", 0) > base
+
+
+def test_core_stop_string_on_fast_path(engine):
+    """Stop strings are honored on the device-chunk fast path: the chunk is
+    truncated at the match and overshoot cells are rolled back."""
+    toks = engine.tok.encode("abc def", add_special=True)
+    t = engine.submit(GenTask(prompt_tokens=toks,
+                              params=SamplingParams(temp=0.0), n_predict=8))
+    pieces, _ = _drain(t)
+    texts = [e["text"] for e in pieces]
+    stop = texts[3] if texts[3].strip() else "".join(texts[2:5])
+    t2 = engine.submit(GenTask(prompt_tokens=toks,
+                               params=SamplingParams(temp=0.0), n_predict=8,
+                               stop=[stop]))
+    p2, meta = _drain(t2)
+    assert meta["stop_reason"] == "stop_string"
+    assert len(p2) <= len(pieces)
+
+
 def test_core_prefix_cache_reuse(engine):
     toks = engine.tok.encode("the quick brown fox jumps", add_special=True)
     t1 = engine.submit(GenTask(prompt_tokens=toks,
@@ -454,11 +492,12 @@ def test_webui_served(client):
 def test_fast_path_matches_scalar_loop(engine):
     """The single-slot greedy fast path (on-device chunked generation)
     must produce the same token stream as the scalar batching loop (forced
-    here with a never-matching stop string)."""
+    here with a no-op logit bias, which is host-only)."""
     toks = [3, 1, 4, 1, 5]
     slow = engine.submit(GenTask(prompt_tokens=list(toks),
-                                 params=SamplingParams(temp=0.0),
-                                 n_predict=19, stop=["<<NEVER>>"]))
+                                 params=SamplingParams(temp=0.0,
+                                                       logit_bias={0: 0.0}),
+                                 n_predict=19))
     slow_toks, _ = _drain(slow)
     fast = engine.submit(GenTask(prompt_tokens=list(toks),
                                  params=SamplingParams(temp=0.0),
