@@ -25,6 +25,16 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
     )
 
 
+# NORM-rope archs whose HF weights use rotate-half layout store permuted
+# q/k (reference LlamaModel/GraniteModel/MiniCPMModel/DeepseekModel/
+# BailingMoeModel/ArcticModel converters all permute); glm4 / cohere /
+# ernie apply interleaved rotary natively — no permute. Shared with the
+# PEFT LoRA importer (q/k lora_b rows ride the same permute).
+PERMUTED_QK_ARCHS = ("llama", "mixtral", "olmo", "arcee", "chameleon",
+                     "granite", "granitemoe", "minicpm", "deepseek",
+                     "bailingmoe", "arctic", "deci")
+
+
 # gemma2-style layer naming (pre/post norms around both blocks)
 _HF_GEMMA2_MAP = {
     "input_layernorm.weight": "attn_norm.weight",
@@ -413,13 +423,7 @@ def convert_hf_llama(
     if "lm_head.weight" in sd and not getattr(hf_cfg, "tie_word_embeddings", False):
         put("output.weight", sd["lm_head.weight"])
 
-    # NORM-rope archs whose HF weights use rotate-half layout store
-    # permuted q/k (reference LlamaModel/GraniteModel/MiniCPMModel/
-    # DeepseekModel/BailingMoeModel/ArcticModel converters all permute);
-    # glm4 / cohere / ernie apply interleaved rotary natively — no permute
-    permute = arch in ("llama", "mixtral", "olmo", "arcee", "chameleon",
-                       "granite", "granitemoe", "minicpm", "deepseek",
-                       "bailingmoe", "arctic", "deci")
+    permute = arch in PERMUTED_QK_ARCHS
     for il in range(hf_cfg.num_hidden_layers):
         pre = f"model.layers.{il}."
         il_kv = int(kv_per_layer[il]) if (

@@ -363,11 +363,12 @@ def forward(
         # tests/test_pallas_attn.py hard-arch coverage
         and _dim_ok(Dk) and _dim_ok(Dv)
         and cfg_rope.mode in (-1, 0, 2)
-        # llama4: chunked mask / per-token q temp / weightless L2 norm are
-        # not in the fused kernels yet — unfused XLA path
-        and not cfg.swa_chunked
-        and cfg.attn_temp_scale == 0.0
-        and not cfg.qk_l2_norm
+        # llama4 composes with the kernels as-is: the chunked-SWA mask is
+        # part of the additive bias the kernels consume, attn-temp scaling
+        # multiplies q before the call, and the weightless qk L2 norm
+        # commutes with the on-read rotation (rope is orthogonal, so
+        # rms(rope(k)) == rope(rms(k)) — k is normalized pre-cache);
+        # e2e: tests/test_flash_e2e.py::test_flash_e2e_llama4
         and (
             not kv_is_q8
             or kv_sample[1].shape[-1] == 1  # q8 cache with per-head scales

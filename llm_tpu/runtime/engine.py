@@ -1047,10 +1047,23 @@ class Context:
         for s in seq_ids:
             if not (0 <= s < MAX_SEQS):
                 raise ValueError(f"bad seq_id {s}")
-        flat = self.cells.find_slots(B * n)
+        # pad B to a power-of-two bucket so a server whose slot count
+        # fluctuates per chunk compiles log2(n_slots) programs, not one per
+        # B. Pad rows decode garbage under a scratch seq id into ONE shared
+        # spare cell run (duplicate in-loop writes are harmless — nothing is
+        # occupied host-side, so the next call's metadata hides them).
+        scratch = MAX_SEQS - 1
+        B_pad = 1 << (B - 1).bit_length()
+        n_extra = n if (B_pad > B and scratch not in seq_ids) else 0
+        flat = self.cells.find_slots(B * n + n_extra)
+        if flat is None and n_extra:
+            B_pad, n_extra = B, 0  # KV pressure: exact-B program, no spares
+            flat = self.cells.find_slots(B * n)
         if flat is None:
             raise RuntimeError("generate_loop_batch: no free KV cells")
-        slots_mat = flat.reshape(B, n)
+        if not n_extra:
+            B_pad = B
+        slots_mat = flat[: B * n].reshape(B, n)
         pos0 = np.asarray(
             [self.cells.seq_pos_max(s) + 1 for s in seq_ids], np.int32)
 
@@ -1076,13 +1089,31 @@ class Context:
             np.asarray(jax.random.PRNGKey(int(s)))
             for s in (seeds if seeds is not None else range(B))])
 
-        step = self._get_gloop_batch(B, n)
+        first = np.asarray(first_tokens, np.int32)
+        seq_arr = np.asarray(seq_ids, np.int32)
+        if B_pad > B:
+            pad = B_pad - B
+            spare = np.broadcast_to(flat[B * n:], (pad, n))
+            slots_mat = np.concatenate([slots_mat, spare])
+            first = np.concatenate([first, np.zeros(pad, np.int32)])
+            seq_arr = np.concatenate(
+                [seq_arr, np.full(pad, scratch, np.int32)])
+            pos0 = np.concatenate([pos0, np.zeros(pad, np.int32)])
+            n_lim = np.concatenate([n_lim, np.ones(pad, np.int32)])
+            temps = np.concatenate([temps, np.zeros(pad, np.float32)])
+            top_ks = np.concatenate([top_ks, np.zeros(pad, np.int32)])
+            top_ps = np.concatenate([top_ps, np.ones(pad, np.float32)])
+            min_ps = np.concatenate([min_ps, np.zeros(pad, np.float32)])
+            keys = np.concatenate(
+                [keys, np.broadcast_to(keys[:1], (pad,) + keys.shape[1:])])
+
+        step = self._get_gloop_batch(B_pad, n)
         with self._mesh_ctx():
             toks, _, new_k, new_v = step(
                 self.params, self.kv.k, self.kv.v,
-                self._in(first_tokens, np.int32), self._in(slots_mat),
+                self._in(first), self._in(slots_mat),
                 self._in(cpos), self._in(cbits), self._in(pos0),
-                self._in(np.asarray(seq_ids, np.int32)), self._in(n_lim),
+                self._in(seq_arr), self._in(n_lim),
                 self._in(eogs), self._in(temps), self._in(top_ks),
                 self._in(top_ps), self._in(min_ps), self._in(keys),
             )

@@ -88,6 +88,33 @@ def test_flash_e2e_mla_deepseek2(tmp_path, monkeypatch):
     _flash_vs_unfused(p, [3, 1, 4, 1, 5, 9, 2], monkeypatch)
 
 
+def test_flash_e2e_llama4(tmp_path, monkeypatch):
+    """llama4: chunked-SWA mask (in the additive bias), per-token
+    attention-temperature scaling on nope layers (applied to q pre-call)
+    and the weightless qk L2 norm (k normalized unroped pre-cache; rope
+    is orthogonal so it commutes with the on-read rotation) — all through
+    the fused kernels (llm_build_llama_iswa parity)."""
+    cfg = transformers.Llama4TextConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=48,
+        intermediate_size_mlp=96, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=2, max_position_embeddings=128,
+        attention_chunk_size=4, floor_scale=4.0, attn_scale=0.1,
+        attn_temperature_tuning=True, use_qk_norm=True,
+        rope_theta=10000.0, tie_word_embeddings=False, pad_token_id=0,
+        rope_scaling=None,
+    )
+    torch.manual_seed(0)
+    m = transformers.Llama4ForCausalLM(cfg).eval()
+    p = str(tmp_path / "llama4.gguf")
+    convert_hf_auto(m, p)
+    # 13 tokens: spans several chunks of 4, so the chunked mask, the
+    # floor-scaled temperature and the L2 norm all take effect
+    _flash_vs_unfused(p, [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9],
+                      monkeypatch)
+
+
 def test_flash_e2e_mrope_qwen2vl(tmp_path, monkeypatch):
     """qwen2vl: M-RoPE per-cell angle tables through the fold."""
     cfg = transformers.Qwen2VLConfig(

@@ -211,6 +211,20 @@ def test_generate_loop_batch_mixed_greedy_sampled(tiny_gguf):
     assert rows[0] == want
 
 
+def test_generate_loop_batch_pow2_bucketing(tiny_gguf):
+    """Odd batch sizes ride the next power-of-two program (pad rows decode
+    under the scratch seq): a slot count that fluctuates per chunk must not
+    compile one program per B."""
+    path, _ = tiny_gguf
+    ctx = Context(GGUFReader(path), n_cells=96, dtype=jnp.float32)
+    firsts = [_prefill(ctx, p, i) for i, p in enumerate(PROMPTS)]
+    ctx.generate_loop_batch(firsts, 4, seq_ids=[0, 1, 2])  # B=3 -> pad 4
+    keys = [k for k in ctx._steps if k[0] == "gloopb"]
+    assert ("gloopb", 4, 4) in keys and ("gloopb", 3, 4) not in keys
+    # scratch-seq garbage is invisible: no cell is occupied by seq 255
+    assert ctx.cells.n_seq_cells(255) == 0
+
+
 def test_generate_loop_batch_rejects_unsupported(tiny_gguf):
     path, _ = tiny_gguf
     ctx = Context(GGUFReader(path), n_cells=32, dtype=jnp.float32)

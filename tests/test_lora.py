@@ -108,6 +108,78 @@ def test_export_lora_merges(tiny_model, adapter_path, tmp_path):
     np.testing.assert_allclose(ctx2.get_logits(), want, rtol=2e-3, atol=2e-3)
 
 
+def test_peft_import_logit_parity(tmp_path):
+    """Real HF PEFT checkpoint dir -> adapter GGUF -> runtime attach must
+    reproduce the logits of the PEFT merge_and_unload() merged model (the
+    reference convert_lora_to_gguf.py end-to-end behavior)."""
+    peft = pytest.importorskip("peft")
+    from llm_tpu.convert.peft_lora import convert_peft_lora
+
+    model = _tiny_hf_llama()
+    bp = str(tmp_path / "base.gguf")
+    convert_hf_llama(model, bp)  # BEFORE merging mutates the base weights
+
+    lcfg = peft.LoraConfig(
+        r=4, lora_alpha=8,
+        target_modules=["q_proj", "v_proj", "gate_proj", "down_proj"],
+        init_lora_weights=False)  # random A AND B: nonzero delta
+    torch.manual_seed(1)
+    pm = peft.get_peft_model(model, lcfg)
+    pdir = str(tmp_path / "peft")
+    pm.save_pretrained(pdir)
+
+    ap = str(tmp_path / "adapter.gguf")
+    n = convert_peft_lora(pdir, ap, out_type=GGMLType.F32,
+                          n_head=4, n_kv_head=2)  # llama: q/k permuted
+    assert n == 4 * 2  # 4 target modules x 2 layers
+
+    toks = [3, 1, 4, 1, 5, 9]
+    ctx1 = Context(GGUFReader(bp), n_cells=32, dtype=jnp.float32,
+                   use_planes=False)
+    tensors, alpha = load_lora_gguf(ap)
+    assert alpha == 8.0
+    assert attach_lora(ctx1.params, tensors, alpha, dtype=jnp.float32) == n
+    assert ctx1.decode(Batch.text(toks)) == 0
+    got = ctx1.get_logits()
+
+    merged = pm.merge_and_unload()
+    mp = str(tmp_path / "merged.gguf")
+    convert_hf_llama(merged, mp)
+    ctx2 = Context(GGUFReader(mp), n_cells=32, dtype=jnp.float32,
+                   use_planes=False)
+    assert ctx2.decode(Batch.text(toks)) == 0
+    np.testing.assert_allclose(got, ctx2.get_logits(), rtol=2e-3, atol=2e-3)
+    # and the adapter actually does something
+    ctx3 = Context(GGUFReader(bp), n_cells=32, dtype=jnp.float32,
+                   use_planes=False)
+    assert ctx3.decode(Batch.text(toks)) == 0
+    assert not np.allclose(got, ctx3.get_logits(), atol=1e-4)
+
+
+def test_peft_import_rejects_garbage(tmp_path):
+    """Unknown module paths and half pairs fail loudly (reference exits on
+    'Unexpected name')."""
+    import json
+
+    from llm_tpu.convert.peft_lora import convert_peft_lora
+
+    pdir = tmp_path / "bad"
+    pdir.mkdir()
+    (pdir / "adapter_config.json").write_text(json.dumps({"lora_alpha": 8}))
+    import torch as _t
+
+    _t.save({"base_model.model.model.layers.0.mystery.lora_A.weight":
+             _t.zeros(4, 8)}, str(pdir / "adapter_model.bin"))
+    with pytest.raises(ValueError, match="cannot map"):
+        convert_peft_lora(str(pdir), str(tmp_path / "o.gguf"))
+
+    (pdir / "adapter_model.bin").unlink()
+    _t.save({"base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight":
+             _t.zeros(4, 8)}, str(pdir / "adapter_model.bin"))
+    with pytest.raises(ValueError, match="missing its lora_b"):
+        convert_peft_lora(str(pdir), str(tmp_path / "o.gguf"))
+
+
 def test_control_vector_steers(tiny_model, tmp_path):
     """Control vectors: generator writes direction.N tensors; applying them
     shifts logits, scale 0 is a no-op, and clear restores baseline."""
