@@ -324,7 +324,9 @@ def main():
     # chain path for every later section
     extra_sections: dict = {}
     if jax.default_backend() == "tpu" and os.environ.get(
-            "LLM_TPU_CHAIN", "1") != "0":
+            "LLM_TPU_CHAIN", "ab") != "0":
+        # chain defaults OFF in the engine (round-4 A/B: -7% e2e); the
+        # microbench still runs here as evidence + compile canary
         if not bench_chain_ab(extra_sections, small):
             os.environ["LLM_TPU_CHAIN"] = "0"
 

@@ -344,11 +344,13 @@ def forward(
     kv_sample = kv_k[0] if isinstance(kv_k, list) else kv_k
     kv_is_q8 = isinstance(kv_sample, tuple)
     def _dim_ok(d):
-        # lane-width multiples are hardware-proven; other 8-multiples
-        # (64/80/96/192 MLA...) are interpret-validated but gated until
-        # measured on hardware — LLM_TPU_FLASH_ANYDIM=1 to enable
-        return d % 128 == 0 or (
-            os.environ.get("LLM_TPU_FLASH_ANYDIM") == "1" and d % 8 == 0)
+        # any 8-multiple head dim (64/80/96/128/192 MLA...) rides the fused
+        # kernels: hardware-validated round 4 (Mosaic compile + decode on
+        # v5e for ALiBi hd64, hd80, partial-rotary hd128 — BENCH_r04
+        # flash_* rows). LLM_TPU_FLASH_ANYDIM=0 restores the 128-only gate.
+        if os.environ.get("LLM_TPU_FLASH_ANYDIM") == "0":
+            return d % 128 == 0
+        return d % 8 == 0
 
     # LLM_TPU_FLASH_FORCE=interpret runs the fused kernels in Pallas
     # interpret mode on any backend — the CPU e2e harness for kernel wiring
@@ -378,11 +380,14 @@ def forward(
     # (o_proj -> residual -> ffn_norm -> gate+up -> swiglu -> down ->
     # residual) and the norm->QKV / final-norm->lm_head heads each run as
     # ONE Pallas launch — decode is launch-bound at small batch
-    # (docs/PERF.md). LLM_TPU_CHAIN=0 disables; LLM_TPU_CHAIN_FORCE=interpret
-    # is the CPU e2e harness.
+    # (docs/PERF.md). Hardware A/B (round 4, docs/bench_r4_hw_capture.log):
+    # the chain wins its isolated microbench (479 vs 522 us) but LOSES 7%
+    # e2e (96.4 vs 103.7 t/s tg128) — the monolithic launch blocks XLA's
+    # cross-kernel weight-stream overlap — so it is opt-IN: LLM_TPU_CHAIN=1
+    # enables; LLM_TPU_CHAIN_FORCE=interpret is the CPU e2e harness.
     _chain_force = os.environ.get("LLM_TPU_CHAIN_FORCE") == "interpret"
     use_chain = (
-        os.environ.get("LLM_TPU_CHAIN", "1") != "0"
+        os.environ.get("LLM_TPU_CHAIN", "0") == "1"
         and (jax.default_backend() == "tpu" or _chain_force)
         and T <= 8
         and not collect_acts and not collect_hidden

@@ -108,6 +108,58 @@ print("DIST_ENGINE_OK", jax.process_index(), flush=True)
 """
 
 
+_WORKER_ENGINE_70B = r"""
+import argparse
+import numpy as np
+
+from llm_tpu.tools.mesh_args import add_mesh_args, mesh_from_args
+
+ap = argparse.ArgumentParser()
+add_mesh_args(ap)
+args = ap.parse_args()
+mesh = mesh_from_args(args)
+assert mesh is not None
+
+import jax
+import jax.numpy as jnp
+
+assert jax.process_count() == 2
+
+# BASELINE config 5 rehearsal at REAL 70B layer width: one Llama-3-70B
+# decoder layer (n_embd 8192, 64 q / 8 kv heads, n_ff 28672, GQA 8:1,
+# fused Q4_K planes) sharded tp=8 across two processes over localhost DCN.
+# Every sharded tensor has the exact serving shape of the 70B checkpoint;
+# only the layer count is reduced so a single CPU can evaluate the oracle.
+from llm_tpu.gguf.constants import GGMLType
+from llm_tpu.models.synthetic import make_synthetic_model
+from llm_tpu.runtime.batch import Batch
+from llm_tpu.runtime.engine import Context
+
+params, cfg = make_synthetic_model(
+    n_embd=8192, n_layers=1, n_heads=64, n_kv_heads=8, n_ff=28672,
+    vocab=2048, qtype=GGMLType.Q4_K, dtype=jnp.float32, fuse=True, seed=5)
+
+tpc = Context(None, n_cells=15, params_cfg=(params, cfg), dtype=jnp.float32,
+              mesh=mesh)
+assert tpc.cfg.fused_tp == 8, "fused 70B planes must shard"
+toks = [3, 1, 4, 1]
+assert tpc.decode(Batch.text(toks, seq_id=0)) == 0
+got = tpc.get_logits()
+assert tpc.decode(Batch.one(7, pos=len(toks), seq_id=0)) == 0
+got2 = tpc.get_logits()
+
+# the single-device oracle is process-local; evaluate it once (process 0)
+if jax.process_index() == 0:
+    ref = Context(None, n_cells=15, params_cfg=(params, cfg),
+                  dtype=jnp.float32)
+    assert ref.decode(Batch.text(toks, seq_id=0)) == 0
+    np.testing.assert_allclose(got, ref.get_logits(), atol=2e-3, rtol=2e-3)
+    assert ref.decode(Batch.one(7, pos=len(toks), seq_id=0)) == 0
+    np.testing.assert_allclose(got2, ref.get_logits(), atol=2e-3, rtol=2e-3)
+print("DIST_70B_OK", jax.process_index(), flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -116,7 +168,7 @@ def _free_port():
     return port
 
 
-def _run_two_process(tmp_path, script, ok_marker):
+def _run_two_process(tmp_path, script, ok_marker, timeout=420):
     worker = tmp_path / "worker.py"
     worker.write_text(script)
     port = _free_port()
@@ -137,7 +189,7 @@ def _run_two_process(tmp_path, script, ok_marker):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -157,3 +209,11 @@ def test_two_process_engine_decode(tmp_path):
     (BASELINE config 5 rehearsal: the engine path a real multi-host pod
     runs, minus the hardware)."""
     _run_two_process(tmp_path, _WORKER_ENGINE, "DIST_ENGINE_OK")
+
+
+def test_two_process_engine_decode_70b_geometry(tmp_path):
+    """Context.decode at exact Llama-3-70B layer width (8192 embd, 64q/8kv,
+    n_ff 28672, fused Q4_K) sharded tp=8 across a 2-process DCN mesh,
+    exact-matched against the single-device oracle (BASELINE config 5)."""
+    _run_two_process(tmp_path, _WORKER_ENGINE_70B, "DIST_70B_OK",
+                     timeout=1500)

@@ -453,14 +453,15 @@ def test_scan_layers_under_mesh_matches_loop():
 def test_tp8_flagship_geometry_exact_match():
     """TP exact-match at FLAGSHIP width (Llama-3-8B layer geometry:
     n_embd 4096, 32 q / 8 kv heads, n_ff 14336, GQA 4:1, fused Q4_K
-    planes). One layer keeps the run tractable on CPU while every sharded
-    tensor has the real serving shape — this is the geometry the engine
-    ships at, not a toy multiple of the mesh size."""
+    planes). TWO layers so cross-layer interaction (residual stream
+    re-entering sharded QKV, per-layer KV rings) is exercised at the real
+    serving shape — this is the geometry the engine ships at, not a toy
+    multiple of the mesh size."""
     from llm_tpu.runtime.batch import Batch
     from llm_tpu.runtime.engine import Context
 
     params, cfg = make_synthetic_model(
-        n_embd=4096, n_layers=1, n_heads=32, n_kv_heads=8, n_ff=14336,
+        n_embd=4096, n_layers=2, n_heads=32, n_kv_heads=8, n_ff=14336,
         vocab=8192, qtype=GGMLType.Q4_K, dtype=jnp.float32, fuse=True,
     )
     ref_ctx = Context(None, n_cells=15, params_cfg=(params, cfg),
@@ -473,7 +474,40 @@ def test_tp8_flagship_geometry_exact_match():
     for ctx in (ref_ctx, tp_ctx):
         assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
     ref = ref_ctx.get_logits()
-    np.testing.assert_allclose(tp_ctx.get_logits(), ref, atol=5e-4,
-                               rtol=5e-4)
+    # two 4096-wide layers accumulate reduction-order drift through the
+    # residual stream (GSPMD reduces per-shard, different summation order);
+    # bound the logit error absolutely and require identical argmax
+    np.testing.assert_allclose(tp_ctx.get_logits(), ref, atol=1e-2,
+                               rtol=1e-2)
+    assert int(np.argmax(tp_ctx.get_logits())) == int(np.argmax(ref))
     # per-shard KV: 8 kv heads over tp=8 -> one head per device
     assert "tp" in jax.tree.leaves(tuple(tp_ctx.kv.k[0].sharding.spec))
+
+
+def test_generate_loop_under_tp_mesh_exact_tokens():
+    """The on-device while-loop decode path (Context.generate_loop — the
+    production serving path, one dispatch per chunk) must emit the SAME
+    token sequence under a TP mesh as unsharded: in-jit greedy argmax over
+    sharded logits, KV updates riding the sharded cache through the loop
+    carry."""
+    from llm_tpu.runtime.batch import Batch
+    from llm_tpu.runtime.engine import Context
+
+    params, cfg = make_synthetic_model(
+        n_embd=256, n_layers=2, n_heads=8, n_kv_heads=8, n_ff=512,
+        vocab=256, qtype=GGMLType.Q4_K, dtype=jnp.float32, fuse=True,
+    )
+    mesh = make_mesh(n_tp=8)
+    ref_ctx = Context(None, n_cells=47, params_cfg=(params, cfg),
+                      dtype=jnp.float32)
+    tp_ctx = Context(None, n_cells=47, params_cfg=(params, cfg),
+                     dtype=jnp.float32, mesh=mesh)
+    toks = [3, 1, 4, 1, 5, 9]
+    outs = []
+    for ctx in (ref_ctx, tp_ctx):
+        assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
+        first = int(np.argmax(ctx.get_logits()))
+        outs.append([first] + ctx.generate_loop(first, 12, seq_id=0))
+    assert outs[0] == outs[1], (outs[0], outs[1])
+    # and the host cell metadata reconciled identically
+    assert ref_ctx.cells.seq_pos_max(0) == tp_ctx.cells.seq_pos_max(0)
