@@ -176,8 +176,13 @@ def convert_hf_llama(
     merges, special ids) to embed; tests pass None and read logits only.
     """
     hf_cfg = model.config
-    composite = hasattr(model.config, "text_config") and hasattr(
-        getattr(model.config, "text_config"), "num_hidden_layers")
+    if hasattr(hf_cfg, "thinker_config"):
+        # Qwen2.5-Omni: the LM lives under thinker_config.text_config and
+        # the weights under thinker.* (reference Qwen2VLModel registration
+        # of Qwen2_5OmniModel, convert_hf_to_gguf.py:2792-2826)
+        hf_cfg = hf_cfg.thinker_config
+    composite = hasattr(hf_cfg, "text_config") and hasattr(
+        getattr(hf_cfg, "text_config"), "num_hidden_layers")
     if arch in ("qwen2vl", "gemma3n") or composite:
         # composite VL config: the LM hparams live in text_config, and the
         # decoder weights under model.language_model.* / model.text_model.*
@@ -385,13 +390,16 @@ def convert_hf_llama(
         # and the top-level "language_model.model." layouts); drop
         # vision/audio/projector towers
         _tower = ("visual.", "vision_tower.", "vision_model.",
-                  "multi_modal_projector.", "connector.", "audio_tower.")
-        sd = {k.replace("model.language_model.", "model.")
+                  "multi_modal_projector.", "connector.", "audio_tower.",
+                  "talker.", "token2wav.")
+        sd = {k.removeprefix("thinker.")
+               .replace("model.language_model.", "model.")
                .replace("language_model.model.", "model.")
                .replace("language_model.lm_head.", "lm_head.")
                .replace("model.text_model.", "model."): v
               for k, v in sd.items()
-              if not any(("." + t) in k or k.startswith(t) for t in _tower)}
+              if not any(("." + t) in k or k.startswith(t)
+                         or k.startswith("thinker." + t) for t in _tower)}
     if arch == "dbrx":
         # rename dbrx's transformer.blocks.* scheme onto the llama-ish one
         # (fused Wqkv -> attn_qkv via the phi3-style map entry)
@@ -892,15 +900,25 @@ def convert_hf_qwen2vl_mmproj(visual, path: str):
     build_qwen2vl / clip-impl.h: dual patch-conv slices, split qkv, merger
     ln_q stored as v.post_ln, merger mlp as mm.0/mm.1; 2.5 adds RMS norms,
     gated-silu MLP and the n_wa_pattern window-attention key)."""
+    w = GGUFWriter(path, arch="clip")
+    _write_qwen2vl_vision(w, visual)
+    w.write()
+    return path
+
+
+def _write_qwen2vl_vision(w, visual, projector: str | None = None):
+    """Add the qwen2vl/qwen2.5vl vision tower keys+tensors to an open
+    GGUFWriter (shared by the VL mmproj and the Qwen2.5-Omni combined
+    mmproj). Handles both the fused attn.qkv layout (Qwen2/2.5-VL) and the
+    split attn.q/k/v layout (Qwen2.5-Omni visual)."""
     import numpy as np
 
     cfg = visual.config
     is_25 = hasattr(cfg, "fullatt_block_indexes")
     E = int(cfg.embed_dim if hasattr(cfg, "embed_dim") else cfg.hidden_size)
-    w = GGUFWriter(path, arch="clip")
     w.add_kv("clip.has_vision_encoder", True)
     w.add_kv("clip.projector_type",
-             "qwen2.5vl_merger" if is_25 else "qwen2vl_merger")
+             projector or ("qwen2.5vl_merger" if is_25 else "qwen2vl_merger"))
     w.add_kv("clip.use_gelu", False)  # vision MLP act is quick-gelu
     w.add_kv("clip.vision.image_size", 28 * 16)  # dynamic; nominal value
     w.add_kv("clip.vision.patch_size", int(cfg.patch_size))
@@ -942,11 +960,17 @@ def convert_hf_qwen2vl_mmproj(visual, path: str):
     for il in range(int(cfg.depth)):
         b = f"blocks.{il}."
         g = f"v.blk.{il}."
-        qkv_w = sd[b + "attn.qkv.weight"]
-        qkv_b = sd[b + "attn.qkv.bias"]
-        for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
-            put(g + nm + ".weight", qkv_w[j * E:(j + 1) * E])
-            put(g + nm + ".bias", qkv_b[j * E:(j + 1) * E])
+        if b + "attn.qkv.weight" in sd:
+            qkv_w = sd[b + "attn.qkv.weight"]
+            qkv_b = sd[b + "attn.qkv.bias"]
+            for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+                put(g + nm + ".weight", qkv_w[j * E:(j + 1) * E])
+                put(g + nm + ".bias", qkv_b[j * E:(j + 1) * E])
+        else:  # Qwen2.5-Omni split layout
+            for hf, nm in (("attn.q", "attn_q"), ("attn.k", "attn_k"),
+                           ("attn.v", "attn_v")):
+                put(g + nm + ".weight", sd[b + hf + ".weight"])
+                put(g + nm + ".bias", sd[b + hf + ".bias"])
         put(g + "attn_out.weight", sd[b + "attn.proj.weight"])
         put(g + "attn_out.bias", sd[b + "attn.proj.bias"])
         put(g + "ln1.weight", sd[b + "norm1.weight"])
@@ -972,6 +996,66 @@ def convert_hf_qwen2vl_mmproj(visual, path: str):
     put("mm.0.bias", sd["merger.mlp.0.bias"])
     put("mm.1.weight", sd["merger.mlp.2.weight"])
     put("mm.1.bias", sd["merger.mlp.2.bias"])
+
+
+def convert_hf_qwen25omni_mmproj(thinker, path: str):
+    """HF Qwen2_5OmniThinker -> ONE combined vision+audio mmproj GGUF
+    (reference Qwen25OmniModel converter, convert_hf_to_gguf.py:2906-2963:
+    projector_type "qwen2.5o", generated SinusoidsPositionEmbedding for the
+    audio tower, audio_bos_eos_token dropped; clip.cpp resolves "qwen2.5o"
+    to the 2.5-VL merger / qwen2a graphs per modality, clip.cpp:2088)."""
+    import numpy as np
+
+    w = GGUFWriter(path, arch="clip")
+    _write_qwen2vl_vision(w, thinker.visual, projector="qwen2.5o")
+
+    enc = thinker.audio_tower
+    acfg = enc.config
+    w.add_kv("clip.has_audio_encoder", True)
+    w.add_kv("clip.audio.num_mel_bins", int(acfg.num_mel_bins))
+    w.add_kv("clip.audio.embedding_length", int(acfg.d_model))
+    w.add_kv("clip.audio.block_count", int(acfg.encoder_layers))
+    w.add_kv("clip.audio.attention.head_count",
+             int(acfg.encoder_attention_heads))
+    w.add_kv("clip.audio.feed_forward_length", int(acfg.encoder_ffn_dim))
+    w.add_kv("clip.audio.attention.layer_norm_epsilon",
+             float(getattr(acfg, "layer_norm_eps", 1e-5)))
+
+    sd = {k: v.detach().cpu().float().numpy()
+          for k, v in enc.state_dict().items()}
+
+    def put(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(arr, dtype=np.float32),
+                     ggml_type=GGMLType.F32)
+
+    put("a.conv1d.1.weight", sd["conv1.weight"])
+    put("a.conv1d.1.bias", sd["conv1.bias"])
+    put("a.conv1d.2.weight", sd["conv2.weight"])
+    put("a.conv1d.2.bias", sd["conv2.bias"])
+    # SinusoidsPositionEmbedding is generated, not stored (reference
+    # generate_extra_tensors): sin|cos over 1500 positions
+    channels = int(acfg.d_model)
+    log_inc = np.log(10000) / (channels // 2 - 1)
+    inv = np.exp(-log_inc * np.arange(channels // 2, dtype=np.float64))
+    t = np.arange(1500, dtype=np.float64)[:, None] * inv[None, :]
+    put("a.position_embd.weight",
+        np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32))
+    put("a.post_ln.weight", sd["ln_post.weight"])
+    put("a.post_ln.bias", sd["ln_post.bias"])
+    for il in range(int(acfg.encoder_layers)):
+        b = f"layers.{il}."
+        g = f"a.blk.{il}."
+        for hf, gg in (
+            ("self_attn.q_proj", "attn_q"), ("self_attn.k_proj", "attn_k"),
+            ("self_attn.v_proj", "attn_v"), ("self_attn.out_proj", "attn_out"),
+            ("fc1", "ffn_up"), ("fc2", "ffn_down"),
+            ("self_attn_layer_norm", "ln1"), ("final_layer_norm", "ln2"),
+        ):
+            put(g + gg + ".weight", sd[b + hf + ".weight"])
+            if b + hf + ".bias" in sd:
+                put(g + gg + ".bias", sd[b + hf + ".bias"])
+    put("mm.a.fc.weight", sd["proj.weight"])
+    put("mm.a.fc.bias", sd["proj.bias"])
     w.write()
     return path
 
@@ -1701,6 +1785,8 @@ _MODEL_TYPE_ARCH = {
     "gemma3n_text": "gemma3n",
     "qwen2_vl": "qwen2vl",
     "qwen2_5_vl": "qwen2vl",
+    "qwen2_5_omni": "qwen2vl",
+    "qwen2_5_omni_thinker": "qwen2vl",
     # round-3 long tail (reference @ModelBase.register coverage)
     "glm": "glm4",
     "internlm3": "llama",
@@ -1860,5 +1946,101 @@ def convert_hf_idefics3_mmproj(vision_model, connector, path: str,
             put(g + gg + ".bias", sd[b + hf + ".bias"])
     proj = connector.modality_projection.proj.weight.detach().float().numpy()
     put("mm.model.fc.weight", proj)
+    w.write()
+    return path
+
+
+def convert_hf_internvl_mmproj(vision_model, projector, path: str,
+                               downsample_ratio: float = 0.5):
+    """HF InternVLVisionModel + InternVLMultiModalProjector -> mmproj GGUF
+    (reference InternVisionModel converter, convert_hf_to_gguf.py:2966-3024;
+    graph parity clip.cpp build_internvl:895-960: projector_type "internvl",
+    layer-scale ls1/ls2, pixel-shuffle scale_factor = 1/downsample_ratio,
+    projector stored as mm.0 (LayerNorm) / mm.1 / mm.3).
+
+    Accepts both the HF split-qkv layout (attention.{q,k,v}_proj) and the
+    OpenGVLab fused layout (attn.qkv) the reference converter splits."""
+    import numpy as np
+
+    cfg = vision_model.config
+    img = cfg.image_size
+    img = int(img[0]) if isinstance(img, (list, tuple)) else int(img)
+    ps = cfg.patch_size
+    ps = int(ps[0]) if isinstance(ps, (list, tuple)) else int(ps)
+    act = str(getattr(cfg, "hidden_act", "gelu"))
+    w = GGUFWriter(path, arch="clip")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "internvl")
+    w.add_kv("clip.use_silu", act == "silu")
+    w.add_kv("clip.use_gelu", act.startswith("gelu"))
+    w.add_kv("clip.vision.image_size", img)
+    w.add_kv("clip.vision.patch_size", ps)
+    w.add_kv("clip.vision.embedding_length", int(cfg.hidden_size))
+    w.add_kv("clip.vision.block_count", int(cfg.num_hidden_layers))
+    w.add_kv("clip.vision.attention.head_count", int(cfg.num_attention_heads))
+    w.add_kv("clip.vision.feed_forward_length", int(cfg.intermediate_size))
+    w.add_kv("clip.vision.projection_dim", int(cfg.hidden_size))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(getattr(cfg, "layer_norm_eps", 1e-6)))
+    w.add_kv("clip.vision.projector.scale_factor",
+             int(round(1.0 / downsample_ratio)))
+    w.add_kv("clip.vision.image_mean", [0.485, 0.456, 0.406])  # imagenet
+    w.add_kv("clip.vision.image_std", [0.229, 0.224, 0.225])
+
+    sd = {k: v.detach().cpu().float().numpy()
+          for k, v in vision_model.state_dict().items()}
+
+    def put(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(arr, dtype=np.float32),
+                     ggml_type=GGMLType.F32)
+
+    put("v.patch_embd.weight",
+        sd["embeddings.patch_embeddings.projection.weight"])
+    put("v.patch_embd.bias",
+        sd["embeddings.patch_embeddings.projection.bias"])
+    put("v.class_embd", sd["embeddings.cls_token"].reshape(-1))
+    put("v.position_embd.weight",
+        sd["embeddings.position_embeddings"].reshape(
+            sd["embeddings.position_embeddings"].shape[-2:]))
+    E = int(cfg.hidden_size)
+    for il in range(int(cfg.num_hidden_layers)):
+        b = f"encoder.layer.{il}."
+        g = f"v.blk.{il}."
+        if b + "attn.qkv.weight" in sd:  # OpenGVLab fused layout
+            qkv_w = sd[b + "attn.qkv.weight"]
+            for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+                put(g + nm + ".weight", qkv_w[j * E:(j + 1) * E])
+                if b + "attn.qkv.bias" in sd:
+                    put(g + nm + ".bias",
+                        sd[b + "attn.qkv.bias"][j * E:(j + 1) * E])
+            put(g + "attn_out.weight", sd[b + "attn.proj.weight"])
+            put(g + "attn_out.bias", sd[b + "attn.proj.bias"])
+        else:  # HF split layout
+            for hf, gg in (("attention.q_proj", "attn_q"),
+                           ("attention.k_proj", "attn_k"),
+                           ("attention.v_proj", "attn_v"),
+                           ("attention.projection_layer", "attn_out")):
+                put(g + gg + ".weight", sd[b + hf + ".weight"])
+                if b + hf + ".bias" in sd:
+                    put(g + gg + ".bias", sd[b + hf + ".bias"])
+        for hf, gg in (("attention.q_norm", "attn_q_norm"),
+                       ("attention.k_norm", "attn_k_norm")):
+            if b + hf + ".weight" in sd:  # 6B-ViT qk RMS norm
+                put(g + gg + ".weight", sd[b + hf + ".weight"])
+        for hf, gg in (("mlp.fc1", "ffn_up"), ("mlp.fc2", "ffn_down"),
+                       ("layernorm_before", "ln1"),
+                       ("layernorm_after", "ln2")):
+            put(g + gg + ".weight", sd[b + hf + ".weight"])
+            put(g + gg + ".bias", sd[b + hf + ".bias"])
+        put(g + "ls1.weight", sd[b + "lambda_1"])
+        put(g + "ls2.weight", sd[b + "lambda_2"])
+    psd = {k: v.detach().cpu().float().numpy()
+           for k, v in projector.state_dict().items()}
+    put("mm.0.weight", psd["layer_norm.weight"])
+    put("mm.0.bias", psd["layer_norm.bias"])
+    put("mm.1.weight", psd["linear_1.weight"])
+    put("mm.1.bias", psd["linear_1.bias"])
+    put("mm.3.weight", psd["linear_2.weight"])
+    put("mm.3.bias", psd["linear_2.bias"])
     w.write()
     return path

@@ -119,6 +119,7 @@ def load_clip_params(reader) -> dict:
             opt(L, key + "_b", f"v.blk.{il}.{base}.bias")
         for key, base in (
             ("ln1", "ln1"), ("ln2", "ln2"), ("ls1", "ls1"), ("ls2", "ls2"),
+            ("attn_q_norm", "attn_q_norm"), ("attn_k_norm", "attn_k_norm"),
         ):
             opt(L, key, f"v.blk.{il}.{base}.weight")
             opt(L, key + "_b", f"v.blk.{il}.{base}.bias")
@@ -142,6 +143,11 @@ def _ln(x, w, b, eps):
     if b is not None:
         out = out + b
     return out
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    return xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + eps) * w
 
 
 def _act(cfg: ClipVisionConfig, x):
@@ -193,8 +199,15 @@ def clip_encode(params: dict, cfg: ClipVisionConfig, patches: jnp.ndarray):
     scale = D ** -0.5
     for L in params["layers"]:
         h = _ln(x, L.get("ln1"), L.get("ln1_b"), cfg.eps)
-        q = (h @ L["attn_q"].T + L.get("attn_q_b", 0.0)).reshape(-1, H, D)
-        k = (h @ L["attn_k"].T + L.get("attn_k_b", 0.0)).reshape(-1, H, D)
+        q = h @ L["attn_q"].T + L.get("attn_q_b", 0.0)
+        k = h @ L["attn_k"].T + L.get("attn_k_b", 0.0)
+        if "attn_q_norm" in L:
+            # InternVL 6B-ViT qk RMS norm over the FULL hidden width,
+            # applied before the head split (HF InternVLVisionAttention)
+            q = _rms(q, L["attn_q_norm"], cfg.eps)
+            k = _rms(k, L["attn_k_norm"], cfg.eps)
+        q = q.reshape(-1, H, D)
+        k = k.reshape(-1, H, D)
         v = (h @ L["attn_v"].T + L.get("attn_v_b", 0.0)).reshape(-1, H, D)
         att = jnp.einsum("qhd,khd->hqk", q * scale, k)
         att = jax.nn.softmax(att, axis=-1)
@@ -222,7 +235,22 @@ def clip_encode(params: dict, cfg: ClipVisionConfig, patches: jnp.ndarray):
         x = x[1:]  # llava projects patch tokens only
 
     # projector
-    if "mm_0" in params:  # llava 2-layer MLP: mm.0 -> GELU -> mm.2
+    if cfg.projector == "internvl":
+        # InternVL: pixel-shuffle downsample then LN -> fc -> GELU -> fc
+        # (HF InternVLModel.pixel_shuffle + InternVLMultiModalProjector;
+        # clip.cpp build_internvl — mm.0 is a LayerNorm here, not a linear)
+        s = cfg.proj_scale_factor
+        seq, E = x.shape
+        fs = int(np.sqrt(seq))
+        x = x.reshape(fs, fs // s, E * s)
+        x = jnp.swapaxes(x, 0, 1)
+        x = x.reshape(fs // s, fs // s, E * s * s)
+        x = jnp.swapaxes(x, 0, 1).reshape(seq // (s * s), E * s * s)
+        x = _ln(x, params["mm_0"], params.get("mm_0_b"), 1e-5)
+        x = x @ params["mm_1"].T + params.get("mm_1_b", 0.0)
+        x = jax.nn.gelu(x, approximate=False)
+        x = x @ params["mm_3"].T + params.get("mm_3_b", 0.0)
+    elif "mm_0" in params:  # llava 2-layer MLP: mm.0 -> GELU -> mm.2
         x = x @ params["mm_0"].T + params.get("mm_0_b", 0.0)
         if "mm_2" in params:
             x = jax.nn.gelu(x, approximate=False)

@@ -69,7 +69,9 @@ def qwen2vl_vision_encode(params: dict, cfg: ClipVisionConfig,
     eps = cfg.eps
     P = cfg.patch_size
     N = patches.shape[0]
-    q25 = cfg.projector == "qwen2.5vl_merger"
+    # "qwen2.5o" is the Qwen2.5-Omni combined mmproj: its vision tower is
+    # the 2.5-VL one (clip.cpp:2088 resolves QWEN25O -> QWEN25VL for images)
+    q25 = cfg.projector in ("qwen2.5vl_merger", "qwen2.5o")
 
     # dual-slice patch conv == one matmul over the flattened kernel
     w0 = params["patch_embd"].astype(f32).reshape(E, -1)  # [E, C*P*P] (t=0)

@@ -413,3 +413,146 @@ def test_smolvlm_projector_matches_hf(tmp_path):
     patches = patchify(px[0].numpy(), 2)
     got = np.asarray(clip_encode(params, cfg, jnp.asarray(patches)))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_internvl_projector_matches_hf(tmp_path):
+    """InternVL: ViT with layer-scale (lambda_1/2) + CLS token, pixel
+    shuffle at downsample_ratio=0.5, LN->fc->GELU->fc projector
+    (HF InternVLVisionModel/InternVLMultiModalProjector; reference
+    InternVisionModel converter + clip.cpp build_internvl)."""
+    from transformers import InternVLConfig, InternVLVisionConfig
+    from transformers.models.internvl.modeling_internvl import (
+        InternVLModel, InternVLMultiModalProjector, InternVLVisionModel)
+
+    from llm_tpu.convert.hf_llama import convert_hf_internvl_mmproj
+    from llm_tpu.models.clip import (clip_config_from_gguf, clip_encode,
+                                     load_clip_params, patchify)
+
+    vcfg = InternVLVisionConfig(
+        hidden_size=32, intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=2, image_size=[32, 32], patch_size=[4, 4],
+        hidden_act="gelu_pytorch_tanh", layer_norm_eps=1e-6)
+    full = InternVLConfig(
+        vision_config=vcfg, downsample_ratio=0.5,
+        text_config=dict(model_type="qwen2", vocab_size=64, hidden_size=48,
+                         intermediate_size=64, num_hidden_layers=1,
+                         num_attention_heads=2))
+    torch.manual_seed(0)
+    vis = InternVLVisionModel(vcfg).eval()
+    proj = InternVLMultiModalProjector(full).eval()
+    px = torch.randn(1, 3, 32, 32)
+    with torch.no_grad():
+        h = vis(px).last_hidden_state[:, 1:, :]  # drop CLS (default select)
+        fs = int(h.shape[1] ** 0.5)
+        v4 = h.reshape(1, fs, fs, -1)
+        v4 = InternVLModel.pixel_shuffle(None, v4, scale_factor=0.5)
+        want = proj(v4.reshape(1, -1, v4.shape[-1]))[0].numpy()
+    path = str(tmp_path / "internvl.gguf")
+    convert_hf_internvl_mmproj(vis, proj, path, downsample_ratio=0.5)
+    r = GGUFReader(path)
+    cfg = clip_config_from_gguf(r)
+    assert cfg.projector == "internvl" and cfg.proj_scale_factor == 2
+    params = load_clip_params(r)
+    assert "ls1" in params["layers"][0]  # layer-scale survived conversion
+    patches = patchify(px[0].numpy(), 4)
+    got = np.asarray(clip_encode(params, cfg, jnp.asarray(patches)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def _tiny_omni_thinker():
+    from transformers.models.qwen2_5_omni.configuration_qwen2_5_omni import \
+        Qwen2_5OmniThinkerConfig
+    from transformers.models.qwen2_5_omni.modeling_qwen2_5_omni import \
+        Qwen2_5OmniThinkerForConditionalGeneration
+
+    cfg = Qwen2_5OmniThinkerConfig(
+        audio_config=dict(d_model=32, encoder_layers=2,
+                          encoder_attention_heads=2, encoder_ffn_dim=48,
+                          num_mel_bins=16, output_dim=64),
+        vision_config=dict(depth=2, hidden_size=32, intermediate_size=48,
+                           num_heads=2, patch_size=4, spatial_merge_size=2,
+                           temporal_patch_size=2, window_size=16,
+                           fullatt_block_indexes=[1], out_hidden_size=64),
+        text_config=dict(vocab_size=97, hidden_size=64, intermediate_size=112,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, max_position_embeddings=128,
+                         tie_word_embeddings=False,
+                         # transformers 4.57 rejects type "mrope" here; with
+                         # text-only input all three position streams are
+                         # equal, so M-RoPE == standard NEOX rope and a
+                         # "default"-rope HF oracle is exact
+                         rope_scaling={"type": "default"}),
+    )
+    torch.manual_seed(0)
+    return Qwen2_5OmniThinkerForConditionalGeneration(cfg).eval()
+
+
+def test_qwen25omni_text_tower(tmp_path):
+    """Qwen2.5-Omni thinker text tower -> qwen2vl arch (reference registers
+    Qwen2_5OmniModel under Qwen2VLModel with thinker. prefix strip and
+    visual/audio/talker tower drop, convert_hf_to_gguf.py:2792-2826)."""
+    from test_model_vs_hf import _run_ours
+
+    from llm_tpu.convert.hf_llama import convert_hf_auto
+
+    m = _tiny_omni_thinker()
+    # mrope sections for head_dim 16 -> half-width 8 (converter fallback
+    # [16,24,24] is for the real checkpoints)
+    m.config.text_config.rope_scaling["mrope_section"] = [4, 2, 2]
+    p = str(tmp_path / "omni.gguf")
+    convert_hf_auto(m, p)
+    r = GGUFReader(p)
+    assert r.architecture == "qwen2vl"
+    assert list(r.get("qwen2vl.rope.dimension_sections")) == [4, 2, 2, 0]
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=9).tolist()
+    ours = _run_ours(p, tokens)
+    with torch.no_grad():
+        h = m.model(input_ids=torch.tensor([tokens])).last_hidden_state
+        ref = m.lm_head(h)[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_qwen25omni_combined_mmproj(tmp_path):
+    """Qwen2.5-Omni combined mmproj: ONE GGUF holding the 2.5-VL-style
+    vision tower (split q/k/v) AND the audio tower with the generated
+    sinusoid position table (reference Qwen25OmniModel converter,
+    convert_hf_to_gguf.py:2906-2963)."""
+    from llm_tpu.convert.hf_llama import convert_hf_qwen25omni_mmproj
+    from llm_tpu.models.qwen2vl_vision import (load_qwen2vl_vision,
+                                               qwen2vl_vision_encode)
+
+    m = _tiny_omni_thinker()
+    p = str(tmp_path / "omni_mmproj.gguf")
+    convert_hf_qwen25omni_mmproj(m, p)
+    r = GGUFReader(p)
+    assert bool(r.get("clip.has_vision_encoder"))
+    assert bool(r.get("clip.has_audio_encoder"))
+    assert str(r.get("clip.projector_type")) == "qwen2.5o"
+
+    # vision side: numeric parity with HF thinker.visual
+    grid = torch.tensor([[1, 8, 8]])
+    pv = torch.randn(64, 3 * 2 * 4 * 4)
+    with torch.no_grad():
+        want = m.visual(pv, grid_thw=grid).numpy()
+    params, cfg = load_qwen2vl_vision(r)
+    got = np.asarray(qwen2vl_vision_encode(
+        params, cfg, jnp.asarray(pv.numpy()), 1, 8, 8))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    # audio side: all tower tensors present + sinusoid table matches HF's
+    names = set(r.tensors)
+    for t in ("a.conv1d.1.weight", "a.conv1d.2.weight", "a.post_ln.weight",
+              "a.blk.0.attn_q.weight", "a.blk.1.ffn_down.weight",
+              "mm.a.fc.weight", "a.position_embd.weight"):
+        assert t in names, t
+    from llm_tpu.quant.codecs import dequantize_tensor
+    ti = r.tensors["a.position_embd.weight"]
+    pos = dequantize_tensor(r.data("a.position_embd.weight"),
+                            ti.ggml_type, ti.shape)
+    pe = getattr(m.audio_tower, "positional_embedding", None)
+    hfpos = getattr(pe, "positional_embedding", None)
+    if hfpos is not None:  # HF stores the sinusoid table as a buffer
+        np.testing.assert_allclose(  # f32(HF) vs f64(ours) sinusoid rounding
+            np.asarray(pos), hfpos.detach().numpy()[:1500], atol=1e-4)
+    assert np.asarray(pos).shape == (1500, 32)
