@@ -7,13 +7,18 @@ vs_baseline anchors to the reference's closest published number: tg128 of a
 Q4_K_M 7B-class model on a CUDA GPU = 120.60 t/s
 (/root/reference/tools/llama-bench/README.md:168; see BASELINE.md).
 
-Three measurements (mirroring llama-bench's pp/tg grid + server TTFT):
-  * tg128 (headline): on-device greedy decode loop — pure chip throughput.
+Measurements (mirroring llama-bench's pp/tg grid + server TTFT):
+  * engine tg128 (HEADLINE): Context.generate_loop over the per-layer
+    (production FAST path) params — the number the server actually serves
+    at. Round 4's "engine tax" was an artifact of constructing the bench
+    Context over the scan-path params (scan serializes cross-layer weight
+    streaming); the engine now runs the same unrolled path as the raw loop.
+  * tg128 raw loops: bare fori_loop decode, scan and per-layer variants.
   * pp512: prefill throughput through the same forward (one program).
-  * engine tg128 + TTFT p50: through Context.decode with host-side cell
-    management and argmax sampling — includes one host<->device round trip
-    per token, so on a tunneled TPU it is dominated by link latency; the
-    per-step host overhead is reported separately (rtt_ms).
+  * batch decode: generate_loop_batch aggregate t/s at B=4 and B=8.
+  * engine per-token decode + TTFT p50: Context.decode with host-side
+    sampling — one host<->device round trip per token, dominated by tunnel
+    latency (reported separately as rtt_ms).
 
 The model is synthetic (random Q4_K planes generated on-device in ONE jit
 — identical compute/memory shape to a loaded checkpoint, no multi-GiB
@@ -451,9 +456,10 @@ def main():
             lt.append(time.perf_counter() - t0)
         tg_loop = N_GEN / float(np.mean(lt))
         print(f"tg{N_GEN} (loop): {tg_loop:.2f} t/s", file=sys.stderr)
-        del params_l, kvk_l, kvv_l
+        del kvk_l, kvv_l
     except (TimeoutError, Exception) as e:  # noqa: BLE001
         print(f"loop-path decode skipped: {e}", file=sys.stderr)
+        params_l = cfg_l = None
     finally:
         signal.alarm(0)
 
@@ -493,11 +499,23 @@ def main():
     rtt_ms = float(np.median(rtts)) * 1e3
     print(f"host rtt: {rtt_ms:.1f} ms", file=sys.stderr)
 
-    # -- engine path: Context.decode with host sampling + TTFT -----------------
+    # -- engine path: Context over the PRODUCTION (per-layer FAST) params ------
+    # Round-4 bug: the engine Context was constructed over the scan-path
+    # params, so "engine tax" conflated the engine with the scan path's
+    # serialized weight streaming (72.9 vs 102.4 t/s raw). The engine now
+    # benches on the same unrolled path it serves with.
     from llm_tpu.runtime.batch import Batch
     from llm_tpu.runtime.engine import Context
 
-    ctx = Context(None, n_cells=S, params_cfg=(params, cfg))
+    if params_l is not None:
+        params_e, cfg_e = params_l, cfg_l
+        # free the scan-path weights before the engine allocates its KV
+        del params, kv_k, kv_v
+    else:  # loop path failed (watchdog): fall back to the scan params
+        params_e, cfg_e = params, cfg
+
+    ctx = Context(None, n_cells=S, params_cfg=(params_e, cfg_e))
+    cfg = cfg_e
     prompt = [int(x) for x in np.arange(N_PREFILL) % cfg.vocab_size]
     t0 = time.time()
     rc = ctx.decode(Batch.text(prompt, seq_id=0))
@@ -543,14 +561,52 @@ def main():
     ctx.seq_rm(0)
     assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
     tid = int(np.argmax(ctx.get_logits()))
-    t0 = time.perf_counter()
-    toks = ctx.generate_loop(tid, N_GEN, seq_id=0)
-    eng_loop_dt = time.perf_counter() - t0
-    eng_loop_tps = len(toks) / eng_loop_dt
-    print(f"engine tg{N_GEN} (on-device loop): {eng_loop_tps:.2f} t/s",
-          file=sys.stderr)
-    print(f"tg128 headline: {tps:.2f} t/s (scan {tg_scan:.2f} / loop "
-          f"{tg_loop:.2f})", file=sys.stderr)
+    el_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        toks = ctx.generate_loop(tid, N_GEN, seq_id=0)
+        el_times.append(time.perf_counter() - t0)
+        ctx.seq_rm(0)
+        assert ctx.decode(Batch.text(prompt, seq_id=0)) == 0
+        tid = int(np.argmax(ctx.get_logits()))
+    eng_loop_tps = N_GEN / float(np.mean(el_times))
+    print(f"engine tg{N_GEN} (on-device loop): {eng_loop_tps:.2f} t/s "
+          f"(times: {['%.3f' % t for t in el_times]})", file=sys.stderr)
+
+    # -- batch decode: generate_loop_batch at B=4 and B=8 (serving hot path) ---
+    batch_rows = {}
+    try:
+        ctx_b = Context(None, n_cells=4096, params_cfg=(params_e, cfg_e))
+        n_bd = 64
+        for B in (4, 8):
+            seqs = list(range(B))
+            firsts = []
+            for s in seqs:
+                assert ctx_b.decode(Batch.text(prompt, seq_id=s)) == 0
+                firsts.append(int(np.argmax(ctx_b.get_logits())))
+            _ = ctx_b.generate_loop_batch(firsts, n_bd, seq_ids=seqs)  # warm
+            for s in seqs:
+                ctx_b.seq_rm(s)
+                assert ctx_b.decode(Batch.text(prompt, seq_id=s)) == 0
+            t0 = time.perf_counter()
+            out = ctx_b.generate_loop_batch(firsts, n_bd, seq_ids=seqs)
+            dt = time.perf_counter() - t0
+            total = sum(len(r) for r in out)
+            batch_rows[f"B{B}"] = {
+                "agg_tok_per_s": round(total / dt, 2),
+                "per_slot_tok_per_s": round(total / dt / B, 2),
+            }
+            print(f"batch decode B={B}: {total/dt:.1f} t/s aggregate "
+                  f"({total/dt/B:.1f} per slot)", file=sys.stderr)
+            for s in seqs:
+                ctx_b.seq_rm(s)
+        del ctx_b
+    except Exception as e:  # noqa: BLE001
+        batch_rows["error"] = f"{type(e).__name__}: {e}"[:200]
+        print(f"batch decode FAILED: {e}", file=sys.stderr)
+
+    print(f"tg128 raw: scan {tg_scan:.2f} / loop {tg_loop:.2f}; headline "
+          f"(engine on-device loop): {eng_loop_tps:.2f} t/s", file=sys.stderr)
 
     # backlog sections (VERDICT r3 #2): hard-arch flash on hardware, MoE,
     # timed load — each behind the wall-clock budget
@@ -560,18 +616,24 @@ def main():
     bench_load(extra_sections, small)
 
     baseline = 120.60  # tg128 Q4_K_M 7B-class, CUDA (llama-bench README:168)
+    # HEADLINE = the production serving path (Context.generate_loop over the
+    # per-layer params), per VERDICT r4 #1. Raw loop numbers stay in extra.
+    headline = eng_loop_tps if eng_loop_tps > 0 else tps
     print(json.dumps({
-        "metric": "tg128_tok_per_s_llama3_8b_q4_k_single_chip" if not small
-        else "tg128_tok_per_s_small_smoke",
-        "value": round(tps, 2),
+        "metric": "engine_tg128_tok_per_s_llama3_8b_q4_k_single_chip"
+        if not small else "engine_tg128_tok_per_s_small_smoke",
+        "value": round(headline, 2),
         "unit": "tok/s",
-        "vs_baseline": round(tps / baseline, 4),
+        "vs_baseline": round(headline / baseline, 4),
         "extra": {
             "tg128_scan_path": round(tg_scan, 2),
             "tg128_loop_path": round(tg_loop, 2),
             "pp512_tok_per_s": round(pp_tps, 1),
             "engine_tg_tok_per_s": round(eng_tps, 2),
             "engine_tg_loop_tok_per_s": round(eng_loop_tps, 2),
+            "engine_vs_raw_loop": round(eng_loop_tps / tg_loop, 4)
+            if tg_loop else None,
+            "batch_decode": batch_rows,
             "engine_step_ms": round(eng_step_ms, 2),
             "host_rtt_ms": round(rtt_ms, 2),
             "ttft_p50_ms": round(ttft_ms, 1),

@@ -103,6 +103,9 @@ class ModelConfig:
     n_ff_expert: int = 0
     expert_gating_func: str = "softmax"  # "softmax" | "sigmoid" (DeepSeek-V3
     # style selection; reference llama_expert_gating_func_type)
+    ep_cf: float = 0.0  # MoE capacity factor (0 = exact). Part of the
+    # compiled program's identity: the engine folds it into cfg at
+    # construction instead of reading env at trace time (--ep-capacity-factor)
     # attention extras
     qk_norm: bool = False  # qwen3/gemma3-style per-head RMS norm on q/k
     qk_norm_full: bool = False  # olmo2-style norm over the FULL q/k vector

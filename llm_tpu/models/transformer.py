@@ -29,7 +29,10 @@ KV_QUANT_GROUP = 32
 
 def _kv_write(cache, idx, val):
     """Scatter new K/V rows into the cache; quantizes when the cache is a
-    (q8, scales) pair (reference's quantized-KV cpy path)."""
+    (q8, scales) pair (reference's quantized-KV cpy path). mode="drop":
+    padding tokens carry write_idx == n_cells (out of bounds) and their
+    rows are DISCARDED — this keeps the cache exactly n_cells rows (no
+    trash row unaligning every attention tile)."""
     if isinstance(cache, tuple):
         q8, sc = cache
         t, h, d = val.shape
@@ -40,10 +43,11 @@ def _kv_write(cache, idx, val):
         inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
         qv = jnp.clip(jnp.round(vf * inv), -127, 127).astype(jnp.int8)
         return (
-            q8.at[idx].set(qv.reshape(t, h, d)),
-            sc.at[idx].set(scale.reshape(t, h, d // g).astype(sc.dtype)),
+            q8.at[idx].set(qv.reshape(t, h, d), mode="drop"),
+            sc.at[idx].set(scale.reshape(t, h, d // g).astype(sc.dtype),
+                           mode="drop"),
         )
-    return cache.at[idx].set(val.astype(cache.dtype))
+    return cache.at[idx].set(val.astype(cache.dtype), mode="drop")
 
 
 def _kv_read(cache, dtype):
@@ -207,7 +211,7 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
         return moe_ffn_ep(
             h, layer["ffn_up_exps"], layer.get("ffn_gate_exps"),
             layer["ffn_down_exps"], topi, topw.astype(jnp.float32), act,
-            mesh, axis,
+            mesh, axis, cf=cfg.ep_cf,
         ).astype(h.dtype)
 
     if T > 8:
@@ -218,6 +222,7 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
         return moe_ffn_grouped(
             h, layer["ffn_up_exps"], layer.get("ffn_gate_exps"),
             layer["ffn_down_exps"], topi, topw.astype(jnp.float32), act,
+            cf=cfg.ep_cf,
         ).astype(h.dtype)
 
     cdtype = jnp.float32 if h.dtype == jnp.float32 else jnp.bfloat16

@@ -141,8 +141,18 @@ def _grouped_block(h, w_up, w_gate, w_down, topi, topw, act, e_base, e_local,
     return acc
 
 
+def _cap_from_cf(cf, T, k, E):
+    """Per-expert bucket capacity from a capacity factor. cf is an explicit
+    trace-time constant (part of the compiled program's identity — plumbed
+    from ModelConfig.ep_cf by the engine); None falls back to the
+    LLM_TPU_EP_CF env read for direct callers."""
+    if cf is None:
+        cf = capacity_factor()
+    return T if cf <= 0 else min(T, max(8, -(-int(cf * T * k) // E)))
+
+
 def moe_ffn_grouped(h, w_up, w_gate, w_down, topi, topw, act,
-                    cap: int | None = None):
+                    cap: int | None = None, cf: float | None = None):
     """Single-device token-routed grouped MoE for prefill batches.
 
     Replaces the per-assignment weight gather (which materializes
@@ -153,15 +163,13 @@ def moe_ffn_grouped(h, w_up, w_gate, w_down, topi, topw, act,
     E = _n_experts(w_up)
     T = h.shape[0]
     if cap is None:
-        cf = capacity_factor()
-        k = topi.shape[1]
-        cap = T if cf <= 0 else min(T, max(8, -(-int(cf * T * k) // E)))
+        cap = _cap_from_cf(cf, T, topi.shape[1], E)
     return _grouped_block(h, w_up, w_gate, w_down, topi, topw, act,
                           0, E, cap, h.dtype)
 
 
 def moe_ffn_ep(h, w_up, w_gate, w_down, topi, topw, act, mesh: Mesh,
-               axis: str):
+               axis: str, cf: float | None = None):
     """Expert-parallel top-k FFN (see module docstring for the design).
 
     h: [T, D] activations (replicated); w_*: [E, N, K] stacks — dense
@@ -169,15 +177,17 @@ def moe_ffn_ep(h, w_up, w_gate, w_down, topi, topw, act, mesh: Mesh,
     HBM and across the expert shard) — sharded on E over `axis` (w_gate may
     be None); topi: [T, k] expert ids; topw: [T, k] f32 routing weights.
     Returns [T, D] f32."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     E = _n_experts(w_up)
     n_shards = mesh.shape[axis]
     e_local = E // n_shards
     T, k = topi.shape
     cdtype = jnp.float32 if h.dtype == jnp.float32 else jnp.bfloat16
-    cf = capacity_factor()
-    cap = T if cf <= 0 else min(T, max(8, -(-int(cf * T * k) // E)))
+    cap = _cap_from_cf(cf, T, k, E)
 
     def block_grouped(h, w_up, w_gate, w_down, topi, topw):
         shard = jax.lax.axis_index(axis)

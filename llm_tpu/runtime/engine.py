@@ -113,6 +113,17 @@ class Context:
             use_long = n_cells > (self.cfg.rope.n_ctx_orig or 0)
             self.params["rope_freqs"] = self.params[
                 "rope_factors_long" if use_long else "rope_factors_short"]
+        if self.cfg.n_expert > 0 and self.cfg.ep_cf == 0.0:
+            # --ep-capacity-factor: folded into cfg HERE (host-side, at
+            # construction) so the capacity is part of every compiled
+            # program's identity — never an env read at trace time
+            import os as _os
+
+            _cf = float(_os.environ.get("LLM_TPU_EP_CF", "0") or 0)
+            if _cf > 0:
+                from dataclasses import replace as _replace
+
+                self.cfg = _replace(self.cfg, ep_cf=_cf)
         self.dtype = dtype
         self.kv_dtype = kv_dtype if kv_dtype is not None else dtype
         self.n_ubatch = n_ubatch
@@ -143,12 +154,16 @@ class Context:
             self.kv = None
             self.rslots = RecurrentSlots(self.cfg, n_slots=min(MAX_SEQS, n_cells))
         else:
-            # +1 trash cell: padding tokens scatter their K/V there; it is
-            # never attended because its seq bit-set stays 0. Under a
-            # sequence-parallel mesh, trash rows pad the cell count to a
-            # multiple of the sp axis so the cache shards evenly.
+            # Padding tokens carry write_idx == n_cells — OUT OF BOUNDS, so
+            # the drop-mode K/V scatter (_kv_write) discards them. The cache
+            # is exactly n_cells rows: keeping it a power-of-two-friendly
+            # size matters on TPU (a +1 trash row would add a whole ragged
+            # S-block to every flash-decode grid). Under a sequence-parallel
+            # mesh, pad rows (never allocated, seq bits 0) round the cell
+            # count up to a multiple of the sp axis so the cache shards
+            # evenly.
             self.n_cells = n_cells
-            n_rows = n_cells + 1
+            n_rows = n_cells
             if mesh is not None and mesh.shape.get("sp", 1) > 1:
                 sp = mesh.shape["sp"]
                 n_rows = ((n_rows + sp - 1) // sp) * sp
@@ -172,7 +187,7 @@ class Context:
                 n_swa = min(n_cells,
                             n_seq_hint * (cfg.swa_window + n_ubatch))
                 if n_swa < n_cells:  # otherwise the ring saves nothing
-                    swa_rows = n_swa + 1
+                    swa_rows = n_swa  # pad writes drop OOB, as above
                     if mesh is not None and mesh.shape.get("sp", 1) > 1:
                         sp = mesh.shape["sp"]
                         swa_rows = ((swa_rows + sp - 1) // sp) * sp
@@ -385,7 +400,7 @@ class Context:
             tokens = np.zeros(T, np.int32)
             pos = np.zeros(T, np.int32)
             seq = np.zeros(T, np.int32)
-            widx = np.full(T, self.n_cells, np.int32)  # pad -> trash cell
+            widx = np.full(T, self.n_cells, np.int32)  # pad -> OOB (dropped)
             tokens[:n] = ub.tokens
             pos[:n] = ub.pos
             seq[:n] = ub.seq_primary

@@ -657,6 +657,10 @@ def main(argv=None):
                     help="max draft tokens per step (llama-server --draft-max)")
     ap.add_argument("--lookup-ngram", action="store_true",
                     help="draft from prompt n-gram stats (no draft model)")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="compile all prompt-length buckets + batched "
+                         "decode loops before accepting traffic (slower "
+                         "startup, no mid-traffic compile stalls)")
     from ..tools.args import add_override_kv, apply_kv_overrides
     from ..tools.mesh_args import add_mesh_args, mesh_from_args
 
@@ -706,6 +710,12 @@ def main(argv=None):
         attach_lora(ctx.params, tensors, alpha, scale=scale)
         engine.loras.append({"path": path, "scale": scale,
                              "tensors": tensors, "alpha": alpha})
+    if args.prewarm and hasattr(engine, "prewarm"):
+        import time as _time
+
+        t0 = _time.time()
+        engine.prewarm()
+        print(f"prewarm: {_time.time() - t0:.1f}s", flush=True)
     engine.start()
     name = args.alias or args.model.rsplit("/", 1)[-1]
     app = ServerApp(engine, model_name=name,

@@ -122,6 +122,43 @@ class InferenceServer:
         self.tasks.put(task)
         return task
 
+    def prewarm(self, max_prompt: int | None = None):
+        """Pre-compile every program serving will hit, so no client pays a
+        mid-traffic XLA compile: one decode program per prompt-length
+        bucket up to max_prompt (default n_batch), the single-token decode
+        bucket, and the batched device loop at each power-of-two slot
+        count. Round-4 evidence for why this matters: the PL=8
+        server_bench cell lost half its throughput to a first-encounter
+        prompt-bucket compile (docs/PERF.md r4 grid)."""
+        from ..runtime.engine import TOKEN_BUCKETS
+
+        limit = max_prompt or self.n_batch
+        buckets = [t for t in TOKEN_BUCKETS if t <= min(limit,
+                                                        self.ctx.n_cells)]
+        with self.ctx_lock:
+            for T in buckets:
+                try:
+                    self.ctx.seq_rm(0)
+                    self.ctx.decode(Batch.text([1] * T, seq_id=0))
+                except Exception:  # noqa: BLE001 — warm best-effort
+                    pass
+            self.ctx.seq_rm(0)
+            if self._batch_ctx_ok():
+                B = 1
+                while B <= self.n_slots:
+                    seqs = list(range(B))
+                    try:
+                        for s in seqs:
+                            self.ctx.seq_rm(s)
+                            self.ctx.decode(Batch.text([1], seq_id=s))
+                        self.ctx.generate_loop_batch(
+                            [1] * B, self.FAST_CHUNK, seq_ids=seqs)
+                    except Exception:  # noqa: BLE001
+                        pass
+                    for s in seqs:
+                        self.ctx.seq_rm(s)
+                    B *= 2
+
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()

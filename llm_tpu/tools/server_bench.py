@@ -28,7 +28,7 @@ import time
 import urllib.request
 
 
-def _wait_health(port: int, timeout: float = 300.0):
+def _wait_health(port: int, timeout: float = 1200.0):
     t0 = time.time()
     while time.time() - t0 < timeout:
         try:
@@ -105,11 +105,16 @@ def main(argv=None):
     ap.add_argument("-pls", default="1,2,4")
     ap.add_argument("--vocab", type=int, default=97)
     ap.add_argument("--device", default=None)
+    ap.add_argument("--no-prewarm", action="store_true",
+                    help="skip server-side bucket prewarm (measures "
+                         "cold-compile stalls instead of steady state)")
     args = ap.parse_args(argv)
 
     cmd = [sys.executable, "-m", "llm_tpu.server.app", "-m", args.model,
            "--port", str(args.port), "-np", str(args.n_parallel),
            "-c", str(args.ctx_size)]
+    if not args.no_prewarm:
+        cmd.append("--prewarm")
     if args.device:
         cmd += ["--device", args.device]
     srv = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,

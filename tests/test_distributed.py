@@ -48,7 +48,10 @@ local = np.asarray(y.addressable_shards[0].data)
 np.testing.assert_allclose(local, x @ w, rtol=1e-6)
 
 # cross-process collective: psum over the tp axis spans both processes
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 v = np.arange(8, dtype=np.float32)
 vs = jax.make_array_from_callback(

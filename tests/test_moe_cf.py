@@ -107,11 +107,20 @@ def test_cf_flag_plumbs_to_env(monkeypatch):
     from llm_tpu.parallel.moe import capacity_factor
     from llm_tpu.tools.args import add_ep_cf, apply_ep_cf
 
-    monkeypatch.delenv("LLM_TPU_EP_CF", raising=False)
+    # pin the key through monkeypatch FIRST so teardown restores the
+    # pre-test state — apply_ep_cf writes os.environ directly, and a bare
+    # delenv after it would record the just-set value as the restore value
+    # (the round-4 suite-order leak: LLM_TPU_EP_CF=1.5 bled into later tests)
+    monkeypatch.setenv("LLM_TPU_EP_CF", "")
     ap = argparse.ArgumentParser()
     add_ep_cf(ap)
     args = ap.parse_args(["--ep-capacity-factor", "1.5"])
     apply_ep_cf(args.ep_capacity_factor)
     assert capacity_factor() == 1.5
-    monkeypatch.delenv("LLM_TPU_EP_CF", raising=False)
+    monkeypatch.setenv("LLM_TPU_EP_CF", "")
     assert capacity_factor() == 0.0
+
+    # the engine folds the env value into cfg at construction — the factor
+    # is part of the compiled program's identity, not a trace-time read
+    from llm_tpu.models.config import ModelConfig
+    assert ModelConfig.__dataclass_fields__["ep_cf"].default == 0.0

@@ -442,12 +442,20 @@ def test_scan_layers_under_mesh_matches_loop():
     toks = [3, 1, 4, 1, 5, 9, 2, 6]
     for ctx in (ref_ctx, tp_ctx):
         assert ctx.decode(Batch.text(toks, seq_id=0)) == 0
+    # scan + GSPMD reduce per-shard in a different summation order than the
+    # unsharded loop; the drift through 3 layers of residual stream is
+    # absolute (~2e-3 observed across jax versions), so bound it absolutely
+    # and pin the argmax — the same policy as the flagship TP test below
     np.testing.assert_allclose(tp_ctx.get_logits(), ref_ctx.get_logits(),
-                               atol=2e-4, rtol=2e-4)
+                               atol=5e-3, rtol=0)
+    assert int(np.argmax(tp_ctx.get_logits())) == \
+        int(np.argmax(ref_ctx.get_logits()))
     for ctx in (ref_ctx, tp_ctx):
         assert ctx.decode(Batch.one(7, pos=len(toks), seq_id=0)) == 0
     np.testing.assert_allclose(tp_ctx.get_logits(), ref_ctx.get_logits(),
-                               atol=2e-4, rtol=2e-4)
+                               atol=5e-3, rtol=0)
+    assert int(np.argmax(tp_ctx.get_logits())) == \
+        int(np.argmax(ref_ctx.get_logits()))
 
 
 def test_tp8_flagship_geometry_exact_match():
