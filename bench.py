@@ -47,6 +47,10 @@ _TILES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "tiles_v5e_llama3_8b.json")
 if os.path.exists(_TILES) and not os.environ.get("LLM_TPU_TILE_TABLE"):
     os.environ["LLM_TPU_TILE_TABLE"] = _TILES
+_TILES_GDOT = _TILES.replace(".json", "_gdot.json")
+if os.path.exists(_TILES_GDOT) and not os.environ.get(
+        "LLM_TPU_TILE_TABLE_GDOT"):
+    os.environ["LLM_TPU_TILE_TABLE_GDOT"] = _TILES_GDOT
 
 
 def GGMLType_Q4K():

@@ -26,16 +26,21 @@ NATIVE_TYPES = {2: "Q4_0", 8: "Q8_0", 12: "Q4_K", 14: "Q6_K"}
 
 
 def _build() -> bool:
-    for cc in ("cc", "gcc", "clang"):
-        try:
-            r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-pthread"],
-                capture_output=True, timeout=120,
-            )
-            if r.returncode == 0:
-                return True
-        except (FileNotFoundError, subprocess.TimeoutExpired):
-            continue
+    # -march=native is safe: the .so is always built on the machine that
+    # runs it (first-use build, mtime-invalidated). Fall back to plain -O3
+    # for compilers/platforms that reject it.
+    for extra in (["-march=native", "-funroll-loops"], []):
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                r = subprocess.run(
+                    [cc, "-O3", *extra, "-shared", "-fPIC", "-o", _SO, _SRC,
+                     "-pthread"],
+                    capture_output=True, timeout=120,
+                )
+                if r.returncode == 0:
+                    return True
+            except (FileNotFoundError, subprocess.TimeoutExpired):
+                continue
     return False
 
 
@@ -85,12 +90,13 @@ def unpack_planes(type_id: int, raw: np.ndarray, n_rows: int, n_per_row: int,
 
     if type_id == 12:  # Q4_K
         gs, layout, zp = 32, "p4", 0
-        qs = np.zeros((K // 2, N), np.uint8)
+        # np.empty: the tiled C writer fully overwrites every output byte
+        qs = np.empty((K // 2, N), np.uint8)
         scales = np.empty((K // gs, N), np.float32)
         mins = np.empty((K // gs, N), np.float32)
     elif type_id == 2:  # Q4_0: stored biased nibbles, zp=8
         gs, layout, zp = 32, "p4", 8
-        qs = np.zeros((K // 2, N), np.uint8)
+        qs = np.empty((K // 2, N), np.uint8)
         scales = np.empty((K // gs, N), np.float32)
         mins = None
     elif type_id == 8:  # Q8_0

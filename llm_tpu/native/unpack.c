@@ -2,9 +2,17 @@
  *
  * This is the runtime-native piece of the load path: where the reference
  * re-layouts quantized blocks with C kernels (ggml-cpu/repack.cpp), we
- * unpack GGUF blocks straight into K-major device planes in ONE pass
- * (the numpy path needs several temporaries + a transpose). Exposed via
- * ctypes (llm_tpu/native/__init__.py); multi-threaded over output rows.
+ * unpack GGUF blocks straight into K-major device planes in ONE pass.
+ * Exposed via ctypes (llm_tpu/native/__init__.py); multi-threaded over
+ * output rows.
+ *
+ * Performance: the K-major planes mean every (k, n) value lands at
+ * qs[k' * N + n] — a stride-N byte write. Writing a whole row's K values
+ * that way touches a fresh cache line per byte (measured 138 MB/s in
+ * round 4). So the unpackers are TILED: each thread decodes a TN-column
+ * tile of one super-block into an L1-resident local buffer (strided
+ * writes into ~8KB are free), then memcpys contiguous TN-byte runs into
+ * the global plane.
  *
  * Layout contracts match quant/qtensor.py:
  *   qs   p4: uint8 [K/2, N], pairing (k, k + pack_tk/2) within each K-tile
@@ -21,6 +29,8 @@ typedef uint8_t u8;
 typedef int8_t i8;
 typedef uint16_t u16;
 typedef int64_t i64;
+
+#define TN 64  /* columns per tile: one cache line of plane per memcpy */
 
 /* fp16 -> fp32 (no F16C dependency) */
 static float f16_to_f32(u16 h) {
@@ -56,104 +66,142 @@ static void get_scale_min_k4(int j, const u8 *q, u8 *d, u8 *m) {
     }
 }
 
-/* write one 4-bit value into the p4 packed plane at (k, n) */
-static inline void p4_put(u8 *qs, i64 k, i64 n, i64 N, int pack_tk, u8 val) {
-    i64 tile = k / pack_tk;
-    i64 off = k % pack_tk;
-    i64 half = pack_tk / 2;
-    i64 row = tile * half + (off % half);
-    u8 *cell = &qs[row * N + n];
-    if (off < half) *cell = (u8)((*cell & 0xF0) | (val & 0xF));
-    else            *cell = (u8)((*cell & 0x0F) | ((val & 0xF) << 4));
-}
+/* ---------------------- tiled per-type unpackers ----------------------
+ * Each processes super-block b for columns [n0, n0+tn) of the plane.
+ * pack_tk is fixed at 256 for p4 types (asserted in the entry point), so
+ * a 256-value super-block is exactly one pack tile: packed local row r
+ * (0..127) holds k = r (low nibble) and k = r + 128 (high nibble). */
 
-/* ------------------------- per-row unpackers ------------------------- */
-
-/* Q4_K: 144-byte super-blocks of 256 (ggml-common.h:285-296) */
-static void unpack_q4k_row(const u8 *raw, i64 n, i64 N, i64 K,
-                           u8 *qs, float *scales, float *mins, int pack_tk) {
-    i64 nblocks = K / 256;
-    for (i64 b = 0; b < nblocks; b++) {
-        const u8 *blk = raw + b * 144;
+/* Q4_K: 144-byte super-blocks of 256 (ggml-common.h:285-296).
+ * Chunk j's byte qj[l]: low nibble = k j*64+l, high = k j*64+32+l, so
+ *   row l      <- lo(q0[l]) | hi-nibble lo(q2[l])
+ *   row 32+l   <- hi(q0[l]) | hi(q2[l])
+ *   row 64+l   <- lo(q1[l]) | lo(q3[l])<<4
+ *   row 96+l   <- hi(q1[l]) | hi(q3[l])<<4        (single pass, no RMW) */
+static void q4k_tile(const u8 *raw, i64 row_bytes, i64 b, i64 n0, int tn,
+                     i64 N, u8 *qs, float *scales, float *mins) {
+    u8 tbuf[128][TN];
+    float sbuf[8][TN], mbuf[8][TN];
+    for (int c = 0; c < tn; c++) {
+        const u8 *blk = raw + (n0 + c) * row_bytes + b * 144;
         float d = f16_to_f32(*(const u16 *)(blk + 0));
         float dmin = f16_to_f32(*(const u16 *)(blk + 2));
         const u8 *sc = blk + 4;
-        const u8 *q = blk + 16;
-        for (int j = 0; j < 4; j++) {           /* 64-value chunks */
-            u8 s1, m1, s2, m2;
-            get_scale_min_k4(2 * j, sc, &s1, &m1);
-            get_scale_min_k4(2 * j + 1, sc, &s2, &m2);
-            i64 g0 = b * 8 + 2 * j;             /* global group index */
-            scales[g0 * N + n] = d * (float)s1;
-            mins[g0 * N + n] = dmin * (float)m1;
-            scales[(g0 + 1) * N + n] = d * (float)s2;
-            mins[(g0 + 1) * N + n] = dmin * (float)m2;
-            const u8 *qj = q + j * 32;
-            i64 kbase = b * 256 + j * 64;
-            for (int l = 0; l < 32; l++) {
-                p4_put(qs, kbase + l, n, N, pack_tk, (u8)(qj[l] & 0xF));
-                p4_put(qs, kbase + 32 + l, n, N, pack_tk, (u8)(qj[l] >> 4));
-            }
+        for (int g = 0; g < 8; g++) {
+            u8 s, m;
+            get_scale_min_k4(g, sc, &s, &m);
+            sbuf[g][c] = d * (float)s;
+            mbuf[g][c] = dmin * (float)m;
         }
+        const u8 *q0 = blk + 16, *q1 = q0 + 32, *q2 = q0 + 64, *q3 = q0 + 96;
+        for (int l = 0; l < 32; l++) {
+            tbuf[l][c]      = (u8)((q0[l] & 0xF) | ((q2[l] & 0xF) << 4));
+            tbuf[32 + l][c] = (u8)((q0[l] >> 4) | (q2[l] & 0xF0));
+            tbuf[64 + l][c] = (u8)((q1[l] & 0xF) | ((q3[l] & 0xF) << 4));
+            tbuf[96 + l][c] = (u8)((q1[l] >> 4) | (q3[l] & 0xF0));
+        }
+    }
+    for (int r = 0; r < 128; r++)
+        memcpy(&qs[(b * 128 + r) * N + n0], tbuf[r], (size_t)tn);
+    for (int g = 0; g < 8; g++) {
+        memcpy(&scales[(b * 8 + g) * N + n0], sbuf[g], sizeof(float) * tn);
+        memcpy(&mins[(b * 8 + g) * N + n0], mbuf[g], sizeof(float) * tn);
     }
 }
 
-/* Q8_0: 34-byte blocks of 32 (ggml-common.h:209-214) -> i8 plane */
-static void unpack_q80_row(const u8 *raw, i64 n, i64 N, i64 K,
-                           i8 *qs, float *scales) {
-    i64 nblocks = K / 32;
-    for (i64 b = 0; b < nblocks; b++) {
-        const u8 *blk = raw + b * 34;
-        scales[b * N + n] = f16_to_f32(*(const u16 *)blk);
-        const i8 *q = (const i8 *)(blk + 2);
-        for (int l = 0; l < 32; l++) qs[(b * 32 + l) * N + n] = q[l];
+/* Q8_0: 34-byte blocks of 32 (ggml-common.h:209-214) -> i8 plane.
+ * b here indexes PAIRS of 4 blocks (128 k-values) to amortize memcpys. */
+static void q80_tile(const u8 *raw, i64 row_bytes, i64 b, i64 n0, int tn,
+                     i64 N, i64 K, i8 *qs, float *scales) {
+    i8 tbuf[128][TN];
+    float sbuf[4][TN];
+    i64 k0 = b * 128;
+    int nrows = (int)(K - k0 < 128 ? K - k0 : 128);
+    int nblk = nrows / 32;
+    for (int c = 0; c < tn; c++) {
+        const u8 *row = raw + (n0 + c) * row_bytes;
+        for (int sb = 0; sb < nblk; sb++) {
+            const u8 *blk = row + (k0 / 32 + sb) * 34;
+            sbuf[sb][c] = f16_to_f32(*(const u16 *)blk);
+            const i8 *q = (const i8 *)(blk + 2);
+            for (int l = 0; l < 32; l++) tbuf[sb * 32 + l][c] = q[l];
+        }
     }
+    for (int r = 0; r < nrows; r++)
+        memcpy(&qs[(k0 + r) * N + n0], tbuf[r], (size_t)tn);
+    for (int sb = 0; sb < nblk; sb++)
+        memcpy(&scales[(k0 / 32 + sb) * N + n0], sbuf[sb],
+               sizeof(float) * tn);
 }
 
 /* Q6_K: 210-byte super-blocks of 256 (ggml-common.h:320-326) -> i8 plane */
-static void unpack_q6k_row(const u8 *raw, i64 n, i64 N, i64 K,
-                           i8 *qs, float *scales) {
-    i64 nblocks = K / 256;
-    for (i64 b = 0; b < nblocks; b++) {
-        const u8 *blk = raw + b * 210;
+static void q6k_tile(const u8 *raw, i64 row_bytes, i64 b, i64 n0, int tn,
+                     i64 N, i8 *qs, float *scales) {
+    i8 tbuf[256][TN];
+    float sbuf[16][TN];
+    for (int c = 0; c < tn; c++) {
+        const u8 *blk = raw + (n0 + c) * row_bytes + b * 210;
         const u8 *ql = blk;
         const u8 *qh = blk + 128;
         const i8 *sc = (const i8 *)(blk + 192);
         float d = f16_to_f32(*(const u16 *)(blk + 208));
-        for (int g = 0; g < 16; g++)
-            scales[(b * 16 + g) * N + n] = d * (float)sc[g];
+        for (int g = 0; g < 16; g++) sbuf[g][c] = d * (float)sc[g];
         for (int half = 0; half < 2; half++) {
             const u8 *qlh = ql + half * 64;
             const u8 *qhh = qh + half * 32;
-            i64 kb = b * 256 + half * 128;
+            int kb = half * 128;
             for (int l = 0; l < 32; l++) {
-                i8 q1 = (i8)((qlh[l] & 0xF) | (((qhh[l] >> 0) & 3) << 4)) - 32;
-                i8 q2 = (i8)((qlh[l + 32] & 0xF) | (((qhh[l] >> 2) & 3) << 4)) - 32;
-                i8 q3 = (i8)((qlh[l] >> 4) | (((qhh[l] >> 4) & 3) << 4)) - 32;
-                i8 q4 = (i8)((qlh[l + 32] >> 4) | (((qhh[l] >> 6) & 3) << 4)) - 32;
-                qs[(kb + l) * N + n] = q1;
-                qs[(kb + 32 + l) * N + n] = q2;
-                qs[(kb + 64 + l) * N + n] = q3;
-                qs[(kb + 96 + l) * N + n] = q4;
+                tbuf[kb + l][c] =
+                    (i8)((qlh[l] & 0xF) | (((qhh[l] >> 0) & 3) << 4)) - 32;
+                tbuf[kb + 32 + l][c] =
+                    (i8)((qlh[l + 32] & 0xF) | (((qhh[l] >> 2) & 3) << 4)) - 32;
+                tbuf[kb + 64 + l][c] =
+                    (i8)((qlh[l] >> 4) | (((qhh[l] >> 4) & 3) << 4)) - 32;
+                tbuf[kb + 96 + l][c] =
+                    (i8)((qlh[l + 32] >> 4) | (((qhh[l] >> 6) & 3) << 4)) - 32;
             }
         }
     }
+    for (int r = 0; r < 256; r++)
+        memcpy(&qs[(b * 256 + r) * N + n0], tbuf[r], (size_t)tn);
+    for (int g = 0; g < 16; g++)
+        memcpy(&scales[(b * 16 + g) * N + n0], sbuf[g], sizeof(float) * tn);
 }
 
-/* Q4_0: 18-byte blocks of 32 (ggml-common.h:167-172) -> p4 plane, zp=8 */
-static void unpack_q40_row(const u8 *raw, i64 n, i64 N, i64 K,
-                           u8 *qs, float *scales, int pack_tk) {
-    i64 nblocks = K / 32;
-    for (i64 b = 0; b < nblocks; b++) {
-        const u8 *blk = raw + b * 18;
-        scales[b * N + n] = f16_to_f32(*(const u16 *)blk);
-        const u8 *q = blk + 2;
-        for (int l = 0; l < 16; l++) {
-            /* stored zp-biased (raw nibble IS q, value = q - 8; zp=8) */
-            p4_put(qs, b * 32 + l, n, N, pack_tk, (u8)(q[l] & 0xF));
-            p4_put(qs, b * 32 + 16 + l, n, N, pack_tk, (u8)(q[l] >> 4));
+/* Q4_0: 18-byte blocks of 32 (ggml-common.h:167-172) -> p4 plane, zp=8.
+ * b indexes 256-value pack tiles (8 stored blocks): within the tile,
+ * stored block sb covers k = sb*32..+32; value at k goes to packed row
+ * k%128, nibble = (k<128 ? lo : hi). Stored byte q[l] of block sb: low
+ * nibble = k sb*32+l, high = k sb*32+16+l. */
+static void q40_tile(const u8 *raw, i64 row_bytes, i64 b, i64 n0, int tn,
+                     i64 N, u8 *qs, float *scales) {
+    u8 tbuf[128][TN];
+    float sbuf[8][TN];
+    for (int c = 0; c < tn; c++) {
+        const u8 *row = raw + (n0 + c) * row_bytes;
+        for (int sb = 0; sb < 8; sb++) {
+            const u8 *blk = row + (b * 8 + sb) * 18;
+            sbuf[sb][c] = f16_to_f32(*(const u16 *)blk);
+            const u8 *q = blk + 2;
+            int base = sb * 32;           /* k offset within the 256-tile */
+            for (int l = 0; l < 16; l++) {
+                int k1 = base + l, k2 = base + 16 + l;
+                int r1 = k1 & 127, r2 = k2 & 127;
+                u8 v1 = (u8)(q[l] & 0xF), v2 = (u8)(q[l] >> 4);
+                if (sb < 4) {             /* k < 128: low nibble */
+                    tbuf[r1][c] = (u8)((tbuf[r1][c] & 0xF0) | v1);
+                    tbuf[r2][c] = (u8)((tbuf[r2][c] & 0xF0) | v2);
+                } else {                  /* k >= 128: high nibble */
+                    tbuf[r1][c] = (u8)((tbuf[r1][c] & 0x0F) | (v1 << 4));
+                    tbuf[r2][c] = (u8)((tbuf[r2][c] & 0x0F) | (v2 << 4));
+                }
+            }
         }
     }
+    for (int r = 0; r < 128; r++)
+        memcpy(&qs[(b * 128 + r) * N + n0], tbuf[r], (size_t)tn);
+    for (int sb = 0; sb < 8; sb++)
+        memcpy(&scales[(b * 8 + sb) * N + n0], sbuf[sb], sizeof(float) * tn);
 }
 
 /* ------------------------- threaded drivers ------------------------- */
@@ -172,32 +220,44 @@ typedef struct {
 
 static void *worker(void *arg) {
     job_t *j = (job_t *)arg;
-    for (i64 n = j->n0; n < j->n1; n++) {
-        const u8 *row = j->raw + n * j->row_bytes;
-        switch (j->type) {
-        case 12: unpack_q4k_row(row, n, j->N, j->K, (u8 *)j->qs, j->scales,
-                                j->mins, j->pack_tk); break;
-        case 8:  unpack_q80_row(row, n, j->N, j->K, (i8 *)j->qs, j->scales); break;
-        case 14: unpack_q6k_row(row, n, j->N, j->K, (i8 *)j->qs, j->scales); break;
-        case 2:  unpack_q40_row(row, n, j->N, j->K, (u8 *)j->qs, j->scales,
-                                j->pack_tk); break;
+    i64 nsuper = (j->type == 8) ? (j->K + 127) / 128 : j->K / 256;
+    for (i64 n = j->n0; n < j->n1; n += TN) {
+        int tn = (int)(j->n1 - n < TN ? j->n1 - n : TN);
+        for (i64 b = 0; b < nsuper; b++) {
+            switch (j->type) {
+            case 12: q4k_tile(j->raw, j->row_bytes, b, n, tn, j->N,
+                              (u8 *)j->qs, j->scales, j->mins); break;
+            case 8:  q80_tile(j->raw, j->row_bytes, b, n, tn, j->N, j->K,
+                              (i8 *)j->qs, j->scales); break;
+            case 14: q6k_tile(j->raw, j->row_bytes, b, n, tn, j->N,
+                              (i8 *)j->qs, j->scales); break;
+            case 2:  q40_tile(j->raw, j->row_bytes, b, n, tn, j->N,
+                              (u8 *)j->qs, j->scales); break;
+            }
         }
     }
     return 0;
 }
 
-/* entry point: returns 0 on success, -1 on unsupported type */
+/* entry point: returns 0 on success, -1 on unsupported type/layout */
 int unpack_planes(int type, const u8 *raw, i64 row_bytes, i64 N, i64 K,
                   void *qs, float *scales, float *mins, int pack_tk,
                   int n_threads) {
     if (type != 12 && type != 8 && type != 14 && type != 2) return -1;
+    /* p4 tiling above assumes the 256-value pack tile */
+    if ((type == 12 || type == 2) && pack_tk != 256) return -1;
+    if ((type == 12 || type == 14 || type == 2) && (K % 256)) return -1;
+    if (type == 8 && (K % 32)) return -1;
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 64) n_threads = 64;
-    if (n_threads > N) n_threads = (int)N;
+
+    /* thread ranges snap to TN-column tiles */
+    i64 ntiles = (N + TN - 1) / TN;
+    if (n_threads > ntiles) n_threads = (int)ntiles;
 
     pthread_t tids[64];
     job_t jobs[64];
-    i64 chunk = (N + n_threads - 1) / n_threads;
+    i64 chunk = (ntiles + n_threads - 1) / n_threads * TN;
     int nt = 0;
     for (int t = 0; t < n_threads; t++) {
         i64 n0 = t * chunk;

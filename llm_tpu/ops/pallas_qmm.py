@@ -158,10 +158,196 @@ def _qmm_kernel_p4_m(x_ref, xg_ref, q_ref, s_ref, m_ref, o_ref, acc_ref, *, gs, 
                 o_ref, acc_ref, _corr(xg_ref, m_ref, cdtype), cdtype, ptk)
 
 
+# ---------------------------------------------------------------------------
+# Group-factored decode path ("gdot", round 5).
+#
+# The classic kernel above dequantizes every weight element on the VPU
+# (~4 ops/elem: nibble logic, int->f32, scale mul, ->bf16), which caps the
+# p4 stream at ~500 GB/s of an 819 GB/s roofline at decode batch sizes
+# (round-4 profile: qkv 443 / attn_out 417 / gate_up 596). The gdot kernel
+# moves the scale multiply OFF the per-element path:
+#
+#   y[b,n] = sum_g s[g,n] * (x_g . q_g)[b,n]  -  groupsum(x) @ mins
+#            - zp * (groupsum(x) @ s)
+#
+# Per 32-group it runs ONE MXU dot against the RAW integer weights
+# (unpacked straight to bf16: 2 VPU ops/elem) and applies the per-group
+# scales to the (B, TN) partials afterwards (VPU work / gs). Numerically
+# this is BETTER than the classic path: q*s is no longer rounded to bf16
+# before the dot — the integer dot is exact in bf16, scales apply in f32.
+# Measured (scripts/kbench6.py, v5e, B=1): attn_out 417 -> ~700 GB/s,
+# gate_up 596 -> ~720. The scale-combine cost is 2*B/gs VPU ops per weight
+# element, so the path engages only for B <= GDOT_MAX_B (prefill keeps the
+# classic kernel, which is MXU-bound there anyway).
+# ---------------------------------------------------------------------------
+
+GDOT_MAX_B = 16
+
+
+def _gdot_kernel(xt_ref, q_ref, s_ref, m_ref, o_ref, acc_ref, *,
+                 gs, zp, cdtype, ptk):
+    """xt: (TK, B) TRANSPOSED activations (the only caller-side prep is one
+    tiny x.T — the grouped view is an in-kernel sublane reshape, and the
+    correction group-sums reduce in-kernel, so the gdot path adds NO extra
+    XLA launches per matmul vs the classic kernel); q: (TK//2, TN) packed
+    nibbles; s (and optional m): (TK//gs, TN). m_ref is None for types
+    without group mins (their zp folds into a correction against s).
+    Per-group dots contract dim 0 of both operands — the same transposed-
+    lhs dot pattern _corr uses."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qv = _sq(q_ref)
+    sv = _sq(s_ref)
+    half_total, tn = qv.shape
+    tk = half_total * 2
+    n_chunks = tk // ptk
+    gpc = ptk // gs  # groups per pack-chunk
+
+    xt = xt_ref[...].astype(cdtype)  # (TK, B)
+    x3 = xt.reshape(tk // gs, gs, -1)  # sublane-only split
+
+    acc = None
+    for c in range(n_chunks):
+        packed = qv[c * (ptk // 2):(c + 1) * (ptk // 2), :].astype(jnp.int32)
+        lo = (packed & 0xF).astype(cdtype)
+        hi = (packed >> 4).astype(cdtype)
+        w = jnp.concatenate([lo, hi], axis=0)  # (PTK, TN) raw 0..15
+        s = sv[c * gpc:(c + 1) * gpc, :].astype(jnp.float32)
+        for g in range(gpc):
+            xg = x3[c * gpc + g]  # (gs, B)
+            wg = w[g * gs:(g + 1) * gs, :]  # (gs, TN)
+            p = jax.lax.dot_general(
+                xg, wg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B, TN)
+            p = p * s[g][None, :]
+            acc = p if acc is None else acc + p
+    # group-offset corrections ride one rank-G dot each; the group sums
+    # reduce in-register from the same x3 view
+    if m_ref is not None or zp:
+        xg_all = jnp.sum(x3.astype(jnp.float32), axis=1).astype(cdtype)
+    if m_ref is not None:
+        acc = acc - jax.lax.dot_general(
+            xg_all, _sq(m_ref).astype(cdtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if zp:
+        acc = acc - float(zp) * jax.lax.dot_general(
+            xg_all, sv.astype(cdtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[...] += acc
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+def _qmm_gdot_call(x, qs, scales, mins, gs, zp, tile_n, tile_k, interpret,
+                   cdtype, lidx):
+    stacked = lidx is not None
+    B, K = x.shape
+    N = qs.shape[-1]
+    grid = (pl.cdiv(N, tile_n), K // tile_k)
+
+    xt = x.astype(cdtype).T  # (K, B) — the single caller-side prep op
+
+    if stacked:
+        def wmap(im):
+            return lambda i, j, s: (s[0],) + im(i, j)
+
+        def wstat(im):
+            return lambda i, j, s: im(i, j)
+
+        def wblock(shape):
+            return (1,) + shape
+    else:
+        def wmap(im):
+            return im
+
+        wstat = wmap
+
+        def wblock(shape):
+            return shape
+
+    has_mins = mins is not None
+    kfn = functools.partial(_gdot_kernel, gs=gs, zp=zp, cdtype=cdtype,
+                            ptk=PACK_TK)
+    if has_mins:
+        kernel = kfn
+    else:
+        kernel = lambda xtr, qr, sr, *rest: kfn(  # noqa: E731
+            xtr, qr, sr, None, *rest)
+    if stacked:
+        base = kernel
+        kernel = lambda s_ref, *refs: base(*refs)  # noqa: E731
+
+    in_specs = [
+        pl.BlockSpec((tile_k, B), wstat(lambda i, j: (j, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wblock((tile_k // 2, tile_n)),
+                     wmap(lambda i, j: (j, i)), memory_space=pltpu.VMEM),
+        pl.BlockSpec(wblock((tile_k // gs, tile_n)),
+                     wmap(lambda i, j: (j, i)), memory_space=pltpu.VMEM),
+    ]
+    args = [xt, qs, scales]
+    nbytes = qs.size * qs.dtype.itemsize + scales.size * scales.dtype.itemsize
+    if has_mins:
+        in_specs.append(
+            pl.BlockSpec(wblock((tile_k // gs, tile_n)),
+                         wmap(lambda i, j: (j, i)), memory_space=pltpu.VMEM))
+        args.append(mins)
+        nbytes += mins.size * mins.dtype.itemsize
+    if stacked:
+        nbytes //= qs.shape[0]
+    out_spec = pl.BlockSpec((B, tile_n), wstat(lambda i, j: (0, i)),
+                            memory_space=pltpu.VMEM)
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            **({"vmem_limit_bytes": _VMEM_LIMIT} if _VMEM_LIMIT else {}),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=nbytes + B * K * 2 + B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    if stacked:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_spec,
+                scratch_shapes=[pltpu.VMEM((B, tile_n), jnp.float32)],
+            ),
+            **common,
+        )(jnp.asarray(lidx, jnp.int32).reshape(1), *args)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((B, tile_n), jnp.float32)],
+        **common,
+    )(*args)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("gs", "zp", "layout", "tile_n", "tile_k", "interpret",
-                     "compute_dtype"),
+                     "compute_dtype", "gdot"),
 )
 def qmm_pallas(
     x: jnp.ndarray,  # [B, K] (bf16/f32)
@@ -176,6 +362,7 @@ def qmm_pallas(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     lidx: jnp.ndarray | None = None,  # [1] int32 layer index (stacked planes)
+    gdot: bool | None = None,  # None = env/eligibility heuristic
 ) -> jnp.ndarray:
     """y[b,n] = sum_k x[b,k] * (q[k,n] - zp) * scales[k//gs, n]
                 - sum_g groupsum(x)[b,g] * mins[g,n]             (f32)
@@ -196,6 +383,16 @@ def qmm_pallas(
     # boundary block loads/stores; padded lanes never reach the output).
     grid = (pl.cdiv(N, tile_n), K // tile_k)
     cdtype = jnp.dtype(compute_dtype)
+
+    # decode-shape fast path: group-factored MXU dots (see _gdot_kernel)
+    gdot_eligible = (layout == "p4" and B <= GDOT_MAX_B
+                     and tile_k % PACK_TK == 0 and PACK_TK % gs == 0)
+    if gdot is None:
+        gdot = gdot_eligible and os.environ.get("LLM_TPU_GDOT", "1") == "force"
+    if gdot and gdot_eligible:
+        return _qmm_gdot_call(x, qs, scales, mins, gs, zp, tile_n, tile_k,
+                              interpret, cdtype, lidx)
+
     kfac = 2 if layout == "p4" else 1
     if layout == "p4":
         assert tile_k % PACK_TK == 0

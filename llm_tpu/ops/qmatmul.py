@@ -118,6 +118,26 @@ def set_tile_table(table: dict[tuple[int, int], tuple[int, int]]) -> None:
     _TILE_TABLE = dict(table)
 
 
+# tile table for the group-factored decode path (pallas_qmm._gdot_kernel):
+# its optimum differs from the classic kernel's (bigger-N tiles win; huge
+# tile_k loses). LLM_TPU_TILE_TABLE_GDOT, same JSON format.
+_TILE_TABLE_GDOT: dict[tuple[int, int], tuple[int, int]] = {}
+if os.environ.get("LLM_TPU_TILE_TABLE_GDOT"):
+    import json as _json
+
+    try:
+        with open(os.environ["LLM_TPU_TILE_TABLE_GDOT"]) as _f:
+            _TILE_TABLE_GDOT = {(int(r[0]), int(r[1])): (int(r[2]), int(r[3]))
+                                for r in _json.load(_f)}
+    except (OSError, ValueError):
+        pass
+
+
+def set_tile_table_gdot(table) -> None:
+    global _TILE_TABLE_GDOT
+    _TILE_TABLE_GDOT = dict(table)
+
+
 def _pick_tile(n: int, options=None) -> int | None:
     """Largest option dividing n evenly (exact tiles)."""
     for t in options or _TILE_N_OPTS:
@@ -255,7 +275,20 @@ def qmm(
             pad = (-b) % 8
             if pad:
                 x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-            tuned = _TILE_TABLE.get((k, w.out_features))
+            from .pallas_qmm import GDOT_MAX_B
+
+            # group-factored decode path: engages per shape, from measured
+            # wins recorded in the gdot tile table (LLM_TPU_GDOT=force
+            # overrides to always-on for experiments, =0 disables)
+            _gdot_env = os.environ.get("LLM_TPU_GDOT", "1")
+            gdot_ok = (w.layout == "p4" and (b + pad) <= GDOT_MAX_B
+                       and k % 256 == 0 and _gdot_env != "0")
+            use_gdot = gdot_ok and (
+                _gdot_env == "force"
+                or (k, w.out_features) in _TILE_TABLE_GDOT)
+            tuned = (_TILE_TABLE_GDOT.get((k, w.out_features))
+                     if use_gdot else None) \
+                or _TILE_TABLE.get((k, w.out_features))
             if tuned is not None:
                 tile_n, tile_k = tuned
             else:
@@ -279,7 +312,7 @@ def qmm(
                     stacked_qt.mins,
                     gs=w.group_size, zp=w.zp, layout=w.layout,
                     tile_n=tile_n, tile_k=tile_k, interpret=_INTERPRET,
-                    compute_dtype=dtype, lidx=lidx,
+                    compute_dtype=dtype, lidx=lidx, gdot=use_gdot,
                 )
             else:
                 y = qmm_pallas(
@@ -287,7 +320,7 @@ def qmm(
                     w.mins if _FUSE_MINS else None,
                     gs=w.group_size, zp=w.zp, layout=w.layout,
                     tile_n=tile_n, tile_k=tile_k, interpret=_INTERPRET,
-                    compute_dtype=dtype,
+                    compute_dtype=dtype, gdot=use_gdot,
                 )
             if w.mins is not None and not _FUSE_MINS and lidx is None:
                 g = w.group_size

@@ -3,7 +3,7 @@
 Parity target: tools/llama-bench (llama-bench README): a test matrix over
 prompt-processing (ppN) and token-generation (tgN) sizes with optional
 pre-existing KV depth (@dN), warmup + repetitions, mean ± stddev, and
-md/json/csv output.
+md/json/csv/sql output.
 """
 
 from __future__ import annotations
@@ -93,7 +93,8 @@ def main(argv=None):
     ap.add_argument("-d", "--depth", type=int, default=0)
     ap.add_argument("-r", "--reps", type=int, default=3)
     ap.add_argument("-c", "--ctx-size", type=int, default=4096)
-    ap.add_argument("-o", "--output", choices=("md", "json", "csv"), default="md")
+    ap.add_argument("-o", "--output", choices=("md", "json", "csv", "sql"),
+                    default="md")
     from .mesh_args import add_mesh_args, mesh_from_args
 
     add_mesh_args(ap)
@@ -122,6 +123,17 @@ def main(argv=None):
         print("test,t/s,stddev")
         for r in rows:
             print(f"{r['test']},{r['t/s']},{r['stddev']}")
+    elif args.output == "sql":
+        # llama-bench -o sql parity: CREATE TABLE + one INSERT per row
+        # (tools/llama-bench sql_printer), so results pipe into sqlite3
+        # for cross-run comparison
+        print("CREATE TABLE IF NOT EXISTS test (\n"
+              "  model TEXT,\n  test TEXT,\n  avg_ts REAL,\n"
+              "  stddev_ts REAL\n);\n")
+        for r in rows:
+            print("INSERT INTO test (model, test, avg_ts, stddev_ts) "
+                  f"VALUES ('{desc}', '{r['test']}', '{r['t/s']}', "
+                  f"'{r['stddev']}');")
     else:
         print(format_md(rows, desc))
 

@@ -132,6 +132,13 @@ def main(argv=None):
     from .args import apply_device
 
     apply_device(args.device)
+    # persistent XLA compile cache: the few load-path programs (fused-
+    # projection concats) compile once per container, not once per load
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     path = args.model
     if not path:
         if not args.synth:
