@@ -206,9 +206,9 @@ def bench_hard_arch_flash(extra: dict, small: bool) -> None:
                     n_dims=case["n_dims"] or cfg.head_dim,
                     mode=case["rope_mode"]))
             cell_idx = jnp.arange(S, dtype=jnp.int32)
-            kvk = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+            kvk = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim), jnp.bfloat16)
                    for _ in range(cfg.n_layers)]
-            kvv = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+            kvv = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v), jnp.bfloat16)
                    for _ in range(cfg.n_layers)]
 
             def dec(params, kk, vv, tok0, n, cfg=cfg, cell_idx=cell_idx):
@@ -258,9 +258,9 @@ def bench_moe_ep(extra: dict, small: bool) -> None:
         params, cfg = make_synthetic_model(**geo)
         S = 256
         cell_idx = jnp.arange(S, dtype=jnp.int32)
-        kvk = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+        kvk = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim), jnp.bfloat16)
                for _ in range(cfg.n_layers)]
-        kvv = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+        kvv = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v), jnp.bfloat16)
                for _ in range(cfg.n_layers)]
 
         def dec(params, kk, vv, tok0, n):
@@ -345,9 +345,9 @@ def main():
     t_build = time.time() - t0
     print(f"build: {t_build:.1f}s", file=sys.stderr)
 
-    kv_k = jnp.zeros((cfg.n_layers, S, cfg.n_kv_heads, cfg.head_dim),
+    kv_k = jnp.zeros((cfg.n_layers, cfg.n_kv_heads, S, cfg.head_dim),
                      jnp.bfloat16)
-    kv_v = jnp.zeros((cfg.n_layers, S, cfg.n_kv_heads, cfg.head_dim_v),
+    kv_v = jnp.zeros((cfg.n_layers, cfg.n_kv_heads, S, cfg.head_dim_v),
                      jnp.bfloat16)
 
     cell_idx = jnp.arange(S, dtype=jnp.int32)
@@ -424,9 +424,9 @@ def main():
         params_l, cfg_l = _msm(qtype=GGMLType_Q4K(), on_device=True,
                                scales_dtype=jnp.bfloat16, scan=False, **geo)
         jax.block_until_ready(params_l["tok_embd"].qs)
-        kvk_l = tuple(jnp.zeros((S, cfg_l.n_kv_heads, cfg_l.head_dim), jnp.bfloat16)
+        kvk_l = tuple(jnp.zeros((cfg_l.n_kv_heads, S, cfg_l.head_dim), jnp.bfloat16)
                       for _ in range(cfg_l.n_layers))
-        kvv_l = tuple(jnp.zeros((S, cfg_l.n_kv_heads, cfg_l.head_dim_v), jnp.bfloat16)
+        kvv_l = tuple(jnp.zeros((cfg_l.n_kv_heads, S, cfg_l.head_dim_v), jnp.bfloat16)
                       for _ in range(cfg_l.n_layers))
 
         def decode_loop_l(params, kk, vv, tok0, n_steps):

@@ -28,11 +28,12 @@ KV_QUANT_GROUP = 32
 
 
 def _kv_write(cache, idx, val):
-    """Scatter new K/V rows into the cache; quantizes when the cache is a
-    (q8, scales) pair (reference's quantized-KV cpy path). mode="drop":
-    padding tokens carry write_idx == n_cells (out of bounds) and their
-    rows are DISCARDED — this keeps the cache exactly n_cells rows (no
-    trash row unaligning every attention tile)."""
+    """Scatter new K/V rows into the HEAD-MAJOR [Hkv, S, D] cache; quantizes
+    when the cache is a (q8, scales) pair (reference's quantized-KV cpy
+    path). val is token-major [T, Hkv, D]. mode="drop": padding tokens carry
+    write_idx == n_cells (out of bounds on the S axis) and their rows are
+    DISCARDED — this keeps the cache exactly n_cells rows (no trash row
+    unaligning every attention tile)."""
     if isinstance(cache, tuple):
         q8, sc = cache
         t, h, d = val.shape
@@ -43,21 +44,27 @@ def _kv_write(cache, idx, val):
         inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
         qv = jnp.clip(jnp.round(vf * inv), -127, 127).astype(jnp.int8)
         return (
-            q8.at[idx].set(qv.reshape(t, h, d), mode="drop"),
-            sc.at[idx].set(scale.reshape(t, h, d // g).astype(sc.dtype),
-                           mode="drop"),
+            q8.at[:, idx].set(qv.reshape(t, h, d).swapaxes(0, 1),
+                              mode="drop"),
+            sc.at[:, idx].set(
+                scale.reshape(t, h, d // g).swapaxes(0, 1).astype(sc.dtype),
+                mode="drop"),
         )
-    return cache.at[idx].set(val.astype(cache.dtype), mode="drop")
+    return cache.at[:, idx].set(val.astype(cache.dtype).swapaxes(0, 1),
+                                mode="drop")
 
 
 def _kv_read(cache, dtype):
+    """Dequantize + return the cache CELL-MAJOR [S, Hkv, D] — the layout the
+    unfused attention() fallback consumes. The fused kernels read the
+    head-major planes directly and never come through here."""
     if isinstance(cache, tuple):
         q8, sc = cache
-        s, h, d = q8.shape
+        h, s, d = q8.shape
         g = d // sc.shape[-1]
-        vf = q8.astype(jnp.float32).reshape(s, h, d // g, g) * sc.astype(jnp.float32)[..., None]
-        return vf.reshape(s, h, d).astype(dtype)
-    return cache.astype(dtype)
+        vf = q8.astype(jnp.float32).reshape(h, s, d // g, g) * sc.astype(jnp.float32)[..., None]
+        return vf.reshape(h, s, d).swapaxes(0, 1).astype(dtype)
+    return cache.swapaxes(0, 1).astype(dtype)
 
 
 ACTIVATIONS = {

@@ -36,50 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
-               cos_ref, sin_ref, *refs, scale, softcap, s_real, sblk,
-               has_alibi=False):
-    """Quantized-KV variant: K/V are int8 with ONE bf16 scale per head row
-    (the fattn-vec quantized-cache analogue, fattn-common.cuh:481-496);
-    dequant is an in-register lane-broadcast multiply."""
-
-    def kh_fn(h):
-        return (k_ref[:, h, :].astype(jnp.float32)
-                * ks_ref[:, h, :].astype(jnp.float32))
-
-    def vh_fn(h):
-        return (v_ref[:, h, :].astype(jnp.float32)
-                * vs_ref[:, h, :].astype(jnp.float32))
-
-    dist_ref, slopes_ref = (refs[0], refs[1]) if has_alibi else (None, None)
-    o_ref, acc_ref, m_ref, l_ref = refs[2 if has_alibi else 0:]
-    _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, v_ref.shape[-1],
-                cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref,
-                scale=scale, softcap=softcap, s_real=s_real, sblk=sblk,
-                dist_ref=dist_ref, slopes_ref=slopes_ref)
-
-
-def _kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
-            *refs, scale, softcap, s_real, sblk, has_alibi=False):
-
-    def kh_fn(h):
-        return k_ref[:, h, :].astype(jnp.float32)
-
-    def vh_fn(h):
-        return v_ref[:, h, :].astype(jnp.float32)
-
-    dist_ref, slopes_ref = (refs[0], refs[1]) if has_alibi else (None, None)
-    o_ref, acc_ref, m_ref, l_ref = refs[2 if has_alibi else 0:]
-    _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, v_ref.shape[-1],
-                cos_ref, sin_ref, o_ref, acc_ref, m_ref, l_ref,
-                scale=scale, softcap=softcap, s_real=s_real, sblk=sblk,
-                dist_ref=dist_ref, slopes_ref=slopes_ref)
-
-
-def _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, dv, cos_ref, sin_ref,
-                o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, s_real,
-                sblk, dist_ref=None, slopes_ref=None):
-    j = pl.program_id(0)
+def _decode_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
+                 o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, s_real,
+                 sblk, dist_ref=None, slopes_ref=None):
+    """One (kv-head, S-block) grid step of decode flash attention over the
+    HEAD-MAJOR cache: kh/vh are this head's contiguous (Sblk, D) planes.
+    Round-5 measurement (scripts/kbench7.py): per-head sublane slices of an
+    (Sblk, Hkv, D) block ran at <200 GB/s; the head-major grid streams at
+    ~335 GB/s with sblk=1024."""
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
@@ -87,10 +52,9 @@ def _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, dv, cos_ref, sin_ref,
         m_ref[...] = jnp.full_like(m_ref, NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    t, hkv_g, d = q_ref.shape  # (T, Hkv*G, D)
-    hkv = acc_ref.shape[0]
-    g = hkv_g // hkv
-    tg = t * g
+    _, tg, d = q_ref.shape  # (1, T*G, D)
+    t = b_ref.shape[0]
+    g = tg // t
 
     cos = cos_ref[...].astype(jnp.float32)  # (Sblk, D)
     sin = sin_ref[...].astype(jnp.float32)
@@ -104,55 +68,82 @@ def _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, dv, cos_ref, sin_ref,
     row_i = j * sblk + jax.lax.broadcasted_iota(jnp.int32, (sblk, 1), 0)
     row_ok = row_i < s_real
 
-    q = q_ref[...].astype(jnp.float32)
-    qr = qr_ref[...].astype(jnp.float32)
+    qh = q_ref[0].astype(jnp.float32)  # (TG, D)
+    qrh = qr_ref[0].astype(jnp.float32)
+    # scores = q.(k*cos) + q_rot.(k*sin)  — rope folded into the dots
+    s1 = jax.lax.dot_general(
+        qh, kh * cos, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s2 = jax.lax.dot_general(
+        qrh, kh * sin, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    scores = (s1 + s2) * scale  # (TG, Sblk)
+    if softcap > 0.0:
+        scores = jnp.tanh(scores / softcap) * softcap
+    if slopes_ref is not None:
+        # ALiBi in-kernel (ggml soft_max_ext max_bias):
+        # score -= slope_h * (pos_q - pos_k)
+        dist = dist_ref[...].astype(jnp.float32)  # (T, Sblk)
+        slope = slopes_ref[0]  # (G,) — this grid step's kv head
+        scores = scores - (slope[None, :, None]
+                           * dist[:, None, :]).reshape(tg, -1)
+    scores = scores + jnp.broadcast_to(
+        bias[:, None, :], (t, g, scores.shape[-1])).reshape(tg, -1)
+    scores = jnp.where(
+        jnp.broadcast_to(tail_ok[:, None, :], (t, g, scores.shape[-1])
+                         ).reshape(tg, -1),
+        scores, NEG)
 
-    for h in range(hkv):
-        kh = kh_fn(h)  # (Sblk, D)
-        qh = q.reshape(t, hkv, g, d)[:, h].reshape(tg, d)
-        qrh = qr.reshape(t, hkv, g, d)[:, h].reshape(tg, d)
-        # scores = q.(k*cos) + q_rot.(k*sin)  — rope folded into the dots
-        s1 = jax.lax.dot_general(
-            qh, kh * cos, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s2 = jax.lax.dot_general(
-            qrh, kh * sin, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        scores = (s1 + s2) * scale  # (TG, Sblk)
-        if softcap > 0.0:
-            scores = jnp.tanh(scores / softcap) * softcap
-        if slopes_ref is not None:
-            # ALiBi in-kernel (ggml soft_max_ext max_bias):
-            # score -= slope_h * (pos_q - pos_k)
-            dist = dist_ref[...].astype(jnp.float32)  # (T, Sblk)
-            slope = slopes_ref[h]  # (G,)
-            scores = scores - (slope[None, :, None]
-                               * dist[:, None, :]).reshape(tg, -1)
-        scores = scores + jnp.broadcast_to(
-            bias[:, None, :], (t, g, scores.shape[-1])).reshape(tg, -1)
-        scores = jnp.where(
-            jnp.broadcast_to(tail_ok[:, None, :], (t, g, scores.shape[-1])
-                             ).reshape(tg, -1),
-            scores, NEG)
+    m_old = m_ref[...]  # (TG, 1)
+    l_old = l_ref[...]
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(scores - m_new)
+    l_ref[...] = l_old * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_new
+    vs = jnp.where(row_ok, vh, 0.0)
+    pv = jax.lax.dot_general(
+        p, vs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha + pv
 
-        m_old = m_ref[h]  # (TG, 1)
-        l_old = l_ref[h]
-        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(scores - m_new)
-        l_ref[h] = l_old * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[h] = m_new
-        vh = jnp.where(row_ok, vh_fn(h), 0.0)
-        pv = jax.lax.dot_general(
-            p, vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_ref[h] = acc_ref[h] * alpha + pv
-
-    @pl.when(j == pl.num_programs(0) - 1)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        for h in range(hkv):
-            denom = jnp.maximum(l_ref[h], 1e-30)
-            o_ref[h] = (acc_ref[h] / denom).astype(o_ref.dtype)
+        denom = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+def _kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
+            *refs, scale, softcap, s_real, sblk, has_alibi=False):
+    kh = k_ref[0].astype(jnp.float32)  # (Sblk, D)
+    vh = v_ref[0].astype(jnp.float32)
+    dist_ref, slopes_ref = (refs[0], refs[1]) if has_alibi else (None, None)
+    o_ref, acc_ref, m_ref, l_ref = refs[2 if has_alibi else 0:]
+    _decode_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
+                 o_ref, acc_ref, m_ref, l_ref,
+                 scale=scale, softcap=softcap, s_real=s_real, sblk=sblk,
+                 dist_ref=dist_ref, slopes_ref=slopes_ref)
+
+
+def _kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
+               cos_ref, sin_ref, *refs, scale, softcap, s_real, sblk,
+               has_alibi=False):
+    """Quantized-KV variant: K/V are int8 with ONE bf16 scale per head row
+    (the fattn-vec quantized-cache analogue, fattn-common.cuh:481-496);
+    dequant is an in-register lane-broadcast multiply — in BF16: int8
+    magnitudes (<=127) are exact in bf16 and the stored scale is bf16
+    anyway, while the f32 broadcast multiply deoptimizes Mosaic 4.5x
+    (scripts/kbench9.py: 82us f32 vs 18us bf16 at S=4096)."""
+    kh = (k_ref[0].astype(jnp.bfloat16)
+          * ks_ref[0].astype(jnp.bfloat16)).astype(jnp.float32)
+    vh = (v_ref[0].astype(jnp.bfloat16)
+          * vs_ref[0].astype(jnp.bfloat16)).astype(jnp.float32)
+    dist_ref, slopes_ref = (refs[0], refs[1]) if has_alibi else (None, None)
+    o_ref, acc_ref, m_ref, l_ref = refs[2 if has_alibi else 0:]
+    _decode_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
+                 o_ref, acc_ref, m_ref, l_ref,
+                 scale=scale, softcap=softcap, s_real=s_real, sblk=sblk,
+                 dist_ref=dist_ref, slopes_ref=slopes_ref)
 
 
 @functools.partial(
@@ -162,51 +153,68 @@ def _flash_body(q_ref, qr_ref, b_ref, kh_fn, vh_fn, dv, cos_ref, sin_ref,
 def flash_decode(
     q: jnp.ndarray,  # [T, H, D] roped queries
     q_rot: jnp.ndarray,  # [T, H, D] rope companion of q
-    k: jnp.ndarray,  # [S, Hkv, D] UNROPED key cache
-    v: jnp.ndarray,  # [S, Hkv, Dv]
+    k: jnp.ndarray,  # [Hkv, S, D] UNROPED key cache (HEAD-MAJOR)
+    v: jnp.ndarray,  # [Hkv, S, Dv]
     cos: jnp.ndarray,  # [S, D] full-width per-cell cos
     sin: jnp.ndarray,  # [S, D]
     bias: jnp.ndarray,  # [T, S] additive f32 mask
     scale: float,
     softcap: float = 0.0,
-    sblk: int = 512,
+    sblk: int = 1024,
     interpret: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # [H] f32
     dist: jnp.ndarray | None = None,  # [T, S] f32 (pos_q - pos_k)
 ) -> jnp.ndarray:
     """Returns [T, H, Dv] f32. k/v may be (int8, per-head-scale) tuples —
-    the quantized-cache path (scales [S, Hkv, 1]). alibi_slopes + dist
-    engage the in-kernel ALiBi term (fattn-common.cuh slope path)."""
+    the quantized-cache path (scales [Hkv, S, 1]). alibi_slopes + dist
+    engage the in-kernel ALiBi term (fattn-common.cuh slope path).
+
+    The cache is HEAD-MAJOR [Hkv, S, D] (round-5 layout migration): each
+    grid step (h, j) streams one head's contiguous (Sblk, D) plane, which
+    roughly doubles decode HBM bandwidth vs per-head sublane slices of an
+    [S, Hkv, D] block, and lets flash_prefill drop its per-call O(S*D)
+    cache transposes."""
     quantized = isinstance(k, tuple)
     kq, ks = k if quantized else (k, None)
     vq, vs = v if quantized else (v, None)
     T, H, D = q.shape
-    S, Hkv, Dv = vq.shape
+    Hkv, S, Dv = vq.shape
     G = H // Hkv
     TG = T * G
     sblk = min(sblk, S)
-    grid = (pl.cdiv(S, sblk),)
+    grid = (Hkv, pl.cdiv(S, sblk))
     has_alibi = alibi_slopes is not None
+
+    # kv-head-major q so each grid step sees its own (TG, D) tile
+    qx = q.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3).reshape(Hkv, TG, D)
+    qrx = q_rot.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3).reshape(
+        Hkv, TG, D)
 
     kfn = _kernel_q8 if quantized else _kernel
     kernel = functools.partial(
         kfn, scale=scale, softcap=softcap, s_real=S, sblk=sblk,
         has_alibi=has_alibi)
-    qspec = pl.BlockSpec((T, H, D), lambda j: (0, 0, 0), memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((sblk, Hkv, D), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((sblk, Hkv, Dv), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((sblk, Hkv, 1), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((sblk, D), lambda j: (j, 0), memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((T, sblk), lambda j: (0, j), memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, TG, D), lambda h, j: (h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, sblk, D), lambda h, j: (h, j, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, sblk, Dv), lambda h, j: (h, j, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, sblk, 1), lambda h, j: (h, j, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((sblk, D), lambda h, j: (j, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((T, sblk), lambda h, j: (0, j),
+                         memory_space=pltpu.VMEM)
     if quantized:
         in_specs = [qspec, qspec, bspec, kspec, sspec, vspec, sspec, tspec, tspec]
-        args = (q, q_rot, bias, kq, ks, vq, vs, cos, sin)
+        args = (qx, qrx, bias, kq, ks, vq, vs, cos, sin)
     else:
         in_specs = [qspec, qspec, bspec, kspec, vspec, tspec, tspec]
-        args = (q, q_rot, bias, kq, vq, cos, sin)
+        args = (qx, qrx, bias, kq, vq, cos, sin)
     if has_alibi:
         in_specs += [bspec,
-                     pl.BlockSpec((Hkv, G), lambda j: (0, 0),
+                     pl.BlockSpec((1, G), lambda h, j: (h, 0),
                                   memory_space=pltpu.VMEM)]
         args += (dist.astype(jnp.float32),
                  alibi_slopes.astype(jnp.float32).reshape(Hkv, G))
@@ -215,16 +223,16 @@ def flash_decode(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((Hkv, TG, Dv), lambda j: (0, 0, 0),
+        out_specs=pl.BlockSpec((1, TG, Dv), lambda h, j: (h, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hkv, TG, Dv), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((Hkv, TG, Dv), jnp.float32),
-            pltpu.VMEM((Hkv, TG, 1), jnp.float32),
-            pltpu.VMEM((Hkv, TG, 1), jnp.float32),
+            pltpu.VMEM((TG, Dv), jnp.float32),
+            pltpu.VMEM((TG, 1), jnp.float32),
+            pltpu.VMEM((TG, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * T * H * S * D + 2 * T * H * S * Dv,
@@ -323,8 +331,11 @@ def _prefill_kernel(q_ref, qr_ref, b_ref, k_ref, v_ref, cos_ref, sin_ref,
 def _prefill_kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
                        cos_ref, sin_ref, *refs, g, scale, softcap,
                        s_real, sblk, has_alibi=False):
-    kh = k_ref[0].astype(jnp.float32) * ks_ref[0].astype(jnp.float32)
-    vh = v_ref[0].astype(jnp.float32) * vs_ref[0].astype(jnp.float32)
+    # bf16 dequant: see _kernel_q8
+    kh = (k_ref[0].astype(jnp.bfloat16)
+          * ks_ref[0].astype(jnp.bfloat16)).astype(jnp.float32)
+    vh = (v_ref[0].astype(jnp.bfloat16)
+          * vs_ref[0].astype(jnp.bfloat16)).astype(jnp.float32)
     dist_ref, slopes_ref = (refs[0], refs[1]) if has_alibi else (None, None)
     o_ref, acc_ref, m_ref, l_ref = refs[2 if has_alibi else 0:]
     _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
@@ -340,8 +351,8 @@ def _prefill_kernel_q8(q_ref, qr_ref, b_ref, k_ref, ks_ref, v_ref, vs_ref,
 def flash_prefill(
     q: jnp.ndarray,  # [T, H, D] roped queries
     q_rot: jnp.ndarray,  # [T, H, D] rope companion of q
-    k: jnp.ndarray,  # [S, Hkv, D] UNROPED key cache (or (int8, scales))
-    v: jnp.ndarray,  # [S, Hkv, Dv]
+    k: jnp.ndarray,  # [Hkv, S, D] UNROPED key cache (or (int8, scales))
+    v: jnp.ndarray,  # [Hkv, S, Dv]
     cos: jnp.ndarray,  # [S, D] full-width per-cell cos
     sin: jnp.ndarray,  # [S, D]
     bias: jnp.ndarray,  # [T, S] additive f32 mask
@@ -363,21 +374,21 @@ def flash_prefill(
     kq, ks = k if quantized else (k, None)
     vq, vs = v if quantized else (v, None)
     T, H, D = q.shape
-    S, Hkv, Dv = vq.shape
+    Hkv, S, Dv = vq.shape
     G = H // Hkv
     tblk = min(tblk, T)
     sblk = min(sblk, S)
     assert T % tblk == 0
     grid = (Hkv, T // tblk, pl.cdiv(S, sblk))
 
-    # head-major operands so each grid step sees (sublane, lane) tiles:
-    # q: [T, H, D] -> [Hkv, T*G, D] (heads are kv-major: h = h_kv*G + g);
-    # k/v: [S, Hkv, D] -> [Hkv, S, D]. The transposes are O(S*D) copies,
-    # amortized over the O(T*S*D) attention FLOPs of prefill.
+    # head-major q so each grid step sees (sublane, lane) tiles:
+    # q: [T, H, D] -> [Hkv, T*G, D] (heads are kv-major: h = h_kv*G + g).
+    # The cache is already head-major [Hkv, S, D] (round-5 layout) — the
+    # per-call O(S*D) cache transposes this kernel used to pay are gone.
     qx = q.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3).reshape(Hkv, T * G, D)
     qrx = q_rot.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3).reshape(Hkv, T * G, D)
-    kx = jnp.swapaxes(kq, 0, 1)
-    vx = jnp.swapaxes(vq, 0, 1)
+    kx = kq
+    vx = vq
 
     has_alibi = alibi_slopes is not None
     kfn = _prefill_kernel_q8 if quantized else _prefill_kernel
@@ -399,8 +410,7 @@ def flash_prefill(
     if quantized:
         in_specs = [qspec, qspec, bspec, kspec, sspec, vspec, sspec,
                     tspec, tspec]
-        args = (qx, qrx, bias, kx, jnp.swapaxes(ks, 0, 1), vx,
-                jnp.swapaxes(vs, 0, 1), cos, sin)
+        args = (qx, qrx, bias, kx, ks, vx, vs, cos, sin)
     else:
         in_specs = [qspec, qspec, bspec, kspec, vspec, tspec, tspec]
         args = (qx, qrx, bias, kx, vx, cos, sin)

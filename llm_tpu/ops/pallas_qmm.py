@@ -50,26 +50,36 @@ PACK_TK = 256
 
 
 def _dequant_w(q, s_ref, gs, zp, cdtype):
-    """q (TK, TN) small ints + scales (TK//gs, TN) -> w (TK, TN).
+    """q (TK, TN) small ints (already cdtype) + scales (TK//gs, TN) ->
+    w (TK, TN) in cdtype.
 
-    The scale multiply happens in the 3-D (groups, gs, TN) view with a
-    broadcast sublane operand — Mosaic keeps the scale vector replicated
-    instead of materializing a (TK, TN) scale plane (measured ~10% faster
-    at decode shapes than broadcast_to + full-width multiply)."""
+    The whole chain stays in cdtype (bf16): nibble values 0..15 and the
+    zp subtraction are exact in bf16, and the stored scales are bf16
+    anyway, so converting to f32 and back only added two VPU ops per
+    weight element (the dequant is VPU-bound at decode shapes — round-5
+    profiling). The scale multiply happens in the 3-D (groups, gs, TN)
+    view with a broadcast sublane operand — Mosaic keeps the scale vector
+    replicated instead of materializing a (TK, TN) scale plane."""
     tk, tn = q.shape
     if zp:
-        q = q - float(zp)
-    s = s_ref[...].astype(jnp.float32)  # (TK//gs, TN)
+        q = q - jnp.asarray(zp, q.dtype)
+    s = s_ref[...]
+    if s.dtype != q.dtype:
+        # f32-stored scales: multiply in f32 (a bf16 pre-round of s would
+        # double-round), then cast once
+        return (q.reshape(tk // gs, gs, tn).astype(jnp.float32)
+                * s.astype(jnp.float32)[:, None, :]
+                ).reshape(tk, tn).astype(cdtype)
     q3 = q.reshape(tk // gs, gs, tn)  # sublane-only reshape
-    return (q3 * s[:, None, :]).reshape(tk, tn).astype(cdtype)
+    return (q3 * s[:, None, :]).reshape(tk, tn)
 
 
-def _unpack_p4_chunk(packed, ptk):
-    """(PTK//2, TN) packed nibbles -> (PTK, TN) f32 in 0..15."""
+def _unpack_p4_chunk(packed, ptk, cdtype=jnp.float32):
+    """(PTK//2, TN) packed nibbles -> (PTK, TN) cdtype in 0..15."""
     half, tn = packed.shape
     assert half * 2 == ptk
-    lo = (packed & 0xF).astype(jnp.float32)
-    hi = (packed >> 4).astype(jnp.float32)
+    lo = (packed & 0xF).astype(cdtype)
+    hi = (packed >> 4).astype(cdtype)
     # within a pack-tile: [lo half | hi half] along K
     return jnp.concatenate([lo, hi], axis=0)
 
@@ -121,7 +131,7 @@ def _sq(ref):
 
 def _make_w_i8(q_ref, s_ref, gs, zp, cdtype, ptk):
     def make_w(c):
-        q = _sq(q_ref)[c * ptk:(c + 1) * ptk, :].astype(jnp.float32)
+        q = _sq(q_ref)[c * ptk:(c + 1) * ptk, :].astype(cdtype)
         gpc = ptk // gs
         return _dequant_w(q, _sq(s_ref)[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
     return make_w
@@ -132,7 +142,7 @@ def _make_w_p4(q_ref, s_ref, gs, zp, cdtype, ptk):
 
     def make_w(c):
         packed = _sq(q_ref)[c * half:(c + 1) * half, :].astype(jnp.int32)
-        q = _unpack_p4_chunk(packed, ptk)
+        q = _unpack_p4_chunk(packed, ptk, cdtype)
         gpc = ptk // gs
         return _dequant_w(q, _sq(s_ref)[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
     return make_w

@@ -178,9 +178,24 @@ def moe_ffn_ep(h, w_up, w_gate, w_down, topi, topw, act, mesh: Mesh,
     be None); topi: [T, k] expert ids; topw: [T, k] f32 routing weights.
     Returns [T, D] f32."""
     try:
-        from jax import shard_map  # jax >= 0.8
+        from jax import shard_map as _sm  # jax >= 0.8
+        import inspect
+
+        _kw = ("check_vma" if "check_vma" in inspect.signature(_sm).parameters
+               else "check_rep")
+
+        def shard_map(f, **kws):  # noqa: ANN001 - thin compat wrapper
+            # jax 0.9 renamed check_rep -> check_vma; both mean "skip the
+            # replication check" here (psum inside the body handles it)
+            kws.pop("check_rep", None)
+            kws[_kw] = False
+            return _sm(f, **kws)
     except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+        from jax.experimental.shard_map import shard_map as _sme
+
+        def shard_map(f, **kws):  # noqa: ANN001
+            kws.setdefault("check_rep", False)
+            return _sme(f, **kws)
 
     E = _n_experts(w_up)
     n_shards = mesh.shape[axis]
@@ -228,9 +243,9 @@ def moe_ffn_ep(h, w_up, w_gate, w_down, topi, topw, act, mesh: Mesh,
             return block(h, w_up, None, w_down, topi, topw)
         return shard_map(
             block2, mesh=mesh, in_specs=(rep, espec, espec, rep, rep),
-            out_specs=rep, check_rep=False,
+            out_specs=rep,
         )(h, w_up, w_down, topi, topw)
     return shard_map(
         block, mesh=mesh, in_specs=(rep, espec, espec, espec, rep, rep),
-        out_specs=rep, check_rep=False,
+        out_specs=rep,
     )(h, w_up, w_gate, w_down, topi, topw)

@@ -248,10 +248,11 @@ def interleave_fused(params: dict, cfg, tp: int) -> tuple[dict, int]:
 def kv_shardings(n_layers: int, mesh: Mesh, seq_shard: bool = None,
                  n_kv_heads: int | None = None, n_rows: int | None = None,
                  stacked: bool = False):
-    """KV lists [S, Hkv, D]: cells sharded over sp (when the mesh has one),
-    heads over tp. Attention over the cell-sharded cache is blockwise-exact:
-    the softmax statistics and the V-weighted sum reduce across sp shards
-    via XLA collectives (ring/sequence parallelism by sharding alone).
+    """HEAD-MAJOR KV lists [Hkv, S, D]: heads sharded over tp, cells over
+    sp (when the mesh has one). Attention over the cell-sharded cache is
+    blockwise-exact: the softmax statistics and the V-weighted sum reduce
+    across sp shards via XLA collectives (ring/sequence parallelism by
+    sharding alone).
 
     When n_kv_heads / n_rows are given, axes that do not divide evenly are
     dropped to replicated (e.g. MQA models with one KV head under TP)."""
@@ -263,8 +264,8 @@ def kv_shardings(n_layers: int, mesh: Mesh, seq_shard: bool = None,
     tp = "tp"
     if n_kv_heads is not None and n_kv_heads % mesh.shape.get("tp", 1) != 0:
         tp = None
-    lead = (None,) if stacked else ()  # scan path: [L, S, Hkv, D]
-    s = NamedSharding(mesh, P(*lead, sp, tp, None))
+    lead = (None,) if stacked else ()  # scan path: [L, Hkv, S, D]
+    s = NamedSharding(mesh, P(*lead, tp, sp, None))
     return [s] * n_layers, [s] * n_layers
 
 

@@ -66,17 +66,24 @@ def planes_from_u64(bits64: np.ndarray) -> np.ndarray:
 )
 @dataclass
 class KVArrays:
-    """Per-layer lists of cache planes: k[il]: [S, Hkv, Dk], v[il]: [S, Hkv, Dv].
+    """Per-layer lists of HEAD-MAJOR cache planes: k[il]: [Hkv, S, Dk],
+    v[il]: [Hkv, S, Dv] (round-5 layout: each KV head's cells are one
+    contiguous (S, D) plane, so the flash kernels stream whole planes from
+    HBM instead of per-head sublane slices — measured ~2x decode-attention
+    bandwidth, scripts/kbench7.py).
 
     K is stored pre-RoPE; V post-projection. dtype is the cache type
-    (bf16 by default; int8-quantized cache lands with the Pallas path)."""
+    (bf16 by default; int8-quantized caches are (int8, scales) pairs)."""
 
     k: list[jax.Array]
     v: list[jax.Array]
 
     @property
     def n_cells(self) -> int:
-        return self.k[0].shape[0]
+        a = self.k[0] if isinstance(self.k, (list, tuple)) and not isinstance(self.k, jax.Array) else self.k
+        if isinstance(a, tuple):
+            a = a[0]
+        return a.shape[-2]
 
 
 KV_QUANT_GROUP = 32
@@ -110,15 +117,15 @@ def new_kv_arrays(n_layers, n_cells, n_kv_heads, head_dim_k, head_dim_v,
                 g = KV_QUANT_GROUP if d % KV_QUANT_GROUP == 0 else d
             return [
                 (
-                    jnp.zeros((rows[il], heads[il], d), jnp.int8),
-                    jnp.zeros((rows[il], heads[il], d // g), jnp.bfloat16),
+                    jnp.zeros((heads[il], rows[il], d), jnp.int8),
+                    jnp.zeros((heads[il], rows[il], d // g), jnp.bfloat16),
                 )
                 for il in range(n_layers)
             ]
 
         return KVArrays(k=mk(head_dim_k), v=mk(head_dim_v))
-    k = [jnp.zeros((rows[il], heads[il], head_dim_k), dtype) for il in range(n_layers)]
-    v = [jnp.zeros((rows[il], heads[il], head_dim_v), dtype) for il in range(n_layers)]
+    k = [jnp.zeros((heads[il], rows[il], head_dim_k), dtype) for il in range(n_layers)]
+    v = [jnp.zeros((heads[il], rows[il], head_dim_v), dtype) for il in range(n_layers)]
     return KVArrays(k=k, v=v)
 
 

@@ -27,34 +27,40 @@ def _bits_planes(arr: np.ndarray) -> np.ndarray:
 
 
 def _rows_to_f32(cache, idx) -> np.ndarray:
-    """Extract cache rows as f32 (dequantizing a (q8, scales) cache)."""
+    """Extract cache rows as f32 (dequantizing a (q8, scales) cache).
+
+    The device cache is head-major [Hkv, S, D]; rows are returned (and
+    stored in state files) token-major [n, Hkv, D] — the on-disk format is
+    layout-independent so old state files keep loading."""
     if isinstance(cache, tuple):
         q8, sc = cache
-        q = np.asarray(q8[idx], np.float32)
-        s = np.asarray(sc[idx], np.float32)
+        q = np.asarray(q8[:, idx], np.float32)  # (H, n, d)
+        s = np.asarray(sc[:, idx], np.float32)
         srep = np.repeat(s, q.shape[-1] // s.shape[-1], axis=-1)
-        return q * srep
-    return np.asarray(cache[idx]).astype(np.float32)
+        return (q * srep).swapaxes(0, 1)
+    return np.asarray(cache[:, idx]).swapaxes(0, 1).astype(np.float32)
 
 
 def _set_rows(cache, idx, rows_f32):
-    """Scatter f32 rows into a cache (quantizing if needed). jnp-side."""
+    """Scatter token-major f32 rows [n, Hkv, D] into a head-major cache
+    (quantizing if needed). jnp-side."""
     import jax.numpy as jnp
 
+    rows = jnp.swapaxes(jnp.asarray(rows_f32), 0, 1)  # (H, n, d)
     if isinstance(cache, tuple):
         q8, sc = cache
-        g = rows_f32.shape[-1] // sc.shape[-1]
-        t, h, d = rows_f32.shape
-        vf = jnp.asarray(rows_f32).reshape(t, h, d // g, g)
+        g = rows.shape[-1] // sc.shape[-1]
+        h, n, d = rows.shape
+        vf = rows.reshape(h, n, d // g, g)
         amax = jnp.max(jnp.abs(vf), axis=-1, keepdims=True)
         scale = amax / 127.0
         inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
         qv = jnp.clip(jnp.round(vf * inv), -127, 127).astype(jnp.int8)
         return (
-            q8.at[idx].set(qv.reshape(t, h, d)),
-            sc.at[idx].set(scale.reshape(t, h, d // g).astype(sc.dtype)),
+            q8.at[:, idx].set(qv.reshape(h, n, d)),
+            sc.at[:, idx].set(scale.reshape(h, n, d // g).astype(sc.dtype)),
         )
-    return cache.at[idx].set(jnp.asarray(rows_f32, cache.dtype))
+    return cache.at[:, idx].set(rows.astype(cache.dtype))
 
 
 def _is_swa_layer(ctx, il: int) -> bool:

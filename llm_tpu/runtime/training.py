@@ -73,8 +73,8 @@ def causal_lm_loss(lora_layers, params, cfg, tokens, scale: float = 2.0,
     T = tokens.shape[0]
     S = T
     p = _with_lora(params, lora_layers, scale)
-    kv_k = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), dtype) for _ in range(cfg.n_layers)]
-    kv_v = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), dtype) for _ in range(cfg.n_layers)]
+    kv_k = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim), dtype) for _ in range(cfg.n_layers)]
+    kv_v = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v), dtype) for _ in range(cfg.n_layers)]
     pos = jnp.arange(T, dtype=jnp.int32)
     logits, _, _, _ = forward(
         p, cfg, kv_k, kv_v, tokens, pos, jnp.zeros(T, jnp.int32), pos,
@@ -170,9 +170,9 @@ def batched_lm_loss(params, cfg, tokens, dtype=jnp.float32):
     cbits = jnp.ones(T, jnp.uint32)
 
     def one(seq_toks):
-        kv_k = [jnp.zeros((T, cfg.n_kv_heads, cfg.head_dim), dtype)
+        kv_k = [jnp.zeros((cfg.n_kv_heads, T, cfg.head_dim), dtype)
                 for _ in range(cfg.n_layers)]
-        kv_v = [jnp.zeros((T, cfg.n_kv_heads, cfg.head_dim_v), dtype)
+        kv_v = [jnp.zeros((cfg.n_kv_heads, T, cfg.head_dim_v), dtype)
                 for _ in range(cfg.n_layers)]
         logits, _, _, _ = forward(
             params, cfg, kv_k, kv_v, seq_toks, pos,

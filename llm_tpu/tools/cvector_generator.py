@@ -37,9 +37,9 @@ def _layer_hiddens(ctx: Context, toks: list[int]) -> list[np.ndarray]:
     cpos = jnp.zeros(S + 1, jnp.int32).at[:T].set(pos)
     cbits = jnp.zeros(S + 1, jnp.uint32).at[:T].set(1)
     oidx = jnp.asarray([T - 1], jnp.int32)
-    kv_k = [jnp.zeros((S + 1, cfg.n_kv_heads, cfg.head_dim), ctx.dtype)
+    kv_k = [jnp.zeros((cfg.n_kv_heads, S + 1, cfg.head_dim), ctx.dtype)
             for _ in range(cfg.n_layers)]
-    kv_v = [jnp.zeros((S + 1, cfg.n_kv_heads, cfg.head_dim_v), ctx.dtype)
+    kv_v = [jnp.zeros((cfg.n_kv_heads, S + 1, cfg.head_dim_v), ctx.dtype)
             for _ in range(cfg.n_layers)]
     out = forward(ctx.params, cfg, kv_k, kv_v, tokens, pos, seq, widx,
                   cpos, cbits, oidx, dtype=ctx.dtype, collect_hidden=True)

@@ -46,9 +46,9 @@ def main(argv=None):
     tokens = tok.encode(args.prompt, add_special=True)
     T = len(tokens)
     S = max(T, 8)
-    kv_k = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), dtype)
+    kv_k = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim), dtype)
             for _ in range(cfg.n_layers)]
-    kv_v = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), dtype)
+    kv_v = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v), dtype)
             for _ in range(cfg.n_layers)]
     pos = jnp.arange(T, dtype=jnp.int32)
     cpos = jnp.concatenate([pos, jnp.zeros(S - T, jnp.int32)])

@@ -41,9 +41,9 @@ def collect_imatrix(reader: GGUFReader, tokens: list[int], n_ctx: int = 512,
 
     @jax.jit
     def step(params, toks):
-        kv_k = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+        kv_k = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim), jnp.bfloat16)
                 for _ in range(cfg.n_layers)]
-        kv_v = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+        kv_v = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v), jnp.bfloat16)
                 for _ in range(cfg.n_layers)]
         pos = jnp.arange(S, dtype=jnp.int32)
         out = forward(

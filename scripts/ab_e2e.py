@@ -55,9 +55,9 @@ def main():
     jax.block_until_ready(params["layers"][0]["attn_qkv_fused"].qs)
     print(f"build: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    kvk = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+    kvk = tuple(jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim), jnp.bfloat16)
                 for _ in range(cfg.n_layers))
-    kvv = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+    kvv = tuple(jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v), jnp.bfloat16)
                 for _ in range(cfg.n_layers))
     cell_idx = jnp.arange(S, dtype=jnp.int32)
 
@@ -104,9 +104,9 @@ def main():
 
         pj = jax.jit(prefill, donate_argnums=(1, 2))
         toks = jnp.asarray(np.arange(args.pp) % cfg.vocab_size, jnp.int32)
-        kvk2 = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim),
+        kvk2 = tuple(jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim),
                                jnp.bfloat16) for _ in range(cfg.n_layers))
-        kvv2 = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v),
+        kvv2 = tuple(jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v),
                                jnp.bfloat16) for _ in range(cfg.n_layers))
         t0 = time.time()
         tokp, kvk2, kvv2 = pj(params, kvk2, kvv2, toks)
@@ -114,10 +114,10 @@ def main():
         print(f"pp warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
         pts = []
         for _ in range(args.reps):
-            kvk2 = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim),
+            kvk2 = tuple(jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim),
                                    jnp.bfloat16)
                          for _ in range(cfg.n_layers))
-            kvv2 = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v),
+            kvv2 = tuple(jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v),
                                    jnp.bfloat16)
                          for _ in range(cfg.n_layers))
             t0 = time.perf_counter()

@@ -44,9 +44,9 @@ def step_time(n_layers: int) -> float:
     jax.block_until_ready(params["tok_embd"].qs)
     print(f"L={n_layers}: build {time.time()-t0:.1f}s", file=sys.stderr)
 
-    kk = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+    kk = tuple(jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim), jnp.bfloat16)
                for _ in range(cfg.n_layers))
-    vv = tuple(jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+    vv = tuple(jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v), jnp.bfloat16)
                for _ in range(cfg.n_layers))
     cell_idx = jnp.arange(S, dtype=jnp.int32)
 

@@ -476,7 +476,7 @@ def test_gemma3n(tmp_path):
 
     ctx = Context(GGUFReader(path), n_cells=32, dtype=jnp.float32)
     # reuse-layer KV stubs stay tiny
-    assert ctx.kv.k[2].shape[0] == 8 and ctx.kv.k[0].shape[0] == 33
+    assert ctx.kv.k[2].shape[1] == 8 and ctx.kv.k[0].shape[1] == 32
     assert ctx.decode(Batch.text(tokens, seq_id=0, logits_last_only=False)) == 0
     ours = np.stack([ctx.get_logits(i) for i in range(len(tokens))])
     with torch.no_grad():
@@ -580,7 +580,8 @@ def test_openelm_per_layer_heads(tmp_path):
     assert cfg.heads_at(1) == 2 and cfg.kv_heads_at(1) == 1
     assert cfg.qk_norm
     ctx = Context(GGUFReader(p), n_cells=32, dtype=jnp.float32)
-    assert ctx.kv.k[0].shape[1] == 2 and ctx.kv.k[1].shape[1] == 1
+    # head-major caches: per-layer KV head counts are axis 0
+    assert ctx.kv.k[0].shape[0] == 2 and ctx.kv.k[1].shape[0] == 1
     assert ctx.decode(Batch.text([3, 1, 4, 1, 5], seq_id=0)) == 0
     l1 = np.asarray(ctx.get_logits())
     assert np.isfinite(l1).all()

@@ -211,8 +211,9 @@ def test_iswa_dual_cache_matches_swa_full():
     assert dual.cells_swa is not None
     assert dual.n_swa_rows < dual.n_kv_rows
     # SWA layers (0) small, global layers (1) full-size
-    assert dual.kv.k[0].shape[0] == dual.n_swa_rows
-    assert dual.kv.k[1].shape[0] == dual.n_kv_rows
+    # head-major caches [Hkv, S, D]: cells on axis 1
+    assert dual.kv.k[0].shape[1] == dual.n_swa_rows
+    assert dual.kv.k[1].shape[1] == dual.n_kv_rows
 
     rng = np.random.default_rng(3)
     toks = [int(t) for t in rng.integers(0, 64, size=60)]
@@ -316,9 +317,9 @@ def test_scan_layers_matches_loop():
     cpos = jnp.concatenate([pos, jnp.zeros(S - T, jnp.int32)])
     cbits = jnp.asarray((np.arange(S) < T).astype(np.uint32))
     oidx = jnp.arange(T, dtype=jnp.int32)
-    kv_k = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), jnp.float32)
+    kv_k = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim), jnp.float32)
             for _ in range(cfg.n_layers)]
-    kv_v = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), jnp.float32)
+    kv_v = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v), jnp.float32)
             for _ in range(cfg.n_layers)]
     ref, ref_k, _, _ = forward(params, cfg, kv_k, kv_v, tok, pos, seq, pos,
                                cpos, cbits, oidx, dtype=jnp.float32)

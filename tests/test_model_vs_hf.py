@@ -42,8 +42,8 @@ def _run_ours(path, tokens, n_cells=32, dtype=jnp.float32):
     r = GGUFReader(path)
     params, cfg = load_params(r, dense_dtype=dtype)
     T = len(tokens)
-    kv_k = [jnp.zeros((n_cells, cfg.n_kv_heads, cfg.head_dim), dtype) for _ in range(cfg.n_layers)]
-    kv_v = [jnp.zeros((n_cells, cfg.n_kv_heads, cfg.head_dim_v), dtype) for _ in range(cfg.n_layers)]
+    kv_k = [jnp.zeros((cfg.n_kv_heads, n_cells, cfg.head_dim), dtype) for _ in range(cfg.n_layers)]
+    kv_v = [jnp.zeros((cfg.n_kv_heads, n_cells, cfg.head_dim_v), dtype) for _ in range(cfg.n_layers)]
     tok = jnp.asarray(tokens, jnp.int32)
     pos = jnp.arange(T, dtype=jnp.int32)
     seq = jnp.zeros(T, jnp.int32)
@@ -91,8 +91,8 @@ def test_incremental_decode_matches_full_prefill(tmp_path):
     full = _run_ours(path, tokens)
 
     n_cells = 16
-    kv_k = [jnp.zeros((n_cells, cfg.n_kv_heads, cfg.head_dim), jnp.float32) for _ in range(cfg.n_layers)]
-    kv_v = [jnp.zeros((n_cells, cfg.n_kv_heads, cfg.head_dim_v), jnp.float32) for _ in range(cfg.n_layers)]
+    kv_k = [jnp.zeros((cfg.n_kv_heads, n_cells, cfg.head_dim), jnp.float32) for _ in range(cfg.n_layers)]
+    kv_v = [jnp.zeros((cfg.n_kv_heads, n_cells, cfg.head_dim_v), jnp.float32) for _ in range(cfg.n_layers)]
     cell_pos = np.zeros(n_cells, np.int32)
     cell_bits = np.zeros(n_cells, np.uint32)
     outs = []

@@ -11,6 +11,12 @@ from llm_tpu.ops.rope import (ROPE_TYPE_NEOX, ROPE_TYPE_NORM, RopeParams,
                               apply_rope, rope_angles)
 
 
+def _hm(x):
+    """[S, Hkv, D] test fixture -> the HEAD-MAJOR [Hkv, S, D] cache layout
+    the fused kernels consume (round-5 layout migration)."""
+    return jnp.swapaxes(x, 0, 1)
+
+
 @pytest.mark.parametrize("mode", [ROPE_TYPE_NEOX, ROPE_TYPE_NORM],
                          ids=["neox", "norm"])
 @pytest.mark.parametrize("shape", [
@@ -41,8 +47,8 @@ def test_flash_decode_matches_xla(mode, shape):
 
     cf, sf = expand_tables(cos_c, sin_c, mode, D)
     got = np.asarray(flash_decode(
-        qro, rope_companion(qro, mode), k.astype(jnp.bfloat16),
-        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        qro, rope_companion(qro, mode), _hm(k.astype(jnp.bfloat16)),
+        _hm(v.astype(jnp.bfloat16)), cf.astype(jnp.bfloat16),
         sf.astype(jnp.bfloat16), bias, scale, sblk=256, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
 
@@ -65,8 +71,8 @@ def test_flash_decode_softcap():
     want = np.asarray(attention(qro, kro, v, bias, D ** -0.5, softcap=30.0))
     cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
     got = np.asarray(flash_decode(
-        qro, rope_companion(qro, ROPE_TYPE_NEOX), k.astype(jnp.bfloat16),
-        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), _hm(k.astype(jnp.bfloat16)),
+        _hm(v.astype(jnp.bfloat16)), cf.astype(jnp.bfloat16),
         sf.astype(jnp.bfloat16), bias, D ** -0.5, softcap=30.0,
         sblk=128, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
@@ -104,7 +110,7 @@ def test_flash_decode_q8_cache():
 
     cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
     got = np.asarray(flash_decode(
-        qro, rope_companion(qro, ROPE_TYPE_NEOX), (kq, ksc), (vq, vsc),
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), (_hm(kq), _hm(ksc)), (_hm(vq), _hm(vsc)),
         cf.astype(jnp.bfloat16), sf.astype(jnp.bfloat16), bias, D ** -0.5,
         sblk=256, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
@@ -142,8 +148,8 @@ def test_flash_prefill_matches_xla(mode, shape):
 
     cf, sf = expand_tables(cos_c, sin_c, mode, D)
     got = np.asarray(flash_prefill(
-        qro, rope_companion(qro, mode), k.astype(jnp.bfloat16),
-        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        qro, rope_companion(qro, mode), _hm(k.astype(jnp.bfloat16)),
+        _hm(v.astype(jnp.bfloat16)), cf.astype(jnp.bfloat16),
         sf.astype(jnp.bfloat16), bias, scale, tblk=tblk, sblk=sblk,
         interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
@@ -183,7 +189,7 @@ def test_flash_prefill_q8_softcap():
                                 softcap=30.0))
     cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
     got = np.asarray(flash_prefill(
-        qro, rope_companion(qro, ROPE_TYPE_NEOX), (kq, ks), (vq, vs),
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), (_hm(kq), _hm(ks)), (_hm(vq), _hm(vs)),
         cf.astype(jnp.bfloat16), sf.astype(jnp.bfloat16), bias, D ** -0.5,
         softcap=30.0, tblk=16, sblk=128, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
@@ -232,8 +238,8 @@ def test_flash_alibi_matches_xla(prefill):
     fn = flash_prefill if prefill else flash_decode
     kw = dict(tblk=8, sblk=128) if prefill else dict(sblk=128)
     got = np.asarray(fn(
-        q, rope_companion(q, ROPE_TYPE_NONE), k.astype(jnp.bfloat16),
-        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        q, rope_companion(q, ROPE_TYPE_NONE), _hm(k.astype(jnp.bfloat16)),
+        _hm(v.astype(jnp.bfloat16)), cf.astype(jnp.bfloat16),
         sf.astype(jnp.bfloat16), bias, scale, interpret=True,
         alibi_slopes=slopes, dist=dist, **kw))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
@@ -270,7 +276,7 @@ def test_flash_partial_rotary_and_mla(dims):
     cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D, n_dims=nd)
     got = np.asarray(flash_decode(
         qro, rope_companion(qro, ROPE_TYPE_NEOX, n_dims=nd),
-        k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        _hm(k.astype(jnp.bfloat16)), _hm(v.astype(jnp.bfloat16)),
         cf.astype(jnp.bfloat16), sf.astype(jnp.bfloat16), bias, scale,
         sblk=128, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
@@ -307,8 +313,8 @@ def test_flash_mrope_tables():
 
     cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
     got = np.asarray(flash_decode(
-        qro, rope_companion(qro, ROPE_TYPE_NEOX), k.astype(jnp.bfloat16),
-        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), _hm(k.astype(jnp.bfloat16)),
+        _hm(v.astype(jnp.bfloat16)), cf.astype(jnp.bfloat16),
         sf.astype(jnp.bfloat16), bias, scale, sblk=128, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
 
@@ -338,7 +344,7 @@ def test_flash_head_dim_80_96(D):
 
     cf, sf = expand_tables(cos_c, sin_c, ROPE_TYPE_NEOX, D)
     got = np.asarray(flash_decode(
-        qro, rope_companion(qro, ROPE_TYPE_NEOX), k.astype(jnp.bfloat16),
-        v.astype(jnp.bfloat16), cf.astype(jnp.bfloat16),
+        qro, rope_companion(qro, ROPE_TYPE_NEOX), _hm(k.astype(jnp.bfloat16)),
+        _hm(v.astype(jnp.bfloat16)), cf.astype(jnp.bfloat16),
         sf.astype(jnp.bfloat16), bias, scale, sblk=128, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)

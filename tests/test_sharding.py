@@ -26,8 +26,8 @@ def _inputs(cfg, T=5, S=16):
 
 
 def _fresh_kv(cfg, S=16, dtype=jnp.float32):
-    kv_k = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), dtype) for _ in range(cfg.n_layers)]
-    kv_v = [jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim_v), dtype) for _ in range(cfg.n_layers)]
+    kv_k = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim), dtype) for _ in range(cfg.n_layers)]
+    kv_v = [jnp.zeros((cfg.n_kv_heads, S, cfg.head_dim_v), dtype) for _ in range(cfg.n_layers)]
     return kv_k, kv_v
 
 
@@ -58,8 +58,8 @@ def test_tp8_matches_single_device(qtype):
         out = jax.jit(step)(sparams, kv_k2, kv_v2, *inputs)
     got = np.asarray(out[0])
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
-    # KV cache came back head-sharded (trailing Nones are normalized away)
-    assert tuple(out[1][0].sharding.spec)[:2] == (None, "tp")
+    # head-major KV came back head-sharded on axis 0
+    assert tuple(out[1][0].sharding.spec)[:1] == ("tp",)
 
 
 def test_param_shardings_structure():
@@ -107,7 +107,7 @@ def test_sequence_parallel_kv_matches_single_device():
     with mesh:
         out = jax.jit(step)(sparams, kv_k2, kv_v2, *inputs)
     np.testing.assert_allclose(np.asarray(out[0]), ref, atol=2e-4, rtol=2e-4)
-    assert tuple(out[1][0].sharding.spec)[:2] == ("sp", "tp")
+    assert tuple(out[1][0].sharding.spec)[:2] == ("tp", "sp")
 
 
 def test_expert_parallel_moe_matches_dense():
@@ -175,7 +175,7 @@ def test_context_tp_exact_match():
     np.testing.assert_allclose(
         tp_ctx.get_logits(), ref_ctx.get_logits(), atol=2e-4, rtol=2e-4)
     spec = tuple(tp_ctx.kv.k[0].sharding.spec)
-    assert spec[:2] == ("sp", "tp")
+    assert spec[:2] == ("tp", "sp")
 
 
 def test_context_tp_moe_ep():
