@@ -480,9 +480,9 @@ def main():
     pp_times = []
     for _ in range(reps):
         kk = jnp.zeros(
-            (cfg.n_layers, S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+            (cfg.n_layers, cfg.n_kv_heads, S, cfg.head_dim), jnp.bfloat16)
         vv = jnp.zeros(
-            (cfg.n_layers, S, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
+            (cfg.n_layers, cfg.n_kv_heads, S, cfg.head_dim_v), jnp.bfloat16)
         t0 = time.perf_counter()
         tokp, kk, vv = prefill_j(params, kk, vv, pp_tokens)
         jax.block_until_ready(tokp)

@@ -50,36 +50,34 @@ PACK_TK = 256
 
 
 def _dequant_w(q, s_ref, gs, zp, cdtype):
-    """q (TK, TN) small ints (already cdtype) + scales (TK//gs, TN) ->
-    w (TK, TN) in cdtype.
+    """q (TK, TN) small ints + scales (TK//gs, TN) -> w (TK, TN).
 
-    The whole chain stays in cdtype (bf16): nibble values 0..15 and the
-    zp subtraction are exact in bf16, and the stored scales are bf16
-    anyway, so converting to f32 and back only added two VPU ops per
-    weight element (the dequant is VPU-bound at decode shapes — round-5
-    profiling). The scale multiply happens in the 3-D (groups, gs, TN)
-    view with a broadcast sublane operand — Mosaic keeps the scale vector
-    replicated instead of materializing a (TK, TN) scale plane."""
+    The scale multiply happens in the 3-D (groups, gs, TN) view with a
+    broadcast sublane operand — Mosaic keeps the scale vector replicated
+    instead of materializing a (TK, TN) scale plane (measured ~10% faster
+    at decode shapes than broadcast_to + full-width multiply).
+
+    Negative result (round 5, scripts/kbench10.py): doing this chain in
+    bf16 (convert nibbles straight to bf16, multiply by bf16 scales,
+    skip the f32 intermediate) looks like one fewer VPU op but measured
+    9.95 -> 15.8 ms/step e2e at 8B decode — a 60% regression; bf16
+    sub-word arithmetic deoptimizes Mosaic here. Keep the f32 chain.
+    (The OPPOSITE holds in the flash q8-cache dequant, pallas_attn.py
+    _kernel_q8, where bf16 is 4.5x faster — measure, don't reason.)"""
     tk, tn = q.shape
     if zp:
-        q = q - jnp.asarray(zp, q.dtype)
-    s = s_ref[...]
-    if s.dtype != q.dtype:
-        # f32-stored scales: multiply in f32 (a bf16 pre-round of s would
-        # double-round), then cast once
-        return (q.reshape(tk // gs, gs, tn).astype(jnp.float32)
-                * s.astype(jnp.float32)[:, None, :]
-                ).reshape(tk, tn).astype(cdtype)
+        q = q - float(zp)
+    s = s_ref[...].astype(jnp.float32)  # (TK//gs, TN)
     q3 = q.reshape(tk // gs, gs, tn)  # sublane-only reshape
-    return (q3 * s[:, None, :]).reshape(tk, tn)
+    return (q3 * s[:, None, :]).reshape(tk, tn).astype(cdtype)
 
 
-def _unpack_p4_chunk(packed, ptk, cdtype=jnp.float32):
-    """(PTK//2, TN) packed nibbles -> (PTK, TN) cdtype in 0..15."""
+def _unpack_p4_chunk(packed, ptk):
+    """(PTK//2, TN) packed nibbles -> (PTK, TN) f32 in 0..15."""
     half, tn = packed.shape
     assert half * 2 == ptk
-    lo = (packed & 0xF).astype(cdtype)
-    hi = (packed >> 4).astype(cdtype)
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
     # within a pack-tile: [lo half | hi half] along K
     return jnp.concatenate([lo, hi], axis=0)
 
@@ -131,7 +129,7 @@ def _sq(ref):
 
 def _make_w_i8(q_ref, s_ref, gs, zp, cdtype, ptk):
     def make_w(c):
-        q = _sq(q_ref)[c * ptk:(c + 1) * ptk, :].astype(cdtype)
+        q = _sq(q_ref)[c * ptk:(c + 1) * ptk, :].astype(jnp.float32)
         gpc = ptk // gs
         return _dequant_w(q, _sq(s_ref)[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
     return make_w
@@ -142,7 +140,7 @@ def _make_w_p4(q_ref, s_ref, gs, zp, cdtype, ptk):
 
     def make_w(c):
         packed = _sq(q_ref)[c * half:(c + 1) * half, :].astype(jnp.int32)
-        q = _unpack_p4_chunk(packed, ptk, cdtype)
+        q = _unpack_p4_chunk(packed, ptk)
         gpc = ptk // gs
         return _dequant_w(q, _sq(s_ref)[c * gpc:(c + 1) * gpc, :], gs, zp, cdtype)
     return make_w
