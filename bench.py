@@ -280,12 +280,50 @@ def bench_moe_ep(extra: dict, small: bool) -> None:
         dj = jax.jit(dec, static_argnums=(4,), donate_argnums=(1, 2))
         tok, kk, vv = dj(params, kvk, kvv, jnp.zeros((), jnp.int32), 32)
         jax.block_until_ready(tok)
-        t0 = time.perf_counter()
-        tok, kk, vv = dj(params, kk, vv, tok, 32)
-        jax.block_until_ready(tok)
-        tps = 32 / (time.perf_counter() - t0)
+        ts = []
+        for _ in range(3):  # 3 reps, median: the single-rep row varied
+            t0 = time.perf_counter()  # 36.8<->51.3 across round-4 captures
+            tok, kk, vv = dj(params, kk, vv, tok, 32)
+            jax.block_until_ready(tok)
+            ts.append(time.perf_counter() - t0)
+        tps = 32 / float(np.median(ts))
         extra["moe_tg_tok_per_s"] = round(tps, 1)
-        print(f"moe (8e top-2, 1B-class) tg: {tps:.1f} t/s", file=sys.stderr)
+        extra["moe_tg_reps_s"] = [round(t, 4) for t in ts]
+        print(f"moe (8e top-2, 1B-class) tg: {tps:.1f} t/s "
+              f"(3-rep median)", file=sys.stderr)
+
+        # grouped-vs-gather prefill dispatch A/B (VERDICT r4 #8): the
+        # token-routed grouped path streams each expert's planes once;
+        # the gather path materializes per-assignment dequant planes.
+        Tp = 128
+        toks_p = jnp.asarray(np.arange(Tp) % cfg.vocab_size, jnp.int32)
+
+        def pre(params, kk, vv):
+            pos = jnp.arange(Tp, dtype=jnp.int32)
+            cb = (cell_idx < Tp).astype(jnp.uint32)
+            lg, nk, nv, _ = forward(
+                params, cfg, kk, vv, toks_p, pos,
+                jnp.zeros(Tp, jnp.int32), pos, cell_idx, cb,
+                jnp.asarray([Tp - 1], jnp.int32))
+            return lg, nk, nv
+
+        ab = {}
+        for name, env in (("grouped", "1"), ("gather", "0")):
+            os.environ["LLM_TPU_MOE_GROUPED"] = env
+            pj = jax.jit(pre)
+            lg, _, _ = pj(params, kvk, kvv)
+            jax.block_until_ready(lg)
+            pts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                lg, _, _ = pj(params, kvk, kvv)
+                jax.block_until_ready(lg)
+                pts.append(time.perf_counter() - t0)
+            ab[name] = round(Tp / float(np.median(pts)), 1)
+        os.environ.pop("LLM_TPU_MOE_GROUPED", None)
+        extra["moe_prefill_dispatch_ab_tok_per_s"] = ab
+        print(f"moe prefill pp{Tp}: grouped {ab['grouped']} vs gather "
+              f"{ab['gather']} t/s", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         extra["moe_tg"] = f"failed: {type(e).__name__}"[:200]
         print(f"moe bench FAILED: {e}", file=sys.stderr)
@@ -300,11 +338,14 @@ def bench_load(extra: dict, small: bool) -> None:
     try:
         import subprocess
 
+        # --synth-raw writes random quantized block bytes directly (no
+        # f32 pass), so 8B-width geometry synthesizes in seconds — the
+        # real-quantize synth at 8B timed out the round-4 driver bench
         geo = "1024,8,2816,32000" if small or _remaining() < 420 \
-            else "4096,32,14336,32000"
+            else "4096,8,14336,32000"
         out = subprocess.run(
-            [sys.executable, "-m", "llm_tpu.tools.load_bench", "--synth",
-             geo, "--ftype", "Q4_K_M", "--device", "cpu"],
+            [sys.executable, "-m", "llm_tpu.tools.load_bench", "--synth-raw",
+             geo, "--ftype", "Q4_K_M", "--device", "cpu", "--reps", "2"],
             capture_output=True, text=True, timeout=max(60, _remaining() - 60))
         line = [ln for ln in out.stdout.splitlines() if ln.strip()][-1:]
         extra["load_bench"] = {"geo": geo, "result": line[0] if line else

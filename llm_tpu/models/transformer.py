@@ -221,11 +221,14 @@ def _moe_ffn(h, layer, cfg: ModelConfig):
             mesh, axis, cf=cfg.ep_cf,
         ).astype(h.dtype)
 
-    if T > 8:
+    import os as _os
+
+    if T > 8 and _os.environ.get("LLM_TPU_MOE_GROUPED", "1") != "0":
         # prefill: token-routed grouped dispatch — per-expert bucket
         # matmuls stream each expert's weights from HBM once, instead of
         # the per-assignment gather below that materializes [T, k, N, K]
-        # dequantized planes (O(T*k*N*K) bytes at real prefill sizes)
+        # dequantized planes (O(T*k*N*K) bytes at real prefill sizes).
+        # LLM_TPU_MOE_GROUPED=0 forces the gather path (bench A/B).
         return moe_ffn_grouped(
             h, layer["ffn_up_exps"], layer.get("ffn_gate_exps"),
             layer["ffn_down_exps"], topi, topw.astype(jnp.float32), act,

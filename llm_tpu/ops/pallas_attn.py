@@ -84,7 +84,14 @@ def _decode_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
         # ALiBi in-kernel (ggml soft_max_ext max_bias):
         # score -= slope_h * (pos_q - pos_k)
         dist = dist_ref[...].astype(jnp.float32)  # (T, Sblk)
-        slope = slopes_ref[0]  # (G,) — this grid step's kv head
+        # slopes arrive as the FULL (Hkv, G) array (a (1, G) block would
+        # be an illegal (1, 1) tile when G == 1, e.g. MHA ALiBi archs);
+        # select this grid step's kv-head row with an iota mask (Mosaic
+        # has no in-kernel dynamic_slice)
+        sl = slopes_ref[...]  # (Hkv, G)
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, sl.shape, 0)
+                  == pl.program_id(0))
+        slope = jnp.sum(jnp.where(rowsel, sl, 0.0), axis=0)  # (G,)
         scores = scores - (slope[None, :, None]
                            * dist[:, None, :]).reshape(tg, -1)
     scores = scores + jnp.broadcast_to(
@@ -214,7 +221,7 @@ def flash_decode(
         args = (qx, qrx, bias, kq, vq, cos, sin)
     if has_alibi:
         in_specs += [bspec,
-                     pl.BlockSpec((1, G), lambda h, j: (h, 0),
+                     pl.BlockSpec((Hkv, G), lambda h, j: (0, 0),
                                   memory_space=pltpu.VMEM)]
         args += (dist.astype(jnp.float32),
                  alibi_slopes.astype(jnp.float32).reshape(Hkv, G))
@@ -287,7 +294,10 @@ def _prefill_body(q_ref, qr_ref, b_ref, kh, vh, cos_ref, sin_ref,
     if slopes_ref is not None:
         # ALiBi in-kernel: score -= slope_h * (pos_q - pos_k)
         dist = dist_ref[...].astype(jnp.float32)  # (Tblk, Sblk)
-        slope = slopes_ref[0]  # (G,) — this grid step's kv head
+        sl = slopes_ref[...]  # full (Hkv, G) block; see decode kernel
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, sl.shape, 0)
+                  == pl.program_id(0))
+        slope = jnp.sum(jnp.where(rowsel, sl, 0.0), axis=0)  # (G,)
         scores = scores - (slope[None, :, None]
                            * dist[:, None, :]).reshape(tg, -1)
     scores = scores + jnp.broadcast_to(
@@ -416,7 +426,7 @@ def flash_prefill(
         args = (qx, qrx, bias, kx, vx, cos, sin)
     if has_alibi:
         in_specs += [bspec,
-                     pl.BlockSpec((1, G), lambda h, i, j: (h, 0),
+                     pl.BlockSpec((Hkv, G), lambda h, i, j: (0, 0),
                                   memory_space=pltpu.VMEM)]
         args += (dist.astype(jnp.float32),
                  alibi_slopes.astype(jnp.float32).reshape(Hkv, G))
